@@ -1,0 +1,18 @@
+"""cfd_tpu — a TPU-native incompressible Navier-Stokes framework.
+
+A ground-up JAX/XLA/Pallas re-design with the capabilities of the shaia/CFD
+C library (2D/3D incompressible NS on structured grids, four time
+integrators, a pressure-Poisson solver suite, a rich boundary-condition
+subsystem, energy equation with Boussinesq buoyancy, VTK/CSV output, and a
+versioned CRC-protected checkpoint format) — built for jit/scan/sharding
+rather than translated from the C backend matrix.
+"""
+
+from . import config
+from .config import default_dtype, set_default_dtype
+from .core import FlowField, Grid, CFDError, Status
+
+__version__ = "0.1.0"
+
+__all__ = ["config", "default_dtype", "set_default_dtype",
+           "FlowField", "Grid", "CFDError", "Status", "__version__"]

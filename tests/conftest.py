@@ -1,0 +1,41 @@
+"""Test configuration.
+
+Runs the whole suite on CPU with float64 enabled (matching the reference's
+all-double numerics) and 8 virtual devices so sharding tests exercise a real
+multi-device mesh without TPU hardware — the strategy SURVEY.md §4 prescribes
+for multi-backend-without-hardware testing.
+
+Must run before any jax import, hence the env mutation at module import time.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_enable_x64", True)
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(1234)
+
+
+def pytest_addoption(parser):
+    parser.addoption(
+        "--full-validation", action="store_true", default=False,
+        help="Run the full-tier physics validation (the reference's "
+             "CAVITY_FULL_VALIDATION mode; much slower).")
+
+
+@pytest.fixture
+def full_validation(request):
+    return request.config.getoption("--full-validation")

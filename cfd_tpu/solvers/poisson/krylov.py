@@ -1,0 +1,201 @@
+"""Krylov Poisson solvers: CG / PCG and BiCGSTAB.
+
+Re-design of `cpu/linear_solver_cg.c` and `cpu/linear_solver_bicgstab.c` as
+single jitted ``lax.while_loop``s.  Semantics preserved exactly:
+
+* operator A = −∇² restricted to interior points, with the *correction* space
+  held at zero on the boundary (the reference's work vectors are calloc'd and
+  only interior entries are ever written — `linear_solver_cg.c:103-123`), so
+  the Krylov iteration sees a symmetric positive-definite Dirichlet-0
+  operator while the solution x keeps Neumann boundaries;
+* Neumann BCs are applied to x only before and after the loop
+  (`linear_solver_cg.c:320,447`);
+* convergence on the L2 norm of the recursion residual, relative tolerance
+  floored by absolute (`linear_solver_cg.c:341-361`);
+* breakdown detection at 1e-30 → STAGNATED (`linear_solver_internal.h:73-96`);
+* BiCGSTAB's early s-norm exit and omega-breakdown checks
+  (`linear_solver_bicgstab.c:260-500`).
+
+Every iteration is one fused XLA computation: the Laplacian apply, the dot
+products, and the axpy updates fuse into a few HBM sweeps; on a sharded mesh
+the dots become ``psum`` collectives over ICI.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from .base import (PoissonParams, PoissonProblem, PoissonResult, PoissonStatus,
+                   Precond)
+
+BREAKDOWN = 1e-30  # CG_BREAKDOWN_THRESHOLD / BICGSTAB_BREAKDOWN_THRESHOLD
+
+
+def make_cg(problem: PoissonProblem, params: PoissonParams):
+    use_precond = params.preconditioner == Precond.JACOBI
+    # Diagonal of -∇²: 2/dx² + 2/dy² + 2/dz² (`linear_solver_cg.c:216`).
+    diag_inv = problem.inv_factor
+    ci = max(1, int(params.check_interval))
+    max_iter = int(params.max_iterations)
+    abs_tol = params.absolute_tolerance
+
+    def A(p):
+        """Ap = -∇²p on the interior, zero on the boundary shell."""
+        return problem.zero_boundary(-problem.laplacian(p))
+
+    def precond(r):
+        return diag_inv * r if use_precond else r
+
+    def solve(x, rhs):
+        x = problem.neumann_bc(x)
+        # r₀ = b − A·x₀ = −rhs + ∇²x (on interior; zero shell)
+        r = problem.zero_boundary(problem.laplacian(x) - rhs)
+        z = precond(r)
+        p = z
+        rho = problem.dot_interior(r, z)
+        initial_res = jnp.sqrt(problem.dot_interior(r, r))
+        tol = problem.tolerance_for(params, initial_res)
+        already = initial_res < abs_tol
+
+        def cond(carry):
+            _, _, _, _, it, _, running = carry
+            return running & (it < max_iter)
+
+        def body(carry):
+            x, r, p, rho, it, res, _ = carry
+            Ap = A(p)
+            p_dot_Ap = problem.dot_interior(p, Ap)
+            breakdown1 = jnp.abs(p_dot_Ap) < BREAKDOWN
+            alpha = rho / jnp.where(breakdown1, 1.0, p_dot_Ap)
+            x = jnp.where(breakdown1, x, x + alpha * p)
+            r = jnp.where(breakdown1, r, r - alpha * Ap)
+            z = precond(r)
+            rho_new = problem.dot_interior(r, z)
+            res_new = jnp.sqrt(problem.dot_interior(r, r))
+            check = (it % ci) == 0
+            converged = check & ((res_new < tol) | (res_new < abs_tol))
+            breakdown2 = jnp.abs(rho) < BREAKDOWN
+            beta = rho_new / jnp.where(breakdown2, 1.0, rho)
+            p = jnp.where(converged | breakdown1 | breakdown2, p, z + beta * p)
+            stop = converged | breakdown1 | breakdown2
+            # Encode "stagnated" by negating the iteration counter sign bit:
+            # we carry status via res sign? Cleaner: carry running flag and a
+            # stagnated marker in res (kept separate below).
+            it = it + 1
+            return (x, r, p, rho_new, it,
+                    jnp.where(breakdown1, res, res_new), ~stop)
+
+        x_f, r_f, _, _, it_f, res_f, running_f = lax.while_loop(
+            cond, body, (x, r, p, rho, jnp.int32(0), initial_res, ~already))
+
+        # Final convergence check (reference does one more after the loop,
+        # `linear_solver_cg.c:441-444`).
+        converged = (res_f < tol) | (res_f < abs_tol) | already
+        x_f = problem.neumann_bc(x_f)
+        iterations = jnp.where(already, 0, jnp.minimum(it_f, max_iter))
+        stagnated = (~converged) & (it_f < max_iter) & (~running_f)
+        status = jnp.where(
+            converged, jnp.int32(PoissonStatus.CONVERGED),
+            jnp.where(stagnated, jnp.int32(PoissonStatus.STAGNATED),
+                      jnp.int32(PoissonStatus.MAX_ITER)))
+        return PoissonResult(x=x_f, iterations=iterations,
+                             initial_residual=initial_res,
+                             final_residual=jnp.where(already, initial_res, res_f),
+                             status=status)
+
+    return jax.jit(solve)
+
+
+def make_bicgstab(problem: PoissonProblem, params: PoissonParams):
+    ci = max(1, int(params.check_interval))
+    max_iter = int(params.max_iterations)
+    abs_tol = params.absolute_tolerance
+
+    def A(p):
+        return problem.zero_boundary(-problem.laplacian(p))
+
+    def solve(x, rhs):
+        x = problem.neumann_bc(x)
+        r = problem.zero_boundary(problem.laplacian(x) - rhs)
+        r_hat = r
+        v = jnp.zeros_like(r)
+        p = jnp.zeros_like(r)
+        initial_res = jnp.sqrt(problem.dot_interior(r, r))
+        tol = problem.tolerance_for(params, initial_res)
+        already = initial_res < abs_tol
+
+        # carry: x, r, p, v, rho, alpha, omega, it, res, running, stagnated
+        def cond(c):
+            return c[9] & (c[7] < max_iter)
+
+        def body(c):
+            x, r, p, v, rho, alpha, omega, it, res, _, _ = c
+            rho_new = problem.dot_interior(r_hat, r)
+            bd1 = jnp.abs(rho_new) < BREAKDOWN
+
+            beta = (rho_new / jnp.where(bd1, 1.0, rho)) \
+                * (alpha / jnp.where(jnp.abs(omega) < BREAKDOWN, 1.0, omega))
+            p_new = r + beta * (p - omega * v)
+            v_new = A(p_new)
+            rhv = problem.dot_interior(r_hat, v_new)
+            bd2 = jnp.abs(rhv) < BREAKDOWN
+            alpha_new = rho_new / jnp.where(bd2, 1.0, rhv)
+            s = r - alpha_new * v_new
+            s_norm = jnp.sqrt(problem.dot_interior(s, s))
+            early = (s_norm < tol) | (s_norm < abs_tol)
+
+            t = A(s)
+            tds = problem.dot_interior(t, s)
+            tdt = problem.dot_interior(t, t)
+            bd3 = jnp.abs(tdt) < BREAKDOWN
+            omega_new = tds / jnp.where(bd3, 1.0, tdt)
+
+            # Full update (skipped on early exit / breakdowns)
+            x_full = x + alpha_new * p_new + omega_new * s
+            r_full = s - omega_new * t
+            res_full = jnp.sqrt(problem.dot_interior(r_full, r_full))
+
+            # Early s-convergence: x += alpha·p only
+            # (`linear_solver_bicgstab.c:398-405`).
+            x_early = x + alpha_new * p_new
+
+            bd = bd1 | bd2
+            # breakdown on t·t also updates x with available progress
+            x_next = jnp.where(bd, x,
+                               jnp.where(early, x_early,
+                                         jnp.where(bd3, x_early, x_full)))
+            r_next = jnp.where(bd | early | bd3, r, r_full)
+            res_next = jnp.where(bd, res,
+                                 jnp.where(early, s_norm,
+                                           jnp.where(bd3, s_norm, res_full)))
+
+            check = (it % ci) == 0
+            converged = early | (check & ((res_full < tol)
+                                          | (res_full < abs_tol)))
+            bd4 = jnp.abs(omega_new) < BREAKDOWN
+            stop = bd | bd3 | converged | (bd4 & ~converged)
+            stagnated = (bd | bd3 | (bd4 & ~converged))
+            return (x_next, r_next, p_new, v_new, rho_new, alpha_new,
+                    omega_new, it + 1, res_next, ~stop, stagnated)
+
+        init = (x, r, p, v, jnp.asarray(1.0, x.dtype), jnp.asarray(1.0, x.dtype),
+                jnp.asarray(1.0, x.dtype), jnp.int32(0), initial_res,
+                ~already, jnp.asarray(False))
+        (x_f, _, _, _, _, _, _, it_f, res_f, _, stagnated_f) = \
+            lax.while_loop(cond, body, init)
+
+        converged = (res_f < tol) | (res_f < abs_tol) | already
+        x_f = problem.neumann_bc(x_f)
+        iterations = jnp.where(already, 0, jnp.minimum(it_f, max_iter))
+        status = jnp.where(
+            converged, jnp.int32(PoissonStatus.CONVERGED),
+            jnp.where(stagnated_f, jnp.int32(PoissonStatus.STAGNATED),
+                      jnp.int32(PoissonStatus.MAX_ITER)))
+        return PoissonResult(x=x_f, iterations=iterations,
+                             initial_residual=initial_res,
+                             final_residual=jnp.where(already, initial_res, res_f),
+                             status=status)
+
+    return jax.jit(solve)

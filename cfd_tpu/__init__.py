@@ -14,5 +14,15 @@ from .core import FlowField, Grid, CFDError, Status
 
 __version__ = "0.1.0"
 
+
+def __getattr__(name):
+    # Lazy submodule access so `import cfd_tpu` stays light.
+    if name in ("api", "boundary", "io", "ops", "parallel", "solvers"):
+        import importlib
+        return importlib.import_module(f".{name}", __name__)
+    raise AttributeError(f"module 'cfd_tpu' has no attribute {name!r}")
+
+
 __all__ = ["config", "default_dtype", "set_default_dtype",
-           "FlowField", "Grid", "CFDError", "Status", "__version__"]
+           "FlowField", "Grid", "CFDError", "Status", "__version__",
+           "api", "boundary", "io", "ops", "parallel", "solvers"]

@@ -1,3 +1,3 @@
-from . import poisson
+from . import energy, ns, poisson
 
-__all__ = ["poisson"]
+__all__ = ["energy", "ns", "poisson"]

@@ -91,26 +91,25 @@ def compute_dt(field: FlowField, grid: Grid, params: NSParams) -> float:
 
 
 def iterate_with_divergence_guard(step_once, field: FlowField, dt, max_iter: int):
-    """Run ``max_iter`` steps via lax.scan, freezing state once divergence is
-    detected (the scan-friendly version of the reference's early-return on
-    CFD_ERROR_DIVERGED)."""
+    """Run ``max_iter`` steps via lax.scan, freezing state once a step fails
+    (the scan-friendly version of the reference's early-return on
+    CFD_ERROR_DIVERGED / CFD_ERROR_MAX_ITER)."""
 
     def body(carry, iter_idx):
-        field, diverged, applied, res = carry
+        field, status, applied, res = carry
         new_field, step_res = step_once(field, dt, iter_idx)
-        new_diverged = diverged | step_res.diverged
-        keep_new = ~diverged
+        keep_new = status == 0
         field = jax.tree_util.tree_map(
             lambda new, old: jnp.where(keep_new, new, old), new_field, field)
+        status = jnp.where(keep_new, step_res.status, status)
         applied = applied + jnp.where(keep_new, 1, 0).astype(jnp.int32)
         res = jnp.where(keep_new, step_res.residual, res)
-        return (field, new_diverged, applied, res), None
+        return (field, status, applied, res), None
 
-    init = (field, jnp.asarray(False), jnp.int32(0),
-            jnp.zeros((), field.u.dtype))
-    (field, diverged, applied, res), _ = lax.scan(
+    init = (field, jnp.int32(0), jnp.int32(0), jnp.zeros((), field.u.dtype))
+    (field, status, applied, res), _ = lax.scan(
         body, init, jnp.arange(max_iter))
     vmax, pmax, tmax = field_diagnostics(field)
-    return field, StepResult(iterations=applied, diverged=diverged,
+    return field, StepResult(iterations=applied, status=status,
                              residual=res, max_velocity=vmax,
                              max_pressure=pmax, max_temperature=tmax)

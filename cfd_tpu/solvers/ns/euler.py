@@ -1,0 +1,159 @@
+"""Explicit Euler Navier-Stokes integrator.
+
+Re-design of `cpu/solver_explicit_euler.c:337-582` as a single jitted step:
+the C triple loop with per-point clamps becomes one fused vectorized update;
+the whole multi-iteration solve is a ``lax.scan``.
+
+Semantics preserved (the reference's deliberate quirks, SURVEY.md §7):
+
+* conservative dt cap ``min(dt, 1e-4)`` (`:389`);
+* derivative/update/velocity clamps (±100, ±1000, ±1, ±100; `:24-55`);
+* artificial pressure coupling dp = −0.1·dt·ρ·clamp(div) (`:515-520`);
+* per-point ρ ≤ 1e-10 and tiny-spacing guards skip the update (`:397-401`);
+* after each iteration: energy step → periodic BCs on all variables →
+  caller's *velocity* boundaries restored (p, ρ, T keep the periodic wrap) →
+  thermal BCs on T → NaN/Inf divergence check (`:546-575`).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from ...boundary.apply import apply_periodic_field, copy_boundary_velocities
+from ...core.field import FlowField
+from ...core.grid import Grid
+from ...ops import stencils
+from ..energy import apply_thermal_bcs, compute_buoyancy, make_energy_step, \
+    validate_thermal_bc
+from .common import (clamp, field_diagnostics, iterate_with_divergence_guard,
+                     spacing_arrays, validate_grid_for_solver, z_constants)
+from .params import (DT_CONSERVATIVE_LIMIT, MAX_DERIVATIVE_LIMIT,
+                     MAX_DIVERGENCE_LIMIT, MAX_SECOND_DERIVATIVE_LIMIT,
+                     MAX_VELOCITY_LIMIT, UPDATE_LIMIT, NSParams, StepResult,
+                     source_terms)
+
+
+def make_euler_step(grid: Grid, params: NSParams, dtype=None):
+    """Build the jitted one-iteration Euler step: (field, dt, iter) → (field,
+    StepResult)."""
+    validate_grid_for_solver(grid, grid.shape)
+    if params.energy_enabled:
+        validate_thermal_bc(params.thermal_bc, grid)
+    dtype = dtype or (jnp.float64 if jax.config.jax_enable_x64
+                      else jnp.float32)
+
+    inv_2dx, inv_2dy, inv_dx2, inv_dy2, spacing_ok = spacing_arrays(grid, dtype)
+    inv_2dz, inv_dz2 = z_constants(grid)
+    coords = grid.coordinate_arrays(dtype)
+    energy_step = make_energy_step(grid, params.alpha, params.heat_source_func)
+
+    def step(field: FlowField, dt, iter_idx):
+        cdt = jnp.minimum(dt, DT_CONSERVATIVE_LIMIT)
+        u, v, w, p, rho = field.u, field.v, field.w, field.p, field.rho
+
+        d1 = functools.partial(clamp, limit=MAX_DERIVATIVE_LIMIT)
+        d2 = functools.partial(clamp, limit=MAX_SECOND_DERIVATIVE_LIMIT)
+
+        du_dx = d1(stencils.ddx(u, inv_2dx))
+        du_dy = d1(stencils.ddy(u, inv_2dy))
+        du_dz = d1(stencils.ddz(u, inv_2dz))
+        dv_dx = d1(stencils.ddx(v, inv_2dx))
+        dv_dy = d1(stencils.ddy(v, inv_2dy))
+        dv_dz = d1(stencils.ddz(v, inv_2dz))
+        dw_dx = d1(stencils.ddx(w, inv_2dx))
+        dw_dy = d1(stencils.ddy(w, inv_2dy))
+        dw_dz = d1(stencils.ddz(w, inv_2dz))
+        dp_dx = d1(stencils.ddx(p, inv_2dx))
+        dp_dy = d1(stencils.ddy(p, inv_2dy))
+        dp_dz = d1(stencils.ddz(p, inv_2dz))
+
+        lap_u = (d2(stencils.d2dx2(u, inv_dx2)) + d2(stencils.d2dy2(u, inv_dy2))
+                 + d2(stencils.d2dz2(u, inv_dz2)))
+        lap_v = (d2(stencils.d2dx2(v, inv_dx2)) + d2(stencils.d2dy2(v, inv_dy2))
+                 + d2(stencils.d2dz2(v, inv_dz2)))
+        lap_w = (d2(stencils.d2dx2(w, inv_dx2)) + d2(stencils.d2dy2(w, inv_dy2))
+                 + d2(stencils.d2dz2(w, inv_dz2)))
+
+        nu = jnp.minimum(params.mu / jnp.maximum(rho, 1e-10), 1.0)
+
+        su, sv, sw = source_terms(coords, params, iter_idx, cdt)
+        if params.buoyancy_enabled:
+            bu, bv, bw = compute_buoyancy(field.T, params.beta, params.T_ref,
+                                          params.gravity)
+            su, sv, sw = su + bu, sv + bv, sw + bw
+
+        du = cdt * (-u * du_dx - v * du_dy - w * du_dz - dp_dx / rho
+                    + nu * lap_u + su)
+        dv = cdt * (-u * dv_dx - v * dv_dy - w * dv_dz - dp_dy / rho
+                    + nu * lap_v + sv)
+        dw = cdt * (-u * dw_dx - v * dw_dy - w * dw_dz - dp_dz / rho
+                    + nu * lap_w + sw)
+
+        du = clamp(du, UPDATE_LIMIT)
+        dv = clamp(dv, UPDATE_LIMIT)
+        dw = clamp(dw, UPDATE_LIMIT)
+
+        u_new = clamp(u + du, MAX_VELOCITY_LIMIT)
+        v_new = clamp(v + dv, MAX_VELOCITY_LIMIT)
+        w_new = clamp(w + dw, MAX_VELOCITY_LIMIT)
+
+        divergence = clamp(du_dx + dv_dy + dw_dz, MAX_DIVERGENCE_LIMIT)
+        dp = clamp(-params.pressure_coupling * cdt * rho * divergence,
+                   UPDATE_LIMIT)
+        p_new = p + dp
+
+        # Per-point guards: rho or spacing invalid → keep old value (`:397-401`).
+        ok = spacing_ok & (rho > 1e-10)
+        u_new = jnp.where(ok, u_new, u)
+        v_new = jnp.where(ok, v_new, v)
+        w_new = jnp.where(ok, w_new, w)
+        p_new = jnp.where(ok, p_new, p)
+
+        # Interior-only update.
+        new_field = field.replace(
+            u=stencils.set_interior(u, u_new),
+            v=stencils.set_interior(v, v_new),
+            w=stencils.set_interior(w, w_new),
+            p=stencils.set_interior(p, p_new))
+
+        # Energy equation with updated velocity (`:534-544`).
+        if energy_step is not None:
+            T = energy_step(new_field.T, new_field.u, new_field.v,
+                            new_field.w, cdt, iter_idx * cdt)
+            new_field = new_field.replace(T=T)
+
+        # Boundary dance (`:546-553`): periodic on everything, then restore
+        # the caller's velocity boundaries, then thermal BCs on T.
+        saved_u, saved_v, saved_w = new_field.u, new_field.v, new_field.w
+        per = apply_periodic_field(new_field)
+        ru, rv, rw = copy_boundary_velocities(per.u, per.v, per.w,
+                                              saved_u, saved_v, saved_w)
+        new_field = per.replace(u=ru, v=rv, w=rw)
+        if params.energy_enabled:
+            new_field = new_field.replace(
+                T=apply_thermal_bcs(new_field.T, params.thermal_bc))
+
+        status = jnp.where(new_field.is_finite(), jnp.int32(0),
+                           jnp.int32(-6))  # Status.ERROR_DIVERGED
+        vmax, pmax, tmax = field_diagnostics(new_field)
+        return new_field, StepResult(iterations=jnp.int32(1),
+                                     status=status,
+                                     residual=jnp.zeros((), dtype),
+                                     max_velocity=vmax, max_pressure=pmax,
+                                     max_temperature=tmax)
+
+    return step
+
+
+def make_euler_solve(grid: Grid, params: NSParams, dtype=None):
+    """Multi-iteration solve (explicit_euler_impl's iter loop) as one jit."""
+    step = make_euler_step(grid, params, dtype)
+
+    @jax.jit
+    def solve(field: FlowField, dt):
+        return iterate_with_divergence_guard(step, field, dt, params.max_iter)
+
+    return solve

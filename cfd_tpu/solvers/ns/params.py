@@ -112,11 +112,15 @@ class StepResult:
     """Device-side per-solve diagnostics carried out of the jitted loop."""
 
     iterations: jax.Array     # int32: steps actually applied
-    diverged: jax.Array       # bool
+    status: jax.Array         # int32 Status code (0 ok, -6 diverged, -7 max_iter)
     residual: jax.Array       # method-specific (projection: poisson residual)
     max_velocity: jax.Array
     max_pressure: jax.Array
     max_temperature: jax.Array
+
+    @property
+    def diverged(self):
+        return self.status == Status.ERROR_DIVERGED
 
 
 def default_source_terms(X, Y, params: NSParams, iter_idx, dt):

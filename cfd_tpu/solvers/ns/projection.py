@@ -1,0 +1,176 @@
+"""Chorin projection Navier-Stokes solver.
+
+Re-design of `cpu/solver_projection.c:46-297` as ONE jitted step containing
+the predictor sweep, the divergence RHS, the on-device Poisson solve (a
+``lax.while_loop`` CG/RB-SOR from `..poisson`), the corrector, the energy
+step, and the boundary restore — zero host round-trips per time step.  This
+is the TPU answer to the reference GPU backend's fully-device-resident loop
+(`solver_projection_gpu.cu:617-772`) without its 19 hand-managed device
+buffers.
+
+Semantics preserved:
+
+* predictor u* = u + dt(−u·∇u + ν∇²u + f), clamped ±100 (`:111-189`);
+  caller-set boundary values stay on u* (`:187-189`);
+* ρ taken from the first grid point, floored at 1e-10 → 1.0 (`:195-198`);
+* ∇²p = (ρ/dt)∇·u* solved with the pressure solver preset (default CG, as
+  `solver_projection.c:217-218`); non-convergence fails the step with
+  MAX_ITER;
+* corrector u = u* − (dt/ρ)∇p, clamped (`:230-250`);
+* energy step + thermal BCs after the correction (`:256-268`);
+* caller velocity boundaries restored at the end (`:277-278`);
+* NaN/Inf sweep → DIVERGED (`:281-289`).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ...boundary.apply import copy_boundary_velocities
+from ...core.field import FlowField
+from ...core.grid import Grid
+from ...ops import stencils
+from ..energy import apply_thermal_bcs, compute_buoyancy, make_energy_step, \
+    validate_thermal_bc
+from ..poisson.base import Method, PoissonParams, PoissonProblem
+from ..poisson.krylov import make_bicgstab, make_cg
+from ..poisson.stationary import make_jacobi, make_redblack_sor
+from .common import (clamp, field_diagnostics, iterate_with_divergence_guard,
+                     validate_grid_for_solver, z_constants)
+from .params import PROJ_MAX_VELOCITY, NSParams, StepResult, source_terms
+
+_POISSON_MAKERS = {
+    Method.CG: make_cg,
+    Method.BICGSTAB: make_bicgstab,
+    Method.REDBLACK_SOR: make_redblack_sor,
+    Method.JACOBI: make_jacobi,
+}
+
+
+def make_projection_step(grid: Grid, params: NSParams, dtype=None,
+                         poisson_method: Method = Method.CG,
+                         poisson_params: PoissonParams = None):
+    """Build the jitted projection step: (field, dt, iter) → (field, StepResult)."""
+    validate_grid_for_solver(grid, grid.shape)
+    if params.energy_enabled:
+        validate_thermal_bc(params.thermal_bc, grid)
+    dtype = dtype or (jnp.float64 if jax.config.jax_enable_x64
+                      else jnp.float32)
+
+    # Uniform spacing from the first cell (`solver_projection.c:72-75`).
+    dx, dy = grid.dx0, grid.dy0
+    inv_2dx, inv_2dy = 1.0 / (2.0 * dx), 1.0 / (2.0 * dy)
+    inv_dx2, inv_dy2 = 1.0 / (dx * dx), 1.0 / (dy * dy)
+    inv_2dz, inv_dz2 = z_constants(grid)
+    nu = params.mu
+
+    coords = grid.coordinate_arrays(dtype)
+    energy_step = make_energy_step(grid, params.alpha, params.heat_source_func)
+
+    problem = PoissonProblem(grid.nx, grid.ny, grid.nz, dx, dy, grid.dz0)
+    pparams = poisson_params or PoissonParams()
+    poisson_solve = _POISSON_MAKERS[Method(poisson_method)](problem, pparams)
+
+    def step(field: FlowField, dt, iter_idx):
+        u, v, w, p = field.u, field.v, field.w, field.p
+
+        # ---- Predictor: u* = u + dt(−u·∇u + ν∇²u + f) --------------------
+        du_dx = stencils.ddx(u, inv_2dx)
+        du_dy = stencils.ddy(u, inv_2dy)
+        du_dz = stencils.ddz(u, inv_2dz)
+        dv_dx = stencils.ddx(v, inv_2dx)
+        dv_dy = stencils.ddy(v, inv_2dy)
+        dv_dz = stencils.ddz(v, inv_2dz)
+        dw_dx = stencils.ddx(w, inv_2dx)
+        dw_dy = stencils.ddy(w, inv_2dy)
+        dw_dz = stencils.ddz(w, inv_2dz)
+
+        conv_u = u * du_dx + v * du_dy + w * du_dz
+        conv_v = u * dv_dx + v * dv_dy + w * dv_dz
+        conv_w = u * dw_dx + v * dw_dy + w * dw_dz
+
+        visc_u = nu * stencils.laplacian(u, inv_dx2, inv_dy2, inv_dz2)
+        visc_v = nu * stencils.laplacian(v, inv_dx2, inv_dy2, inv_dz2)
+        visc_w = nu * stencils.laplacian(w, inv_dx2, inv_dy2, inv_dz2)
+
+        su, sv, sw = source_terms(coords, params, iter_idx, dt)
+        if params.buoyancy_enabled:
+            bu, bv, bw = compute_buoyancy(field.T, params.beta, params.T_ref,
+                                          params.gravity)
+            su, sv, sw = su + bu, sv + bv, sw + bw
+
+        u_star_i = clamp(u + dt * (-conv_u + visc_u + su), PROJ_MAX_VELOCITY)
+        v_star_i = clamp(v + dt * (-conv_v + visc_v + sv), PROJ_MAX_VELOCITY)
+        w_star_i = clamp(w + dt * (-conv_w + visc_w + sw), PROJ_MAX_VELOCITY)
+
+        # Interior-only update keeps caller-set boundaries on u*
+        # (the reference's copy_boundary_velocities_3d at `:187-189`).
+        u_star = stencils.set_interior(u, u_star_i)
+        v_star = stencils.set_interior(v, v_star_i)
+        w_star = stencils.set_interior(w, w_star_i)
+
+        # ---- Poisson: ∇²p = (ρ/dt)·∇·u* ----------------------------------
+        rho0 = field.rho[0, 0, 0]
+        rho0 = jnp.where(rho0 < 1e-10, 1.0, rho0)
+        div = stencils.divergence(u_star, v_star, w_star,
+                                  inv_2dx, inv_2dy, inv_2dz)
+        rhs = problem.zero_boundary((rho0 / dt) * div)
+
+        pres = poisson_solve(p, rhs)
+        p_new = pres.x
+        poisson_ok = pres.status == 0  # PoissonStatus.CONVERGED
+
+        # ---- Corrector: u = u* − (dt/ρ)∇p --------------------------------
+        dt_over_rho = dt / rho0
+        u_corr = clamp(u_star - dt_over_rho * stencils.ddx(p_new, inv_2dx),
+                       PROJ_MAX_VELOCITY)
+        v_corr = clamp(v_star - dt_over_rho * stencils.ddy(p_new, inv_2dy),
+                       PROJ_MAX_VELOCITY)
+        w_corr = clamp(w_star - dt_over_rho * stencils.ddz(p_new, inv_2dz),
+                       PROJ_MAX_VELOCITY)
+
+        new_field = field.replace(
+            u=stencils.set_interior(u_star, u_corr),
+            v=stencils.set_interior(v_star, v_corr),
+            w=stencils.set_interior(w_star, w_corr),
+            p=p_new)
+
+        # ---- Energy + thermal BCs (`:256-268`) ---------------------------
+        if energy_step is not None:
+            T = energy_step(new_field.T, new_field.u, new_field.v,
+                            new_field.w, dt, iter_idx * dt)
+            new_field = new_field.replace(T=T)
+        if params.energy_enabled:
+            new_field = new_field.replace(
+                T=apply_thermal_bcs(new_field.T, params.thermal_bc))
+
+        # ---- Restore caller boundary velocities (`:277-278`) -------------
+        ru, rv, rw = copy_boundary_velocities(
+            new_field.u, new_field.v, new_field.w, u_star, v_star, w_star)
+        new_field = new_field.replace(u=ru, v=rv, w=rw)
+
+        finite = new_field.is_finite()
+        status = jnp.where(~finite, jnp.int32(-6),          # DIVERGED
+                           jnp.where(poisson_ok, jnp.int32(0),
+                                     jnp.int32(-7)))        # MAX_ITER
+        vmax, pmax, tmax = field_diagnostics(new_field)
+        return new_field, StepResult(iterations=jnp.int32(1), status=status,
+                                     residual=pres.final_residual,
+                                     max_velocity=vmax, max_pressure=pmax,
+                                     max_temperature=tmax)
+
+    return step
+
+
+def make_projection_solve(grid: Grid, params: NSParams, dtype=None,
+                          poisson_method: Method = Method.CG,
+                          poisson_params: PoissonParams = None):
+    step = make_projection_step(grid, params, dtype, poisson_method,
+                                poisson_params)
+
+    @jax.jit
+    def solve(field: FlowField, dt):
+        return iterate_with_divergence_guard(step, field, dt, params.max_iter)
+
+    return solve

@@ -1,0 +1,210 @@
+"""RK2 (Heun) and RK4 (classical) Navier-Stokes integrators.
+
+Re-design of `cpu/solver_rk2.c` / `cpu/solver_rk4.c` and the shared momentum
+RHS kernel `momentum_rhs/ns_momentum_rhs_scalar.h` (which the reference also
+instantiates for AVX2/OMP — here one vectorized function serves all).
+
+Semantics preserved:
+
+* the RHS uses **periodic interior stencils** that wrap skipping the ghost
+  layer (i==1 → nx−2; `ns_momentum_rhs_scalar.h:78-90`) so intermediate RK
+  stages never read stale ghost cells — critical for temporal order;
+* derivative clamps ±100 / ±1000, divergence clamp ±10, pressure RHS
+  dp/dt = −0.1·ρ·div (`ns_momentum_rhs_scalar.h:128-186`);
+* per-point ρ ≤ 1e-10 / tiny-spacing guards zero the RHS (`:62-76`);
+* stage updates touch ALL points (k arrays are zero on the shell, so
+  boundaries only move through the ±100 velocity clamp), with NO BC
+  application between stages (`solver_rk2.c` "Do NOT apply BCs between RK
+  stages");
+* after the full step: energy step → periodic BCs on everything → thermal
+  BCs → NaN check.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ...boundary.apply import apply_periodic_field
+from ...core.field import FlowField
+from ...core.grid import Grid
+from ...ops import stencils
+from ..energy import apply_thermal_bcs, compute_buoyancy, make_energy_step, \
+    validate_thermal_bc
+from .common import (clamp, field_diagnostics, iterate_with_divergence_guard,
+                     spacing_arrays, validate_grid_for_solver, z_constants)
+from .params import (MAX_DERIVATIVE_LIMIT, MAX_DIVERGENCE_LIMIT,
+                     MAX_SECOND_DERIVATIVE_LIMIT, MAX_VELOCITY_LIMIT,
+                     NSParams, StepResult, source_terms)
+
+
+def _periodic_shifts(f):
+    """(left, right, down, up, back, front) periodic-interior neighbors."""
+    return (stencils.sx_m_periodic_interior(f),
+            stencils.sx_p_periodic_interior(f),
+            stencils.sy_m_periodic_interior(f),
+            stencils.sy_p_periodic_interior(f),
+            stencils.sz_m_periodic_interior(f),
+            stencils.sz_p_periodic_interior(f))
+
+
+def make_momentum_rhs(grid: Grid, params: NSParams, dtype):
+    """The shared semi-discrete RHS: (u,v,w,p,rho,T, iter, dt) →
+    (rhs_u, rhs_v, rhs_w, rhs_p), nonzero on interior points only."""
+    inv_2dx, inv_2dy, inv_dx2, inv_dy2, spacing_ok = spacing_arrays(grid, dtype)
+    inv_2dz, inv_dz2 = z_constants(grid)
+    coords = grid.coordinate_arrays(dtype)
+
+    def d1(x):
+        return clamp(x, MAX_DERIVATIVE_LIMIT)
+
+    def d2(x):
+        return clamp(x, MAX_SECOND_DERIVATIVE_LIMIT)
+
+    def rhs(u, v, w, p, rho, T, iter_idx, dt):
+        ul, ur, ud, uu, ub, uf = _periodic_shifts(u)
+        vl, vr, vd, vu, vb, vf = _periodic_shifts(v)
+        wl, wr, wd, wu, wb, wf = _periodic_shifts(w)
+        pl, pr, pd, pu, pb, pf = _periodic_shifts(p)
+
+        du_dx = d1((ur - ul) * inv_2dx)
+        du_dy = d1((uu - ud) * inv_2dy)
+        du_dz = d1((uf - ub) * inv_2dz)
+        dv_dx = d1((vr - vl) * inv_2dx)
+        dv_dy = d1((vu - vd) * inv_2dy)
+        dv_dz = d1((vf - vb) * inv_2dz)
+        dw_dx = d1((wr - wl) * inv_2dx)
+        dw_dy = d1((wu - wd) * inv_2dy)
+        dw_dz = d1((wf - wb) * inv_2dz)
+        dp_dx = d1((pr - pl) * inv_2dx)
+        dp_dy = d1((pu - pd) * inv_2dy)
+        dp_dz = d1((pf - pb) * inv_2dz)
+
+        lap_u = (d2((ur - 2 * u + ul) * inv_dx2)
+                 + d2((uu - 2 * u + ud) * inv_dy2)
+                 + d2((uf - 2 * u + ub) * inv_dz2))
+        lap_v = (d2((vr - 2 * v + vl) * inv_dx2)
+                 + d2((vu - 2 * v + vd) * inv_dy2)
+                 + d2((vf - 2 * v + vb) * inv_dz2))
+        lap_w = (d2((wr - 2 * w + wl) * inv_dx2)
+                 + d2((wu - 2 * w + wd) * inv_dy2)
+                 + d2((wf - 2 * w + wb) * inv_dz2))
+
+        nu = jnp.minimum(params.mu / jnp.maximum(rho, 1e-10), 1.0)
+
+        su, sv, sw = source_terms(coords, params, iter_idx, dt)
+        if params.buoyancy_enabled:
+            bu, bv, bw = compute_buoyancy(T, params.beta, params.T_ref,
+                                          params.gravity)
+            su, sv, sw = su + bu, sv + bv, sw + bw
+
+        rhs_u = (-u * du_dx - v * du_dy - w * du_dz - dp_dx / rho
+                 + nu * lap_u + su)
+        rhs_v = (-u * dv_dx - v * dv_dy - w * dv_dz - dp_dy / rho
+                 + nu * lap_v + sv)
+        rhs_w = (-u * dw_dx - v * dw_dy - w * dw_dz - dp_dz / rho
+                 + nu * lap_w + sw)
+
+        div = clamp(du_dx + dv_dy + dw_dz, MAX_DIVERGENCE_LIMIT)
+        rhs_p = -params.pressure_coupling * rho * div
+
+        # Safety guards zero the RHS (`ns_momentum_rhs_scalar.h:62-76`);
+        # k arrays are zero outside the interior (memset + interior loop).
+        ok = spacing_ok & (rho > 1e-10)
+        mask = stencils.interior_mask(u.shape, dtype=u.dtype) * ok
+        return rhs_u * mask, rhs_v * mask, rhs_w * mask, rhs_p * mask
+
+    return rhs
+
+
+def _make_rk_step(grid: Grid, params: NSParams, order: int, dtype=None):
+    validate_grid_for_solver(grid, grid.shape)
+    if params.energy_enabled:
+        validate_thermal_bc(params.thermal_bc, grid)
+    dtype = dtype or (jnp.float64 if jax.config.jax_enable_x64
+                      else jnp.float32)
+    rhs = make_momentum_rhs(grid, params, dtype)
+    energy_step = make_energy_step(grid, params.alpha, params.heat_source_func)
+
+    def stage_state(q0, k, factor):
+        """Q = Q⁰ + factor·k with velocity clamping (apply_stage_update,
+        `solver_rk4.c:47-63`; identical to the RK2 intermediate)."""
+        u0, v0, w0, p0 = q0
+        ku, kv, kw, kp = k
+        return (clamp(u0 + factor * ku, MAX_VELOCITY_LIMIT),
+                clamp(v0 + factor * kv, MAX_VELOCITY_LIMIT),
+                clamp(w0 + factor * kw, MAX_VELOCITY_LIMIT),
+                p0 + factor * kp)
+
+    def step(field: FlowField, dt, iter_idx):
+        q0 = (field.u, field.v, field.w, field.p)
+        rho, T = field.rho, field.T
+
+        def K(state):
+            return rhs(state[0], state[1], state[2], state[3], rho, T,
+                       iter_idx, dt)
+
+        k1 = K(q0)
+        if order == 2:
+            # Heun: Q ← Q⁰ + (dt/2)(k1 + k2) (`solver_rk2.c` header)
+            k2 = K(stage_state(q0, k1, dt))
+            ks = jax.tree_util.tree_map(lambda a, b: a + b, k1, k2)
+            u_n, v_n, w_n, p_n = stage_state(q0, ks, 0.5 * dt)
+        else:
+            # Classical RK4 (`solver_rk4.c:152-214`)
+            k2 = K(stage_state(q0, k1, 0.5 * dt))
+            k3 = K(stage_state(q0, k2, 0.5 * dt))
+            k4 = K(stage_state(q0, k3, dt))
+            ks = jax.tree_util.tree_map(
+                lambda a, b, c, d: a + 2 * b + 2 * c + d, k1, k2, k3, k4)
+            u_n, v_n, w_n, p_n = stage_state(q0, ks, dt / 6.0)
+
+        new_field = field.replace(u=u_n, v=v_n, w=w_n, p=p_n)
+
+        if energy_step is not None:
+            Tn = energy_step(new_field.T, new_field.u, new_field.v,
+                             new_field.w, dt, iter_idx * dt)
+            new_field = new_field.replace(T=Tn)
+
+        # BCs on the final state only (`solver_rk2.c` stage-BC note).
+        new_field = apply_periodic_field(new_field)
+        if params.energy_enabled:
+            new_field = new_field.replace(
+                T=apply_thermal_bcs(new_field.T, params.thermal_bc))
+
+        status = jnp.where(new_field.is_finite(), jnp.int32(0), jnp.int32(-6))
+        vmax, pmax, tmax = field_diagnostics(new_field)
+        return new_field, StepResult(iterations=jnp.int32(1), status=status,
+                                     residual=jnp.zeros((), dtype),
+                                     max_velocity=vmax, max_pressure=pmax,
+                                     max_temperature=tmax)
+
+    return step
+
+
+def make_rk2_step(grid: Grid, params: NSParams, dtype=None):
+    return _make_rk_step(grid, params, 2, dtype)
+
+
+def make_rk4_step(grid: Grid, params: NSParams, dtype=None):
+    return _make_rk_step(grid, params, 4, dtype)
+
+
+def make_rk2_solve(grid: Grid, params: NSParams, dtype=None):
+    step = make_rk2_step(grid, params, dtype)
+
+    @jax.jit
+    def solve(field: FlowField, dt):
+        return iterate_with_divergence_guard(step, field, dt, params.max_iter)
+
+    return solve
+
+
+def make_rk4_solve(grid: Grid, params: NSParams, dtype=None):
+    step = make_rk4_step(grid, params, dtype)
+
+    @jax.jit
+    def solve(field: FlowField, dt):
+        return iterate_with_divergence_guard(step, field, dt, params.max_iter)
+
+    return solve

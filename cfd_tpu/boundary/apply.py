@@ -333,6 +333,23 @@ def apply_periodic_field(field):
         T=apply_periodic_scalar(field.T))
 
 
+def _shell_mask(shape):
+    """Boolean boundary-shell mask: x/y edges at every k, plus the full
+    z-faces when nz > 1.  Built from broadcasted iota so it partitions
+    trivially under jax.sharding (thin .at[slice] update chains have been
+    observed to mis-partition when fused under GSPMD — see
+    tests/parallel/test_sharding.py)."""
+    nz, ny, nx = shape
+    i = jnp.arange(nx)[None, None, :]
+    j = jnp.arange(ny)[None, :, None]
+    mask = (i == 0) | (i == nx - 1) | (j == 0) | (j == ny - 1)
+    mask = jnp.broadcast_to(mask, shape)
+    if nz > 1:
+        k = jnp.arange(nz)[:, None, None]
+        mask = mask | jnp.broadcast_to((k == 0) | (k == nz - 1), shape)
+    return mask
+
+
 def copy_boundary_velocities(dst_u, dst_v, dst_w, src_u, src_v, src_w):
     """Copy boundary shells of (u, v[, w]) from src into dst.
 
@@ -340,24 +357,14 @@ def copy_boundary_velocities(dst_u, dst_v, dst_w, src_u, src_v, src_w):
     x/y edges always for u and v, w only when 3D; z-faces only when 3D.
     The projection/euler solvers use this save/restore idiom to preserve
     caller-set boundary values around their internal periodic defaults.
+
+    Implemented as a masked select (src and dst never alias values within
+    the op, so a single where is equivalent to the reference's face loops).
     """
     nz = dst_u.shape[0]
-
-    def copy_xy_edges(dst, src):
-        dst = dst.at[:, 0, :].set(src[:, 0, :])
-        dst = dst.at[:, -1, :].set(src[:, -1, :])
-        dst = dst.at[:, 1:-1, 0].set(src[:, 1:-1, 0])
-        dst = dst.at[:, 1:-1, -1].set(src[:, 1:-1, -1])
-        return dst
-
-    dst_u = copy_xy_edges(dst_u, src_u)
-    dst_v = copy_xy_edges(dst_v, src_v)
+    mask = _shell_mask(dst_u.shape)
+    dst_u = jnp.where(mask, src_u, dst_u)
+    dst_v = jnp.where(mask, src_v, dst_v)
     if nz > 1:
-        dst_w = copy_xy_edges(dst_w, src_w)
-        dst_u = dst_u.at[0, 1:-1, 1:-1].set(src_u[0, 1:-1, 1:-1])
-        dst_u = dst_u.at[-1, 1:-1, 1:-1].set(src_u[-1, 1:-1, 1:-1])
-        dst_v = dst_v.at[0, 1:-1, 1:-1].set(src_v[0, 1:-1, 1:-1])
-        dst_v = dst_v.at[-1, 1:-1, 1:-1].set(src_v[-1, 1:-1, 1:-1])
-        dst_w = dst_w.at[0, 1:-1, 1:-1].set(src_w[0, 1:-1, 1:-1])
-        dst_w = dst_w.at[-1, 1:-1, 1:-1].set(src_w[-1, 1:-1, 1:-1])
+        dst_w = jnp.where(mask, src_w, dst_w)
     return dst_u, dst_v, dst_w

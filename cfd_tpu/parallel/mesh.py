@@ -1,0 +1,75 @@
+"""Device mesh construction and field shardings for domain decomposition.
+
+The reference is single-node (SIMD → OpenMP → one GPU; `SURVEY.md §2.9`) with
+MPI listed as future work.  The TPU-native equivalent of both the OMP layer
+and the missing MPI layer is spatial domain decomposition over a
+``jax.sharding.Mesh``:
+
+* fields (nz, ny, nx) shard over mesh axes ('z', 'y') — x stays unsharded so
+  the TPU lane dimension remains contiguous;
+* the stencil ops are plain rolls/slices, so XLA's SPMD partitioner inserts
+  the ±1 halo exchanges as collective-permutes over ICI automatically — no
+  hand-written halo code in the hot path;
+* CG dot products become ``psum``-style all-reduces, also over ICI.
+
+2D grids shard over ('y',) only.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def factor_devices(n: int) -> Tuple[int, int]:
+    """Split n devices into a near-square (z, y) grid, preferring more shards
+    along y (the larger axis in typical aspect ratios)."""
+    best = (1, n)
+    for z in range(1, int(np.sqrt(n)) + 1):
+        if n % z == 0:
+            best = (z, n // z)
+    return best
+
+
+def make_mesh(devices: Optional[Sequence] = None,
+              axes: Tuple[str, ...] = ("z", "y")) -> Mesh:
+    """Create a 1D or 2D mesh over the given (default: all) devices."""
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    if len(axes) == 1:
+        arr = np.array(devices)
+    else:
+        z, y = factor_devices(n)
+        arr = np.array(devices).reshape(z, y)
+    return Mesh(arr, axes)
+
+
+def field_spec(mesh: Mesh, is_3d: bool) -> P:
+    """PartitionSpec for a (nz, ny, nx) field on this mesh."""
+    names = mesh.axis_names
+    if is_3d and "z" in names and mesh.shape.get("z", 1) > 1:
+        return P("z", "y" if "y" in names else None, None)
+    if "y" in names:
+        return P(None, "y", None)
+    return P(None, names[0], None)
+
+
+def field_sharding(mesh: Mesh, is_3d: bool) -> NamedSharding:
+    return NamedSharding(mesh, field_spec(mesh, is_3d))
+
+
+def shard_field(field, mesh: Mesh):
+    """Place a FlowField (or any pytree of (nz,ny,nx) arrays) onto the mesh."""
+    is_3d = jax.tree_util.tree_leaves(field)[0].shape[0] > 1
+    sharding = field_sharding(mesh, is_3d)
+    return jax.tree_util.tree_map(
+        lambda a: jax.device_put(a, sharding), field)
+
+
+def replicate(value, mesh: Mesh):
+    """Fully replicate a value across the mesh."""
+    sharding = NamedSharding(mesh, P())
+    return jax.tree_util.tree_map(lambda a: jax.device_put(a, sharding), value)

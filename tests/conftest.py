@@ -10,7 +10,11 @@ Must run before any jax import, hence the env mutation at module import time.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force CPU: the driver environment presets JAX_PLATFORMS=axon (the real TPU
+# tunnel), which tests must not grab — and x64 is CPU-only anyway.  The env
+# var alone does not win against the axon plugin, so clear it and use the
+# config API after import.
+os.environ.pop("JAX_PLATFORMS", None)
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -18,6 +22,7 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 
 import numpy as np  # noqa: E402

@@ -1,0 +1,110 @@
+"""Benchmark: Chorin projection step throughput in MLUPS.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
+
+Protocol
+--------
+* Largest 3D grid that fits on the chip (tries 512³ → 384³ → 256³ → 192³),
+  float32, Taylor-Green-like initial condition.
+* One full projection step = predictor + divergence + 30-iteration CG
+  pressure solve (a typical converged per-step count for a warm-started
+  pressure field at tol 1e-6) + corrector + boundary handling.
+* MLUPS = cells × steps / seconds (the reference repo's own
+  cell-updates-per-second metric, `examples/performance_comparison.c:61`).
+
+Baseline
+--------
+The reference publishes projection_optimized (CPU SIMD) at 5.3 ms / 50 steps
+on 100×50 ⇒ 47 MLUPS (`docs/reference/solvers.md:353-361`), and its CUDA
+backend at 12.1× SIMD on large grids (`solvers.md:376-379`) ⇒ ≈570 MLUPS.
+vs_baseline is measured against that strongest reference configuration
+(GPU at scale): vs_baseline = MLUPS / 569.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+REFERENCE_BASELINE_MLUPS = 569.0  # reference CUDA projection at scale
+CG_ITERS = 30
+TIMED_STEPS = 5
+
+
+def build(n: int):
+    import jax.numpy as jnp
+
+    from cfd_tpu import FlowField, Grid
+    from cfd_tpu.solvers.ns import NSParams
+    from cfd_tpu.solvers.ns.projection import make_projection_step
+    from cfd_tpu.solvers.poisson.base import PoissonParams
+
+    grid = Grid.uniform(n, n, n, zmin=0.0, zmax=1.0)
+    params = NSParams(source_amplitude_u=0.0, source_amplitude_v=0.0,
+                      mu=0.01)
+    step = make_projection_step(
+        grid, params, dtype=jnp.float32,
+        poisson_params=PoissonParams(max_iterations=CG_ITERS, tolerance=0.0,
+                                     absolute_tolerance=0.0))
+
+    # Taylor-Green-style init built directly on device in f32 (avoids a
+    # multi-GB float64 host detour at 512³).
+    x = jnp.linspace(0.0, 1.0, n, dtype=jnp.float32)
+    X = x[None, None, :]
+    Y = x[None, :, None]
+    Z = x[:, None, None]
+    two_pi = 2.0 * jnp.pi
+    u = jnp.sin(two_pi * X) * jnp.cos(two_pi * Y) * jnp.cos(two_pi * Z)
+    v = -jnp.cos(two_pi * X) * jnp.sin(two_pi * Y) * jnp.cos(two_pi * Z)
+    shape = (n, n, n)
+    field = FlowField(
+        u=jnp.broadcast_to(u, shape),
+        v=jnp.broadcast_to(v, shape),
+        w=jnp.zeros(shape, jnp.float32),
+        p=jnp.ones(shape, jnp.float32),
+        rho=jnp.ones(shape, jnp.float32),
+        T=jnp.full(shape, 300.0, jnp.float32))
+    return step, field
+
+
+def run_size(n: int) -> float:
+    import jax
+
+    step, field = build(n)
+    jstep = jax.jit(step, donate_argnums=0)
+    dt = 1e-4
+    # Warmup / compile.
+    field, _ = jstep(field, dt, 0)
+    field.u.block_until_ready()
+    t0 = time.perf_counter()
+    for i in range(TIMED_STEPS):
+        field, _ = jstep(field, dt, i + 1)
+    field.u.block_until_ready()
+    elapsed = time.perf_counter() - t0
+    cells = float(n) ** 3
+    return cells * TIMED_STEPS / elapsed / 1e6
+
+
+def main():
+    last_err = None
+    for n in (512, 384, 256, 192, 128):
+        try:
+            mlups = run_size(n)
+        except Exception as e:  # OOM or compile failure: try smaller
+            last_err = e
+            continue
+        print(json.dumps({
+            "metric": "projection_step_mlups",
+            "value": round(mlups, 1),
+            "unit": "MLUPS",
+            "vs_baseline": round(mlups / REFERENCE_BASELINE_MLUPS, 3),
+            "grid": f"{n}x{n}x{n}",
+            "cg_iters": CG_ITERS,
+            "dtype": "float32",
+        }))
+        return
+    raise SystemExit(f"bench failed at all sizes: {last_err}")
+
+
+if __name__ == "__main__":
+    main()

@@ -45,7 +45,8 @@ def build(n: int):
     step = make_projection_step(
         grid, params, dtype=jnp.float32,
         poisson_params=PoissonParams(max_iterations=CG_ITERS, tolerance=0.0,
-                                     absolute_tolerance=0.0))
+                                     absolute_tolerance=0.0),
+        use_pallas_cg=True)
 
     # Taylor-Green-style init built directly on device in f32 (avoids a
     # multi-GB float64 host detour at 512³).
@@ -69,17 +70,25 @@ def build(n: int):
 
 def run_size(n: int) -> float:
     import jax
+    import jax.numpy as jnp
+    from jax import lax
 
     step, field = build(n)
-    jstep = jax.jit(step, donate_argnums=0)
     dt = 1e-4
-    # Warmup / compile.
-    field, _ = jstep(field, dt, 0)
-    field.u.block_until_ready()
+
+    @jax.jit
+    def multi(f):
+        def body(i, f):
+            f2, _ = step(f, dt, i)
+            return f2
+        f = lax.fori_loop(0, TIMED_STEPS, body, f)
+        # Tiny scalar fetch forces device completion (plain block_until_ready
+        # can return early over remote-tunnel transports).
+        return jnp.sum(f.u[0, 0])
+
+    float(multi(field))  # compile + warmup
     t0 = time.perf_counter()
-    for i in range(TIMED_STEPS):
-        field, _ = jstep(field, dt, i + 1)
-    field.u.block_until_ready()
+    float(multi(field))
     elapsed = time.perf_counter() - t0
     cells = float(n) ** 3
     return cells * TIMED_STEPS / elapsed / 1e6

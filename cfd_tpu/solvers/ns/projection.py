@@ -50,8 +50,14 @@ _POISSON_MAKERS = {
 
 def make_projection_step(grid: Grid, params: NSParams, dtype=None,
                          poisson_method: Method = Method.CG,
-                         poisson_params: PoissonParams = None):
-    """Build the jitted projection step: (field, dt, iter) → (field, StepResult)."""
+                         poisson_params: PoissonParams = None,
+                         use_pallas_cg: bool = False,
+                         pallas_interpret: bool = False):
+    """Build the jitted projection step: (field, dt, iter) → (field, StepResult).
+
+    ``use_pallas_cg=True`` swaps the pressure solve for the two-pass fused
+    Pallas CG (float32, 3D; falls back to the jnp CG when unsupported).
+    """
     validate_grid_for_solver(grid, grid.shape)
     if params.energy_enabled:
         validate_thermal_bc(params.thermal_bc, grid)
@@ -70,7 +76,15 @@ def make_projection_step(grid: Grid, params: NSParams, dtype=None,
 
     problem = PoissonProblem(grid.nx, grid.ny, grid.nz, dx, dy, grid.dz0)
     pparams = poisson_params or PoissonParams()
-    poisson_solve = _POISSON_MAKERS[Method(poisson_method)](problem, pparams)
+    poisson_solve = None
+    if use_pallas_cg and Method(poisson_method) == Method.CG \
+            and dtype == jnp.float32:
+        from ..poisson.krylov import make_cg_fused
+        poisson_solve = make_cg_fused(problem, pparams, dtype,
+                                      interpret=pallas_interpret)
+    if poisson_solve is None:
+        poisson_solve = _POISSON_MAKERS[Method(poisson_method)](problem,
+                                                               pparams)
 
     def step(field: FlowField, dt, iter_idx):
         u, v, w, p = field.u, field.v, field.w, field.p

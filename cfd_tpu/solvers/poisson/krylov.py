@@ -108,6 +108,89 @@ def make_cg(problem: PoissonProblem, params: PoissonParams):
     return jax.jit(solve)
 
 
+def make_cg_fused(problem: PoissonProblem, params: PoissonParams,
+                  dtype=jnp.float32, interpret: bool = False):
+    """CG with the two-pass fused Pallas kernels (float32, 3D grids).
+
+    Mathematically identical to :func:`make_cg` (same PCG recursion, same
+    convergence/breakdown semantics; the loop is rotated so the
+    search-direction update fuses into the operator pass).  Returns None when
+    the kernels don't support the problem shape — callers fall back to the
+    jnp path.
+    """
+    from ...ops.pallas.cg_kernels import (fused_kernels_available,
+                                          make_cg_update, make_lap_dot_fused)
+
+    nz, ny, nx = problem.shape
+    if not fused_kernels_available(nz, ny, nx):
+        return None
+    use_precond = params.preconditioner == Precond.JACOBI
+    scale = problem.inv_factor if use_precond else 1.0
+    lap_dot = make_lap_dot_fused(nz, ny, nx, problem.inv_dx2,
+                                 problem.inv_dy2, problem.inv_dz2,
+                                 scale, dtype, interpret)
+    update = make_cg_update(nz, ny, nx, dtype, interpret)
+    if lap_dot is None or update is None:
+        return None
+
+    ci = max(1, int(params.check_interval))
+    max_iter = int(params.max_iterations)
+    abs_tol = params.absolute_tolerance
+
+    def solve(x, rhs):
+        x = problem.neumann_bc(x)
+        r = problem.zero_boundary(problem.laplacian(x) - rhs)
+        rr0 = problem.dot_interior(r, r)
+        rho = scale * rr0            # ⟨r, M⁻¹r⟩
+        initial_res = jnp.sqrt(rr0)
+        tol = problem.tolerance_for(params, initial_res)
+        already = initial_res < abs_tol
+
+        p0 = jnp.zeros_like(r)
+
+        def cond(carry):
+            _, _, _, _, _, it, _, running = carry
+            return running & (it < max_iter)
+
+        def body(carry):
+            x, r, p, rho, beta, it, res, _ = carry
+            p, Ap, pAp = lap_dot(r, p, beta)
+            breakdown1 = jnp.abs(pAp) < BREAKDOWN
+            alpha = jnp.where(breakdown1, 0.0,
+                              rho / jnp.where(breakdown1, 1.0, pAp))
+            x, r, rr = update(x, r, p, Ap, alpha)
+            rho_new = scale * rr
+            res_new = jnp.sqrt(rr)
+            check = (it % ci) == 0
+            converged = check & ((res_new < tol) | (res_new < abs_tol))
+            breakdown2 = jnp.abs(rho) < BREAKDOWN
+            beta = rho_new / jnp.where(breakdown2, 1.0, rho)
+            stop = converged | breakdown1 | breakdown2
+            return (x, r, p, rho_new, beta, it + 1,
+                    jnp.where(breakdown1, res, res_new), ~stop)
+
+        (x_f, _, _, _, _, it_f, res_f, running_f) = lax.while_loop(
+            cond, body,
+            (x, r, p0, rho, jnp.zeros((), x.dtype), jnp.int32(0),
+             initial_res, ~already))
+
+        converged = (res_f < tol) | (res_f < abs_tol) | already
+        x_f = problem.neumann_bc(x_f)
+        iterations = jnp.where(already, 0, jnp.minimum(it_f, max_iter))
+        stagnated = (~converged) & (it_f < max_iter) & (~running_f)
+        status = jnp.where(
+            converged, jnp.int32(PoissonStatus.CONVERGED),
+            jnp.where(stagnated, jnp.int32(PoissonStatus.STAGNATED),
+                      jnp.int32(PoissonStatus.MAX_ITER)))
+        return PoissonResult(x=x_f, iterations=iterations,
+                             initial_residual=initial_res,
+                             final_residual=jnp.where(already, initial_res,
+                                                      res_f),
+                             status=status)
+
+    return solve
+
+
 def make_bicgstab(problem: PoissonProblem, params: PoissonParams):
     ci = max(1, int(params.check_interval))
     max_iter = int(params.max_iterations)

@@ -363,7 +363,14 @@ def make_cg_update(nz: int, ny: int, nx: int, dtype=jnp.float32,
 
     p'/Ap' shells read as zero, so x and r keep their shells bit-exactly.
     """
-    R = _pick_row_block(ny, nx, n_windows=0, n_blocks=6, halo_rows=0)
+    # Elementwise kernel: bigger blocks amortize pipeline latency; allow up
+    # to ~13 MB of VMEM here (6 double-buffered block buffers).
+    R = 0
+    r = 8
+    while r <= ny:
+        if ny % r == 0 and 2 * 6 * r * nx * 4 <= 13 * 1024 * 1024:
+            R = r
+        r += 8
     if R < 8:
         return None
     rows = nz * ny

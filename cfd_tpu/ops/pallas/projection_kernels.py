@@ -1,0 +1,180 @@
+"""Fused Pallas kernels for the projection predictor / divergence / corrector.
+
+Built on the rolling-plane engine; replaces ~15 XLA roll-sweeps of the
+jnp projection step with 7 streaming kernels (per-velocity-component
+predictor ×3, divergence, corrector ×3), each reading every input plane
+exactly once.
+
+Semantics match `cfd_tpu.solvers.ns.projection` (and therefore
+`solver_projection.c`) exactly:
+
+* interior-only updates with ±100 velocity clamps;
+* j/i-shell and z-shell values pass through from the predictor input (the
+  reference's copy_boundary_velocities save/restore idiom becomes shell
+  passthrough in the kernels);
+* default decaying sinusoidal sources computed in-kernel from (amp·decay)
+  scalars (`solver_explicit_euler.c:317-333`).
+
+The fused path is gated to: float32, 3D, nx % 128 == 0, ny % 8 == 0, no
+custom source callables, no Boussinesq coupling.  Everything else falls back
+to the jnp step.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from .rolling import make_rolling_stencil, plane_masks, rolling_supported, \
+    shift_x, shift_y
+
+CLAMP = 100.0  # PROJ_MAX_VELOCITY
+
+
+def projection_kernels_supported(nz: int, ny: int, nx: int) -> bool:
+    return (rolling_supported(nz, ny, nx, 1, 2, 1)
+            and rolling_supported(nz, ny, nx, 0, 2, 1)
+            and rolling_supported(nz, ny, nx, 1, 1, 1))
+
+
+class ProjectionKernels:
+    """The seven fused kernels for one (grid geometry, dtype)."""
+
+    def __init__(self, nz, ny, nx, dx, dy, dz, xmin, ymin,
+                 dtype=jnp.float32, interpret=False):
+        self.shape = (nz, ny, nx)
+        inv_2dx = 1.0 / (2.0 * dx)
+        inv_2dy = 1.0 / (2.0 * dy)
+        inv_dx2 = 1.0 / (dx * dx)
+        inv_dy2 = 1.0 / (dy * dy)
+        inv_2dz = 1.0 / (2.0 * dz) if dz > 0 else 0.0
+        inv_dz2 = 1.0 / (dz * dz) if dz > 0 else 0.0
+
+        # Masks and source-coordinate fields are rebuilt inside each kernel
+        # body from iota (pallas kernels cannot capture array constants).
+        def interior_mask():
+            m, _, _ = plane_masks(ny, nx, dtype)
+            return m
+
+        def source_plane(component):
+            import jax as _jax
+            if component == 0:
+                jj = _jax.lax.broadcasted_iota(jnp.int32, (ny, nx), 0)
+                y = ymin + jj.astype(dtype) * dtype(dy)
+                return jnp.sin(jnp.asarray(jnp.pi, dtype) * y)
+            jj = _jax.lax.broadcasted_iota(jnp.int32, (ny, nx), 1)
+            x = xmin + jj.astype(dtype) * dtype(dx)
+            return jnp.sin(jnp.asarray(2.0 * jnp.pi, dtype) * x)
+
+        def d1x(c):
+            return (shift_x(c, 1) - shift_x(c, -1)) * inv_2dx
+
+        def d1y(c):
+            return (shift_y(c, 1, ny) - shift_y(c, -1, ny)) * inv_2dy
+
+        def lap(m, c, p):
+            out = ((shift_x(c, 1) - 2.0 * c + shift_x(c, -1)) * inv_dx2
+                   + (shift_y(c, 1, ny) - 2.0 * c
+                      + shift_y(c, -1, ny)) * inv_dy2)
+            if inv_dz2:
+                out = out + (p - 2.0 * c + m) * inv_dz2
+            return out
+
+        def make_predictor(component):
+            """component 0: halo=u, planes=(v,w), source amp_u·sin(πy)
+               component 1: halo=v, planes=(u,w), source amp_v·sin(2πx)
+               component 2: halo=w, planes=(u,v), source 0."""
+
+            def compute(k, scalars, halos, planes):
+                dt, nu, src_u, src_v = scalars
+                fm, fc, fp = halos[0]
+                a, b = planes
+                mask = interior_mask()
+                if component == 0:
+                    uc, vc, wc = fc, a, b
+                    src = src_u * source_plane(0)
+                elif component == 1:
+                    uc, vc, wc = a, fc, b
+                    src = src_v * source_plane(1)
+                else:
+                    uc, vc, wc = a, b, fc
+                    src = 0.0
+                conv = (uc * d1x(fc) + vc * d1y(fc)
+                        + wc * ((fp - fm) * inv_2dz))
+                star = fc + dt * (-conv + nu * lap(fm, fc, fp) + src)
+                star = jnp.clip(star, -CLAMP, CLAMP)
+                out = mask * star + (1.0 - mask) * fc
+                return [out], None
+
+            return make_rolling_stencil(
+                nz, ny, nx, 1, 2, 1, compute, dtype, n_scalars=4,
+                shell_passthrough=[0], interpret=interpret)
+
+        self.pred_u = make_predictor(0)
+        self.pred_v = make_predictor(1)
+        self.pred_w = make_predictor(2)
+
+        def div_compute(k, scalars, halos, planes):
+            (wm, wc, wp) = halos[0]
+            us, vs = planes
+            mask = interior_mask()
+            div = d1x(us) + d1y(vs) + (wp - wm) * inv_2dz
+            return [mask * scalars[0] * div], None
+
+        self.divergence = make_rolling_stencil(
+            nz, ny, nx, 1, 2, 1, div_compute, dtype, n_scalars=1,
+            interpret=interpret)
+
+        def corr_xy(component):
+            def compute(k, scalars, halos, planes):
+                star, p = planes
+                mask = interior_mask()
+                grad = d1x(p) if component == 0 else d1y(p)
+                corr = jnp.clip(star - scalars[0] * grad, -CLAMP, CLAMP)
+                return [mask * corr + (1.0 - mask) * star], None
+
+            return make_rolling_stencil(
+                nz, ny, nx, 0, 2, 1, compute, dtype, n_scalars=1,
+                shell_passthrough=[0], interpret=interpret)
+
+        self.corr_u = corr_xy(0)
+        self.corr_v = corr_xy(1)
+
+        def corr_w_compute(k, scalars, halos, planes):
+            pm, pc, pp = halos[0]
+            (star,) = planes
+            mask = interior_mask()
+            corr = jnp.clip(star - scalars[0] * (pp - pm) * inv_2dz,
+                            -CLAMP, CLAMP)
+            return [mask * corr + (1.0 - mask) * star], None
+
+        self.corr_w = make_rolling_stencil(
+            nz, ny, nx, 1, 1, 1, corr_w_compute, dtype, n_scalars=1,
+            shell_passthrough=[1], interpret=interpret)
+
+        self.ok = all(f is not None for f in
+                      (self.pred_u, self.pred_v, self.pred_w,
+                       self.divergence, self.corr_u, self.corr_v,
+                       self.corr_w))
+
+    # ---- step pieces -------------------------------------------------------
+
+    def predictor(self, u, v, w, dt, nu, src_u_amp, src_v_amp):
+        """(u*, v*, w*) with caller shells preserved."""
+        s = jnp.stack([jnp.asarray(dt), jnp.asarray(nu),
+                       jnp.asarray(src_u_amp), jnp.asarray(src_v_amp)])
+        (us,) = self.pred_u(s, u, v, w)
+        (vs,) = self.pred_v(s, v, u, w)
+        (ws,) = self.pred_w(s, w, u, v)
+        return us, vs, ws
+
+    def rhs(self, us, vs, ws, rho_over_dt):
+        (out,) = self.divergence(jnp.asarray(rho_over_dt)[None], ws, us, vs)
+        return out
+
+    def corrector(self, us, vs, ws, p, dt_over_rho):
+        s = jnp.asarray(dt_over_rho)[None]
+        (u,) = self.corr_u(s, us, p)
+        (v,) = self.corr_v(s, vs, p)
+        (w,) = self.corr_w(s, p, ws)
+        return u, v, w

@@ -86,7 +86,62 @@ def make_projection_step(grid: Grid, params: NSParams, dtype=None,
         poisson_solve = _POISSON_MAKERS[Method(poisson_method)](problem,
                                                                pparams)
 
+    # Fully fused predictor/divergence/corrector (float32 3D, no custom
+    # sources / buoyancy / energy coupling in the kernels — those variants
+    # use the jnp path below).
+    proj_kernels = None
+    if (use_pallas_cg and dtype == jnp.float32 and grid.nz > 2
+            and params.source_func is None and not params.buoyancy_enabled):
+        from ...ops.pallas.projection_kernels import (
+            ProjectionKernels, projection_kernels_supported)
+        if projection_kernels_supported(grid.nz, grid.ny, grid.nx):
+            pk = ProjectionKernels(grid.nz, grid.ny, grid.nx, dx, dy,
+                                   grid.dz0, grid.xmin, grid.ymin, dtype,
+                                   interpret=pallas_interpret)
+            if pk.ok:
+                proj_kernels = pk
+
+    def fused_step(field: FlowField, dt, iter_idx):
+        """Fully fused kernel path — identical math to the jnp body below."""
+        dt = jnp.asarray(dt, dtype)
+        decay = jnp.exp(-params.source_decay_rate * iter_idx * dt)
+        us, vs, ws = proj_kernels.predictor(
+            field.u, field.v, field.w, dt, params.mu,
+            params.source_amplitude_u * decay,
+            params.source_amplitude_v * decay)
+
+        rho0 = field.rho[0, 0, 0]
+        rho0 = jnp.where(rho0 < 1e-10, 1.0, rho0)
+        rhs = proj_kernels.rhs(us, vs, ws, rho0 / dt)
+
+        pres = poisson_solve(field.p, rhs)
+        p_new = pres.x
+        poisson_ok = pres.status == 0
+
+        u, v, w = proj_kernels.corrector(us, vs, ws, p_new, dt / rho0)
+        new_field = field.replace(u=u, v=v, w=w, p=p_new)
+
+        if energy_step is not None:
+            T = energy_step(new_field.T, new_field.u, new_field.v,
+                            new_field.w, dt, iter_idx * dt)
+            new_field = new_field.replace(T=T)
+        if params.energy_enabled:
+            new_field = new_field.replace(
+                T=apply_thermal_bcs(new_field.T, params.thermal_bc))
+
+        finite = new_field.is_finite()
+        status = jnp.where(~finite, jnp.int32(-6),
+                           jnp.where(poisson_ok, jnp.int32(0),
+                                     jnp.int32(-7)))
+        vmax, pmax, tmax = field_diagnostics(new_field)
+        return new_field, StepResult(iterations=jnp.int32(1), status=status,
+                                     residual=pres.final_residual,
+                                     max_velocity=vmax, max_pressure=pmax,
+                                     max_temperature=tmax)
+
     def step(field: FlowField, dt, iter_idx):
+        if proj_kernels is not None:
+            return fused_step(field, dt, iter_idx)
         u, v, w, p = field.u, field.v, field.w, field.p
 
         # ---- Predictor: u* = u + dt(−u·∇u + ν∇²u + f) --------------------

@@ -2,18 +2,60 @@
 
 Re-design of `lib/src/io/vtk_output.c`: same file format (DataFile Version
 3.0, ASCII, STRUCTURED_POINTS, POINT_DATA with `%f`-formatted values), so
-files open identically in ParaView/VisIt next to reference output.  Arrays
-arrive as (nz, ny, nx) device arrays and are pulled to the host once.
+files open identically in ParaView/VisIt next to reference output.
+
+The value-formatting hot loop (millions of `%f` conversions per snapshot)
+runs in the native C library (`cfd_tpu.native`) when the toolchain is
+available, with a numpy/savetxt fallback — the TPU-native answer to the
+reference's C writers.
 """
 
 from __future__ import annotations
 
-import os
 from typing import Optional
 
 import numpy as np
 
 from ..core.logging import error as log_error
+from ..native import NativeTextFile, native_available
+
+
+class _PyTextFile:
+    """Fallback sink mirroring NativeTextFile."""
+
+    def __init__(self, path: str):
+        self._fp = open(path, "w")
+
+    def write(self, text: str) -> None:
+        self._fp.write(text)
+
+    def write_scalars(self, arr) -> None:
+        np.savetxt(self._fp, np.asarray(arr).reshape(-1), fmt="%f")
+
+    def write_vectors(self, u, v, w=None) -> None:
+        ua = np.asarray(u).reshape(-1)
+        va = np.asarray(v).reshape(-1)
+        wa = (np.asarray(w).reshape(-1) if w is not None
+              else np.zeros_like(ua))
+        np.savetxt(self._fp, np.column_stack([ua, va, wa]), fmt="%f %f %f")
+
+    def close(self) -> None:
+        self._fp.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
+def _open_sink(path: str):
+    if native_available():
+        try:
+            return NativeTextFile(path)
+        except OSError:
+            pass
+    return _PyTextFile(path)
 
 
 def _header(fp, title: str, nx: int, ny: int, nz: int,
@@ -43,13 +85,13 @@ def write_vtk_scalar(filename: str, field_name: str, data,
         return
     a = np.asarray(data).reshape(nz, ny, nx)
     try:
-        with open(filename, "w") as fp:
+        with _open_sink(filename) as fp:
             _header(fp, "CFD Framework Output", nx, ny, nz,
                     xmin, xmax, ymin, ymax, zmin, zmax)
             fp.write(f"\nPOINT_DATA {nx * ny * nz}\n")
             fp.write(f"SCALARS {field_name} float 1\n")
             fp.write("LOOKUP_TABLE default\n")
-            np.savetxt(fp, a.reshape(-1), fmt="%f")
+            fp.write_scalars(a)
     except OSError:
         log_error("io", "Failed to open VTK output file")
 
@@ -61,17 +103,14 @@ def write_vtk_vector(filename: str, field_name: str, u, v, w,
     if not filename or u is None or v is None or not _valid(
             nx, ny, nz, xmin, xmax, ymin, ymax, zmin, zmax):
         return
-    ua = np.asarray(u).reshape(-1)
-    va = np.asarray(v).reshape(-1)
-    wa = (np.asarray(w).reshape(-1) if w is not None
-          else np.zeros_like(ua))
     try:
-        with open(filename, "w") as fp:
+        with _open_sink(filename) as fp:
             _header(fp, "CFD Framework Vector Output", nx, ny, nz,
                     xmin, xmax, ymin, ymax, zmin, zmax)
             fp.write(f"\nPOINT_DATA {nx * ny * nz}\n")
             fp.write(f"VECTORS {field_name} float\n")
-            np.savetxt(fp, np.column_stack([ua, va, wa]), fmt="%f %f %f")
+            fp.write_vectors(np.asarray(u), np.asarray(v),
+                             np.asarray(w) if w is not None else None)
     except OSError:
         log_error("io", "Failed to open VTK vector output file")
 
@@ -84,21 +123,19 @@ def write_vtk_flow_field(filename: str, field,
     if not filename or field is None or not _valid(nx, ny, nz, xmin, xmax,
                                                    ymin, ymax, zmin, zmax):
         return
-    u = np.asarray(field.u).reshape(-1)
-    v = np.asarray(field.v).reshape(-1)
-    w = np.asarray(field.w).reshape(-1)
     try:
-        with open(filename, "w") as fp:
+        with _open_sink(filename) as fp:
             _header(fp, "CFD Framework Flow Field", nx, ny, nz,
                     xmin, xmax, ymin, ymax, zmin, zmax)
             fp.write(f"\nPOINT_DATA {nx * ny * nz}\n")
             fp.write("VECTORS velocity float\n")
-            np.savetxt(fp, np.column_stack([u, v, w]), fmt="%f %f %f")
+            fp.write_vectors(np.asarray(field.u), np.asarray(field.v),
+                             np.asarray(field.w))
             for name, data in (("pressure", field.p), ("density", field.rho),
                                ("temperature", field.T)):
                 fp.write(f"SCALARS {name} float 1\n")
                 fp.write("LOOKUP_TABLE default\n")
-                np.savetxt(fp, np.asarray(data).reshape(-1), fmt="%f")
+                fp.write_scalars(np.asarray(data))
     except OSError:
         log_error("io", "Failed to open VTK flow-field output file")
 

@@ -1,0 +1,32 @@
+"""Multi-device domain decomposition (new TPU-native capability; the
+reference is single-node with MPI on its roadmap).
+
+Run with virtual devices for a laptop demo:
+  XLA_FLAGS=--xla_force_host_platform_device_count=8 JAX_PLATFORMS=cpu \
+      python examples/sharded_simulation.py
+"""
+
+import jax
+import numpy as np
+
+from cfd_tpu import FlowField, Grid
+from cfd_tpu.parallel import make_mesh, make_sharded_step
+from cfd_tpu.solvers.ns import NSParams
+
+devices = jax.devices()
+print(f"{len(devices)} devices: {devices[0].platform}")
+
+grid = Grid.uniform(32, 32, 16, zmin=0.0, zmax=0.5)
+params = NSParams(mu=0.01)
+mesh = make_mesh(axes=("z", "y") if len(devices) > 1 else ("y",))
+print(f"mesh: {dict(mesh.shape)}")
+
+step, place = make_sharded_step(grid, params, mesh, "projection")
+field = place(FlowField.initialize(grid))
+print(f"field sharded over {len(field.u.sharding.device_set)} devices")
+
+for i in range(5):
+    field, res = step(field, 1e-3, i)
+assert bool(field.is_finite())
+print(f"5 sharded steps done, max|u| = {float(res.max_velocity):.4f}")
+print("XLA inserted the halo exchanges and CG all-reduces automatically")

@@ -40,11 +40,17 @@ from .common import (clamp, field_diagnostics, iterate_with_divergence_guard,
                      validate_grid_for_solver, z_constants)
 from .params import PROJ_MAX_VELOCITY, NSParams, StepResult, source_terms
 
+def _make_multigrid(problem, pparams):
+    from ..poisson.frontend import _make_multigrid_dispatch
+    return _make_multigrid_dispatch(problem, pparams)
+
+
 _POISSON_MAKERS = {
     Method.CG: make_cg,
     Method.BICGSTAB: make_bicgstab,
     Method.REDBLACK_SOR: make_redblack_sor,
     Method.JACOBI: make_jacobi,
+    Method.MULTIGRID: _make_multigrid,
 }
 
 

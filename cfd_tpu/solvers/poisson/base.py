@@ -60,6 +60,7 @@ class PoissonStatus(enum.IntEnum):
 class Precond(enum.IntEnum):
     NONE = 0
     JACOBI = 1
+    MULTIGRID = 2  # cfd_tpu extension: one symmetric V-cycle per apply
 
 
 @dataclasses.dataclass(frozen=True)

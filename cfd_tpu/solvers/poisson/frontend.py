@@ -27,15 +27,38 @@ from ...core.status import CFDError, Status
 from .base import (Method, PoissonParams, PoissonProblem, PoissonResult,
                    PoissonStats, PoissonStatus, Precond, result_to_stats)
 from .krylov import make_bicgstab, make_cg
+from .multigrid import make_mg_cg, make_multigrid
 from .stationary import make_jacobi, make_redblack_sor, make_sor
+
+
+def _make_cg_dispatch(problem, params):
+    if params.preconditioner == Precond.MULTIGRID:
+        fn = make_mg_cg(problem, params)
+        if fn is None:
+            raise CFDError(Status.ERROR_UNSUPPORTED,
+                           "multigrid preconditioner: grid not coarsenable "
+                           "(needs (n-1) divisible by 2 per active axis)")
+        return fn
+    return make_cg(problem, params)
+
+
+def _make_multigrid_dispatch(problem, params):
+    fn = make_multigrid(problem, params)
+    if fn is None:
+        raise CFDError(Status.ERROR_UNSUPPORTED,
+                       "multigrid: grid not coarsenable "
+                       "(needs (n-1) divisible by 2 per active axis)")
+    return fn
+
 
 _MAKERS = {
     Method.JACOBI: make_jacobi,
     Method.SOR: make_sor,
     Method.GAUSS_SEIDEL: make_sor,   # GS == SOR with omega resolved normally
     Method.REDBLACK_SOR: make_redblack_sor,
-    Method.CG: make_cg,
+    Method.CG: _make_cg_dispatch,
     Method.BICGSTAB: make_bicgstab,
+    Method.MULTIGRID: _make_multigrid_dispatch,
 }
 
 _METHOD_NAMES = {
@@ -45,6 +68,7 @@ _METHOD_NAMES = {
     Method.REDBLACK_SOR: "redblack",
     Method.CG: "cg",
     Method.BICGSTAB: "bicgstab",
+    Method.MULTIGRID: "multigrid",
 }
 
 

@@ -1,0 +1,106 @@
+"""Multigrid Poisson tests (a capability beyond the reference, which stubs
+POISSON_METHOD_MULTIGRID at linear_solver.c:236-238)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from cfd_tpu.core.status import CFDError, Status
+from cfd_tpu.solvers.poisson import (Method, PoissonParams, PoissonStatus,
+                                     Precond, create_solver)
+
+
+def system(n, seed=0, nz=1):
+    h = 1.0 / (n - 1)
+    rng = np.random.default_rng(seed)
+    shape = (nz, n, n) if nz == 1 else (nz, n, n)
+    rhs = rng.normal(size=shape)
+    rhs[..., 0] = rhs[..., -1] = 0
+    rhs[:, 0, :] = rhs[:, -1, :] = 0
+    if nz > 1:
+        rhs[0] = rhs[-1] = 0
+    return h, jnp.asarray(rhs)
+
+
+def test_multigrid_converges_fast_2d():
+    n = 65
+    h, rhs = system(n)
+    s = create_solver(Method.MULTIGRID)
+    s.init(n, n, 1, h, h, 0.0)
+    x, stats = s.solve(jnp.zeros((1, n, n)), rhs)
+    assert stats.status == PoissonStatus.CONVERGED
+    # Textbook multigrid: grid-independent, ~1 digit per cycle.
+    assert stats.iterations <= 12, stats.iterations
+
+    # CG on the same system takes an order of magnitude more iterations.
+    cg = create_solver(Method.CG)
+    cg.init(n, n, 1, h, h, 0.0)
+    x_cg, stats_cg = cg.solve(jnp.zeros((1, n, n)), rhs)
+    assert stats_cg.iterations > 5 * stats.iterations
+    np.testing.assert_allclose(np.asarray(x)[0, 1:-1, 1:-1],
+                               np.asarray(x_cg)[0, 1:-1, 1:-1],
+                               atol=5e-5)
+
+
+def test_multigrid_iterations_grid_independent():
+    iters = []
+    for n in (33, 65, 129):
+        h, rhs = system(n)
+        s = create_solver(Method.MULTIGRID)
+        s.init(n, n, 1, h, h, 0.0)
+        _, stats = s.solve(jnp.zeros((1, n, n)), rhs)
+        assert stats.status == PoissonStatus.CONVERGED
+        iters.append(stats.iterations)
+    # The hallmark of multigrid: iteration count does not grow with n.
+    assert max(iters) - min(iters) <= 3, iters
+
+
+def test_multigrid_3d():
+    n = 33
+    h, rhs = system(n, nz=n)
+    s = create_solver(Method.MULTIGRID)
+    s.init(n, n, n, h, h, h)
+    x, stats = s.solve(jnp.zeros((n, n, n)), rhs)
+    assert stats.status == PoissonStatus.CONVERGED
+    assert stats.iterations <= 12
+    # Same fixed point as CG (the Dirichlet-0 correction-space convention).
+    cg = create_solver(Method.CG)
+    cg.init(n, n, n, h, h, h, PoissonParams(tolerance=1e-8))
+    x_cg, stats_cg = cg.solve(jnp.zeros((n, n, n)), rhs)
+    assert stats_cg.status == PoissonStatus.CONVERGED
+    np.testing.assert_allclose(np.asarray(x)[1:-1, 1:-1, 1:-1],
+                               np.asarray(x_cg)[1:-1, 1:-1, 1:-1],
+                               atol=1e-4)
+
+
+def test_mg_preconditioned_cg():
+    n = 65
+    h, rhs = system(n)
+    s = create_solver(Method.CG,
+                      PoissonParams(preconditioner=Precond.MULTIGRID))
+    s.init(n, n, 1, h, h, 0.0,
+           PoissonParams(preconditioner=Precond.MULTIGRID))
+    x, stats = s.solve(jnp.zeros((1, n, n)), rhs)
+    assert stats.status == PoissonStatus.CONVERGED
+    assert stats.iterations <= 12, stats.iterations
+
+
+def test_non_coarsenable_grid_rejected():
+    s = create_solver(Method.MULTIGRID)
+    with pytest.raises(CFDError) as e:
+        s.init(30, 30, 1, 0.1, 0.1, 0.0)  # (n-1)=29 odd
+    assert e.value.status == Status.ERROR_UNSUPPORTED
+
+
+def test_projection_with_multigrid_pressure_solver():
+    """The projection step accepts MULTIGRID as its pressure method."""
+    from cfd_tpu import FlowField, Grid
+    from cfd_tpu.solvers.ns import NSParams
+    from cfd_tpu.solvers.ns.projection import make_projection_step
+
+    grid = Grid.uniform(33, 33)
+    step = make_projection_step(grid, NSParams(mu=0.01),
+                                poisson_method=Method.MULTIGRID)
+    f, res = step(FlowField.initialize(grid), 1e-3, 0)
+    assert int(res.status) == 0
+    assert bool(f.is_finite())

@@ -1,3 +1,3 @@
-from . import checkpoint, csv_out, vtk
+from . import checkpoint, csv_out, orbax_ckpt, vtk
 
-__all__ = ["checkpoint", "csv_out", "vtk"]
+__all__ = ["checkpoint", "csv_out", "orbax_ckpt", "vtk"]

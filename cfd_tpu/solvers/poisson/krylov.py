@@ -126,6 +126,9 @@ def make_cg_fused(problem: PoissonProblem, params: PoissonParams,
         return None
     use_precond = params.preconditioner == Precond.JACOBI
     scale = problem.inv_factor if use_precond else 1.0
+    # A 2-plane-batched rolling variant was tried and measured at the same
+    # 226 GB/s as the per-plane kernel (the limit is concurrent-stream
+    # bandwidth, not per-iteration sync), so the simpler kernel stays.
     lap_dot = make_lap_dot_fused(nz, ny, nx, problem.inv_dx2,
                                  problem.inv_dy2, problem.inv_dz2,
                                  scale, dtype, interpret)

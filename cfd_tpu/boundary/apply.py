@@ -29,9 +29,25 @@ from .types import (BCType, DirichletValues, Edge, InletConfig, InletProfile,
 # ---------------------------------------------------------------------------
 # Scalar-field BCs: PERIODIC / NEUMANN
 # ---------------------------------------------------------------------------
+# All face functions accept (nz, ny, nx) arrays; plain (ny, nx) arrays (the
+# reference's 2D raw-array API, bc_apply_scalar et al.) are promoted
+# transparently.
+
+
+def _as3d(f):
+    return (f[None], True) if f.ndim == 2 else (f, False)
+
+
+def _maybe2d(f, squeeze):
+    return f[0] if squeeze else f
 
 
 def apply_periodic_scalar(f):
+    f, squeeze = _as3d(f)
+    return _maybe2d(_apply_periodic_scalar3(f), squeeze)
+
+
+def _apply_periodic_scalar3(f):
     """Wrap-around: boundary = opposite interior (`core_impl.h:92-120`)."""
     f = f.at[:, :, 0].set(f[:, :, -2])
     f = f.at[:, :, -1].set(f[:, :, 1])
@@ -45,6 +61,7 @@ def apply_periodic_scalar(f):
 
 def apply_neumann_scalar(f):
     """Zero gradient: boundary = adjacent interior (`core_impl.h:41-86`)."""
+    f, squeeze = _as3d(f)
     f = f.at[:, :, 0].set(f[:, :, 1])
     f = f.at[:, :, -1].set(f[:, :, -2])
     f = f.at[:, 0, :].set(f[:, 1, :])
@@ -52,12 +69,13 @@ def apply_neumann_scalar(f):
     if f.shape[0] > 1:
         f = f.at[0, :, :].set(f[1, :, :])
         f = f.at[-1, :, :].set(f[-2, :, :])
-    return f
+    return _maybe2d(f, squeeze)
 
 
 def apply_dirichlet_scalar(f, values: DirichletValues):
     """Fixed values per face; y-faces overwrite x-face corners, z-faces win in
     3D (reference face order)."""
+    f, squeeze = _as3d(f)
     f = f.at[:, :, 0].set(values.left)
     f = f.at[:, :, -1].set(values.right)
     f = f.at[:, 0, :].set(values.bottom)
@@ -65,7 +83,7 @@ def apply_dirichlet_scalar(f, values: DirichletValues):
     if f.shape[0] > 1:
         f = f.at[0, :, :].set(values.back)
         f = f.at[-1, :, :].set(values.front)
-    return f
+    return _maybe2d(f, squeeze)
 
 
 def apply_scalar(f, bc_type: BCType, values: Optional[DirichletValues] = None):

@@ -63,6 +63,22 @@ def field_diagnostics(field: FlowField):
     return vmax, jnp.max(field.p), jnp.max(field.T)
 
 
+def field_status_and_diagnostics(field: FlowField):
+    """(finite, vmax, pmax, tmax) in a minimal number of HBM passes.
+
+    The finiteness of u, v, w follows from max(u²+v²+w²) being finite
+    (squares map ±Inf → Inf and NaN propagates through max); p is covered by
+    max(|p|).  This folds the reference's separate NaN sweep
+    (`solver_explicit_euler.c:560-575`) into the stats reductions.
+    """
+    m2 = jnp.max(field.u ** 2 + field.v ** 2 + field.w ** 2)
+    pabs = jnp.max(jnp.abs(field.p))
+    pmax = jnp.max(field.p)
+    tmax = jnp.max(field.T)
+    finite = jnp.isfinite(m2) & jnp.isfinite(pabs)
+    return finite, jnp.sqrt(m2), pmax, tmax
+
+
 def compute_dt(field: FlowField, grid: Grid, params: NSParams) -> float:
     """CFL-stable dt (compute_time_step, `solver_explicit_euler.c:162-229`):
 

@@ -28,8 +28,9 @@ from ...core.grid import Grid
 from ...ops import stencils
 from ..energy import apply_thermal_bcs, compute_buoyancy, make_energy_step, \
     validate_thermal_bc
-from .common import (clamp, field_diagnostics, iterate_with_divergence_guard,
-                     spacing_arrays, validate_grid_for_solver, z_constants)
+from .common import (clamp, field_status_and_diagnostics,
+                     iterate_with_divergence_guard, spacing_arrays,
+                     validate_grid_for_solver, z_constants)
 from .params import (DT_CONSERVATIVE_LIMIT, MAX_DERIVATIVE_LIMIT,
                      MAX_DIVERGENCE_LIMIT, MAX_SECOND_DERIVATIVE_LIMIT,
                      MAX_VELOCITY_LIMIT, UPDATE_LIMIT, NSParams, StepResult,
@@ -136,9 +137,9 @@ def make_euler_step(grid: Grid, params: NSParams, dtype=None):
             new_field = new_field.replace(
                 T=apply_thermal_bcs(new_field.T, params.thermal_bc))
 
-        status = jnp.where(new_field.is_finite(), jnp.int32(0),
+        finite, vmax, pmax, tmax = field_status_and_diagnostics(new_field)
+        status = jnp.where(finite, jnp.int32(0),
                            jnp.int32(-6))  # Status.ERROR_DIVERGED
-        vmax, pmax, tmax = field_diagnostics(new_field)
         return new_field, StepResult(iterations=jnp.int32(1),
                                      status=status,
                                      residual=jnp.zeros((), dtype),

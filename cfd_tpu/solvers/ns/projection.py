@@ -36,8 +36,9 @@ from ..energy import apply_thermal_bcs, compute_buoyancy, make_energy_step, \
 from ..poisson.base import Method, PoissonParams, PoissonProblem
 from ..poisson.krylov import make_bicgstab, make_cg
 from ..poisson.stationary import make_jacobi, make_redblack_sor
-from .common import (clamp, field_diagnostics, iterate_with_divergence_guard,
-                     validate_grid_for_solver, z_constants)
+from .common import (clamp, field_diagnostics, field_status_and_diagnostics,
+                     iterate_with_divergence_guard, validate_grid_for_solver,
+                     z_constants)
 from .params import PROJ_MAX_VELOCITY, NSParams, StepResult, source_terms
 
 def _make_multigrid(problem, pparams):
@@ -135,11 +136,10 @@ def make_projection_step(grid: Grid, params: NSParams, dtype=None,
             new_field = new_field.replace(
                 T=apply_thermal_bcs(new_field.T, params.thermal_bc))
 
-        finite = new_field.is_finite()
+        finite, vmax, pmax, tmax = field_status_and_diagnostics(new_field)
         status = jnp.where(~finite, jnp.int32(-6),
                            jnp.where(poisson_ok, jnp.int32(0),
                                      jnp.int32(-7)))
-        vmax, pmax, tmax = field_diagnostics(new_field)
         return new_field, StepResult(iterations=jnp.int32(1), status=status,
                                      residual=pres.final_residual,
                                      max_velocity=vmax, max_pressure=pmax,
@@ -225,11 +225,10 @@ def make_projection_step(grid: Grid, params: NSParams, dtype=None,
             new_field.u, new_field.v, new_field.w, u_star, v_star, w_star)
         new_field = new_field.replace(u=ru, v=rv, w=rw)
 
-        finite = new_field.is_finite()
+        finite, vmax, pmax, tmax = field_status_and_diagnostics(new_field)
         status = jnp.where(~finite, jnp.int32(-6),          # DIVERGED
                            jnp.where(poisson_ok, jnp.int32(0),
                                      jnp.int32(-7)))        # MAX_ITER
-        vmax, pmax, tmax = field_diagnostics(new_field)
         return new_field, StepResult(iterations=jnp.int32(1), status=status,
                                      residual=pres.final_residual,
                                      max_velocity=vmax, max_pressure=pmax,

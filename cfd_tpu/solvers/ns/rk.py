@@ -31,8 +31,9 @@ from ...core.grid import Grid
 from ...ops import stencils
 from ..energy import apply_thermal_bcs, compute_buoyancy, make_energy_step, \
     validate_thermal_bc
-from .common import (clamp, field_diagnostics, iterate_with_divergence_guard,
-                     spacing_arrays, validate_grid_for_solver, z_constants)
+from .common import (clamp, field_status_and_diagnostics,
+                     iterate_with_divergence_guard, spacing_arrays,
+                     validate_grid_for_solver, z_constants)
 from .params import (MAX_DERIVATIVE_LIMIT, MAX_DIVERGENCE_LIMIT,
                      MAX_SECOND_DERIVATIVE_LIMIT, MAX_VELOCITY_LIMIT,
                      NSParams, StepResult, source_terms)
@@ -172,8 +173,8 @@ def _make_rk_step(grid: Grid, params: NSParams, order: int, dtype=None):
             new_field = new_field.replace(
                 T=apply_thermal_bcs(new_field.T, params.thermal_bc))
 
-        status = jnp.where(new_field.is_finite(), jnp.int32(0), jnp.int32(-6))
-        vmax, pmax, tmax = field_diagnostics(new_field)
+        finite, vmax, pmax, tmax = field_status_and_diagnostics(new_field)
+        status = jnp.where(finite, jnp.int32(0), jnp.int32(-6))
         return new_field, StepResult(iterations=jnp.int32(1), status=status,
                                      residual=jnp.zeros((), dtype),
                                      max_velocity=vmax, max_pressure=pmax,

@@ -236,3 +236,20 @@ def test_invalid_configs_raise():
         apply_outlet_scalar(u, OutletConfig(edge=Edge.FRONT))  # 2D field
     with pytest.raises(CFDError):
         apply_scalar(u, BCType.INLET)
+
+
+def test_2d_raw_array_api():
+    """The reference's 2D raw-array API (bc_apply_scalar on (ny,nx))."""
+    rng = np.random.default_rng(3)
+    f2 = jnp.asarray(rng.normal(size=(5, 7)))
+    g = apply_neumann_scalar(f2)
+    assert g.shape == (5, 7)
+    np.testing.assert_array_equal(np.asarray(g)[1:-1, 0],
+                                  np.asarray(f2)[1:-1, 1])
+    p = apply_periodic_scalar(f2)
+    assert p.shape == (5, 7)
+    np.testing.assert_array_equal(np.asarray(p)[1:-1, 0],
+                                  np.asarray(f2)[1:-1, -2])
+    from cfd_tpu.boundary import apply_dirichlet_scalar as ads
+    d = ads(f2, DirichletValues(top=9.0))
+    np.testing.assert_allclose(np.asarray(d)[-1, :], 9.0)

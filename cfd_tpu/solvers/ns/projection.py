@@ -35,6 +35,7 @@ from ..energy import apply_thermal_bcs, compute_buoyancy, make_energy_step, \
     validate_thermal_bc
 from ..poisson.base import Method, PoissonParams, PoissonProblem
 from ..poisson.krylov import make_bicgstab, make_cg
+from ..poisson.spectral import make_fft_direct
 from ..poisson.stationary import make_jacobi, make_redblack_sor
 from .common import (clamp, field_diagnostics, field_status_and_diagnostics,
                      iterate_with_divergence_guard, validate_grid_for_solver,
@@ -52,6 +53,7 @@ _POISSON_MAKERS = {
     Method.REDBLACK_SOR: make_redblack_sor,
     Method.JACOBI: make_jacobi,
     Method.MULTIGRID: _make_multigrid,
+    Method.FFT_DIRECT: make_fft_direct,
 }
 
 

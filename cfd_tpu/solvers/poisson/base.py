@@ -45,6 +45,7 @@ class Method(enum.IntEnum):
     CG = 4
     BICGSTAB = 5
     MULTIGRID = 6
+    FFT_DIRECT = 7   # TPU extension: exact DST-I solve on uniform grids
 
 
 class PoissonStatus(enum.IntEnum):

@@ -28,6 +28,7 @@ from .base import (Method, PoissonParams, PoissonProblem, PoissonResult,
                    PoissonStats, PoissonStatus, Precond, result_to_stats)
 from .krylov import make_bicgstab, make_cg
 from .multigrid import make_mg_cg, make_multigrid
+from .spectral import make_fft_direct, spectral_supported
 from .stationary import make_jacobi, make_redblack_sor, make_sor
 
 
@@ -40,6 +41,13 @@ def _make_cg_dispatch(problem, params):
                            "(needs (n-1) divisible by 2 per active axis)")
         return fn
     return make_cg(problem, params)
+
+
+def _make_fft_dispatch(problem, params):
+    if not spectral_supported(problem):
+        raise CFDError(Status.ERROR_UNSUPPORTED,
+                       "fft_direct: needs nz==1 or (nz>=3 with dz>0)")
+    return make_fft_direct(problem, params)
 
 
 def _make_multigrid_dispatch(problem, params):
@@ -59,6 +67,7 @@ _MAKERS = {
     Method.CG: _make_cg_dispatch,
     Method.BICGSTAB: make_bicgstab,
     Method.MULTIGRID: _make_multigrid_dispatch,
+    Method.FFT_DIRECT: _make_fft_dispatch,
 }
 
 _METHOD_NAMES = {
@@ -69,6 +78,7 @@ _METHOD_NAMES = {
     Method.CG: "cg",
     Method.BICGSTAB: "bicgstab",
     Method.MULTIGRID: "multigrid",
+    Method.FFT_DIRECT: "fft_direct",
 }
 
 

@@ -5,27 +5,41 @@ TPU-native extension beyond the reference's iterative suite
 grid the 5/7-point Laplacian restricted to the Dirichlet-0 correction space
 (exactly the operator the reference's CG iterates on,
 `linear_solver_cg.c:103-123`) is diagonalized by the type-I discrete sine
-transform.  The solve is therefore **direct and exact** (to roundoff):
+transform, so the pressure solve is **direct and exact** (to roundoff).
 
-    x ← neumann_bc(x)                       (same as CG pre-step, `:320`)
-    r = (∇²x − rhs)|interior                 (the CG initial residual)
-    ê = DST(r) / λ ;  e = DST⁻¹(ê)           (λ the Dirichlet eigenvalues)
-    x ← neumann_bc(x + e)                    (same as CG post-step, `:447`)
+The fixed point CG converges to is, in operator form (A = −D the Dirichlet-0
+interior Laplacian, M the boundary-mirror face terms the Neumann pre-step
+`linear_solver_cg.c:320` induces):
 
-which lands on the *same fixed point* CG converges to — one shot instead of
-O(N) iterations, so it replaces a 30-iteration CG at 512³ at ~15× lower cost.
+    x₁ = x₀ + A⁻¹ (D x₀ + M x₀ − rhs) = (−D)⁻¹ (M x₀ − rhs)
 
-The DST-I itself is implemented as dense sine-matrix contractions
-(``einsum`` → MXU matmuls) rather than FFTs: at m≈510 each transform is a
-(m×m)·(m×m·m) matmul — exactly the shape the systolic array is built for —
-and avoids the odd-extension padding + complex arithmetic a radix-FFT DST
-needs.  Cost at 512³: 6 passes ≈ 0.8 TFLOP ≈ a handful of ms on one v5e
-chip, vs ~450 ms for 30 fused-CG iterations.
+— the warm start *cancels analytically*, as it must for a direct method.
+``M x₀`` only touches the six interior faces (the mirrored ghost equals the
+first interior value, contributing ``x/d²`` there), so the whole solve is:
+
+    b̃   = face_coeff · x|interior − rhs|interior        (one fused pass)
+    x̂   = DST(b̃) / λ                                    (3 MXU matmul passes)
+    x    = DST⁻¹_ext(x̂)                                  (3 MXU matmul passes)
+
+where DST⁻¹_ext uses *mirror-extended* inverse matrices — rows for the
+boundary shell duplicate the adjacent interior rows — so the output arrives
+as the full (nz, ny, nx) array with its Neumann shell already in place: no
+Laplacian pass, no interior add, no post-solve boundary fix.
+
+The DST-I is dense sine-matrix contractions (``einsum`` → MXU matmuls)
+rather than FFTs: at m≈510 each transform is exactly the shape the systolic
+array is built for, and avoids the odd-extension padding + complex
+arithmetic a radix-FFT DST needs.  Cost at 512³: ~0.8 TFLOP ≈ tens of ms on
+one v5e chip, vs ~450 ms for 30 fused-CG iterations that leave a far larger
+residual.
 
 Requires a uniform grid (``PoissonProblem`` carries scalar spacings, so any
 constructible problem qualifies) and ≥3 points per active axis.  The sine
 matrices are built in float64 on the host and cast once; contractions run at
-``Precision.HIGHEST`` so float32 solves stay near 1e-6 relative accuracy.
+``Precision.HIGHEST`` by default so float32 solves stay near 1e-6 relative
+residual.  Eigenvalues are formed inside the trace from 1D vectors — a
+materialized mx·my·mz constant would bloat the HLO by the grid size (the
+remote-compile transport rejects such programs).
 """
 
 from __future__ import annotations
@@ -39,15 +53,21 @@ from .base import (PoissonParams, PoissonProblem, PoissonResult,
                    PoissonStatus)
 
 
-def _sine_matrix(m: int, dtype) -> jnp.ndarray:
+def _sine_matrix(m: int) -> np.ndarray:
     """Unnormalized DST-I matrix S[a, b] = sin(π(a+1)(b+1)/(m+1)).
 
     S is symmetric and S·S = ((m+1)/2)·I, so the inverse transform is S
     scaled by 2/(m+1).
     """
     a = np.arange(1, m + 1, dtype=np.float64)
-    S = np.sin(np.pi * np.outer(a, a) / (m + 1))
-    return jnp.asarray(S, dtype)
+    return np.sin(np.pi * np.outer(a, a) / (m + 1))
+
+
+def _mirror_extended_inverse(m: int, scale: float) -> np.ndarray:
+    """(m+2) × m inverse-DST matrix whose first/last rows duplicate the
+    adjacent interior rows: the output carries its own Neumann mirror."""
+    G = _sine_matrix(m) * scale
+    return np.concatenate([G[:1], G, G[-1:]], axis=0)
 
 
 def _dirichlet_eigenvalues(m: int, inv_d2: float) -> np.ndarray:
@@ -56,17 +76,36 @@ def _dirichlet_eigenvalues(m: int, inv_d2: float) -> np.ndarray:
     return 4.0 * inv_d2 * np.sin(np.pi * i / (2.0 * (m + 1))) ** 2
 
 
+def _face_coeff(m: int, inv_d2: float) -> np.ndarray:
+    """Per-index mirror coefficient along one axis: inv_d2 at the two
+    interior faces (summed when m == 1), zero elsewhere."""
+    c = np.zeros(m)
+    c[0] += inv_d2
+    c[-1] += inv_d2
+    return c
+
+
 def spectral_supported(problem: PoissonProblem) -> bool:
     """2D (nz==1) or genuine 3D (nz≥3 with dz>0)."""
     return problem.nz == 1 or (problem.nz >= 3 and problem.dz > 0.0)
 
 
 def make_fft_direct(problem: PoissonProblem, params: PoissonParams,
-                    dtype=None):
+                    dtype=None, precision=lax.Precision.HIGHEST,
+                    compute_residuals: bool = True):
     """Build the direct solve: (x0, rhs) → PoissonResult (always 1 "iteration").
 
     Drop-in replacement for :func:`make_cg`'s return — same signature, same
-    fixed point, ``status == CONVERGED`` with the true final residual.
+    fixed point, ``status == CONVERGED``.
+
+    ``precision`` controls the sine-matrix contractions: ``HIGHEST`` (default)
+    keeps float32 solves near 1e-6 relative residual; ``HIGH`` halves the MXU
+    cost at ~1e-4–1e-5 accuracy (still far tighter than a truncated CG).
+    ``compute_residuals=True`` (default) measures the true final residual
+    with one diagnostic Laplacian sweep; ``False`` skips it for hot inner
+    loops where the exactness of the direct method is already established.
+    A direct method never forms an initial residual, so
+    ``initial_residual`` always reports 0.
     """
     if not spectral_supported(problem):
         raise ValueError("spectral solver needs nz==1 or (nz>=3, dz>0)")
@@ -74,40 +113,60 @@ def make_fft_direct(problem: PoissonProblem, params: PoissonParams,
     mx, my = problem.nx - 2, problem.ny - 2
     mz = problem.nz - 2 if is_3d else 1
 
-    # 1D eigenvalue vectors only — the full 3D λ array is formed inside the
-    # trace (broadcast add fuses into the divide; a materialized mx·my·mz
-    # constant would bloat the HLO by the size of the grid).
     lx = _dirichlet_eigenvalues(mx, problem.inv_dx2)
     ly = _dirichlet_eigenvalues(my, problem.inv_dy2)
     lz = (_dirichlet_eigenvalues(mz, problem.inv_dz2) if is_3d
           else np.zeros(1))
+    cx = _face_coeff(mx, problem.inv_dx2)
+    cy = _face_coeff(my, problem.inv_dy2)
+    cz = (_face_coeff(mz, problem.inv_dz2) if is_3d else np.zeros(1))
     scale = (2.0 / (mx + 1)) * (2.0 / (my + 1))
     if is_3d:
         scale *= 2.0 / (mz + 1)
 
     def build(dt):
-        Sx = _sine_matrix(mx, dt)
-        Sy = _sine_matrix(my, dt)
-        Sz = _sine_matrix(mz, dt) if is_3d else None
-        # λ > 0 always (Dirichlet); divide in f64-built f32 vectors.
-        vx = jnp.asarray(lx, dt)
-        vy = jnp.asarray(ly, dt)
-        vz = jnp.asarray(lz, dt)
-        sc = jnp.asarray(scale, dt)
-        prec = lax.Precision.HIGHEST
+        Sx = jnp.asarray(_sine_matrix(mx), dt)
+        Sy = jnp.asarray(_sine_matrix(my), dt)
+        Sz = jnp.asarray(_sine_matrix(mz), dt) if is_3d else None
+        # Mirror-extended inverses; the 1/(m+1) normalizations are folded
+        # into Gx so the other inverse factors stay unit-scaled.
+        Gx = jnp.asarray(_mirror_extended_inverse(mx, scale), dt)
+        Gy = jnp.asarray(_mirror_extended_inverse(my, 1.0), dt)
+        Gz = (jnp.asarray(_mirror_extended_inverse(mz, 1.0), dt)
+              if is_3d else None)
+        vx, vy, vz = (jnp.asarray(v, dt) for v in (lx, ly, lz))
+        fx, fy, fz = (jnp.asarray(c, dt) for c in (cx, cy, cz))
+        prec = precision
 
-        def spectral_divide(a):
-            lam = (vz[:, None, None] + vy[None, :, None] + vx[None, None, :])
-            return a / lam
+        def face_rhs(x, rhs):
+            """b̃ = face_coeff·x − rhs on the interior block."""
+            xi = problem.interior(x)
+            ri = problem.interior(rhs)
+            coeff = (fz[:, None, None] + fy[None, :, None]
+                     + fx[None, None, :])
+            return coeff * xi - ri
 
-        def dst3(a):
+        def forward(a):
             a = jnp.einsum("ax,zyx->zya", Sx, a, precision=prec)
             a = jnp.einsum("by,zyx->zbx", Sy, a, precision=prec)
             if is_3d:
                 a = jnp.einsum("cz,zyx->cyx", Sz, a, precision=prec)
             return a
 
-        return Sx, dst3, spectral_divide, sc
+        def spectral_divide(a):
+            lam = (vz[:, None, None] + vy[None, :, None] + vx[None, None, :])
+            return a / lam
+
+        def inverse_ext(a):
+            """Inverse DST with the Neumann shell built into the matrices:
+            output shape (nz, ny, nx)."""
+            a = jnp.einsum("ax,zyx->zya", Gx, a, precision=prec)
+            a = jnp.einsum("by,zyx->zbx", Gy, a, precision=prec)
+            if is_3d:
+                a = jnp.einsum("cz,zyx->cyx", Gz, a, precision=prec)
+            return a
+
+        return face_rhs, forward, spectral_divide, inverse_ext
 
     built = {}
 
@@ -115,24 +174,23 @@ def make_fft_direct(problem: PoissonProblem, params: PoissonParams,
         dt = x.dtype
         if dt not in built:
             built[dt] = build(dt)
-        _, dst3, spectral_divide, sc = built[dt]
+        face_rhs, forward, spectral_divide, inverse_ext = built[dt]
 
-        x = problem.neumann_bc(x)
-        r = problem.zero_boundary(problem.laplacian(x) - rhs)
-        initial_res = jnp.sqrt(problem.dot_interior(r, r))
+        x_new = inverse_ext(spectral_divide(forward(face_rhs(x, rhs))))
 
-        e = dst3(spectral_divide(dst3(problem.interior(r)))) * sc
-        if is_3d:
-            x = x.at[1:-1, 1:-1, 1:-1].add(e)
+        if compute_residuals:
+            # CG-convention residual: the converged interior inside the
+            # *initial* mirror shell (CG measures its recursion residual
+            # before the post-loop Neumann refresh, `linear_solver_cg.c:441`).
+            # With x_new's own refreshed shell the quantity is legitimately
+            # nonzero even at the exact fixed point.
+            x_hybrid = problem.set_interior(problem.neumann_bc(x), x_new)
+            r_f = problem.zero_boundary(problem.laplacian(x_hybrid) - rhs)
+            final_res = jnp.sqrt(problem.dot_interior(r_f, r_f))
         else:
-            x = x.at[:, 1:-1, 1:-1].add(e)
-        # True residual of the Dirichlet-0 system, measured like CG's
-        # recursion residual: before the final Neumann mirror.
-        r_f = problem.zero_boundary(problem.laplacian(x) - rhs)
-        final_res = jnp.sqrt(problem.dot_interior(r_f, r_f))
-        x = problem.neumann_bc(x)
-        return PoissonResult(x=x, iterations=jnp.int32(1),
-                             initial_residual=initial_res,
+            final_res = jnp.zeros((), x.dtype)
+        return PoissonResult(x=x_new, iterations=jnp.int32(1),
+                             initial_residual=jnp.zeros((), x.dtype),
                              final_residual=final_res,
                              status=jnp.int32(PoissonStatus.CONVERGED))
 

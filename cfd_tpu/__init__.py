@@ -11,6 +11,7 @@ rather than translated from the C backend matrix.
 from . import config
 from .config import default_dtype, set_default_dtype
 from .core import FlowField, Grid, CFDError, Status
+from .core.runtime import finalize, init, is_initialized
 
 __version__ = "0.1.0"
 

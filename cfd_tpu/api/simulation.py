@@ -62,6 +62,9 @@ class Simulation:
                solver_type: Optional[str] = None,
                params: Optional[NSParams] = None) -> "Simulation":
         """init_simulation[_with_solver] (`simulation_api.c:24-140`)."""
+        # Lazy global init, as init_simulation lazy-calls cfd_init (`:26`).
+        from ..core.runtime import init as cfd_init
+        cfd_init()
         grid = Grid.uniform(nx, ny, nz, xmin, xmax, ymin, ymax, zmin, zmax)
         field = FlowField.initialize(grid)
         if params is None:

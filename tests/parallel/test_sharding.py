@@ -99,3 +99,29 @@ def test_sharded_multi_step_scan():
         fr, _ = ref_step(fr, 0.001, i)
     np.testing.assert_allclose(np.asarray(fs.u), np.asarray(fr.u),
                                rtol=1e-12, atol=1e-12)
+
+
+def test_sharded_projection_fft_direct():
+    """Spectral pressure solve under GSPMD: the DST einsums over sharded
+    y/z axes lower to collectives; result matches the single-device step."""
+    from cfd_tpu.solvers.poisson.base import Method
+
+    g = Grid.uniform(16, 16, 16, zmin=0, zmax=1)
+    params = NSParams(source_amplitude_u=0.0, source_amplitude_v=0.0)
+    f = FlowField.initialize(g)
+
+    ref_step = jax.jit(make_projection_step(
+        g, params, poisson_method=Method.FFT_DIRECT))
+    f_ref, _ = ref_step(f, 0.001, 0)
+
+    mesh = make_mesh(axes=("z", "y"))
+    step, place = make_sharded_step(g, params, mesh, "projection",
+                                    poisson_method=Method.FFT_DIRECT)
+    f_out, res = step(place(f), 0.001, 0)
+
+    assert int(res.status) == 0
+    np.testing.assert_allclose(np.asarray(f_out.u), np.asarray(f_ref.u),
+                               rtol=1e-10, atol=1e-10)
+    np.testing.assert_allclose(np.asarray(f_out.p), np.asarray(f_ref.p),
+                               rtol=1e-8, atol=1e-8)
+    assert len(f_out.u.sharding.device_set) == 8

@@ -15,7 +15,7 @@ from typing import Callable, Dict, List, Optional
 
 from ..core.features import Backend, backend_is_available
 from ..core.status import CFDError, Status, set_error
-from ..solvers.ns.solver import Capability, NSSolver
+from ..solvers.ns.solver import Capability, NSSolver, PoissonMethod
 
 # Standard built-in solver type names (`navier_stokes_solver.h:376-391`).
 SOLVER_TYPE_EXPLICIT_EULER = "explicit_euler"
@@ -34,6 +34,10 @@ SOLVER_TYPE_RK4 = "rk4"
 SOLVER_TYPE_RK4_OPTIMIZED = "rk4_optimized"
 SOLVER_TYPE_RK4_OMP = "rk4_omp"
 SOLVER_TYPE_RK4_GPU = "rk4_gpu"
+
+# TPU extension beyond the reference's 16: projection with the exact
+# spectral (DST-I) pressure solve — uniform grids only.
+SOLVER_TYPE_PROJECTION_SPECTRAL = "projection_spectral"
 
 
 def infer_backend(name: str) -> Backend:
@@ -59,12 +63,17 @@ _DESCRIPTIONS = {
     "rk2": "RK2 (Heun) time integration, O(dt^2)",
     "rk4": "Classical RK4 time integration, O(dt^4)",
     "projection": "Chorin projection method (pressure Poisson)",
+    "projection_spectral": ("Chorin projection with exact spectral (DST-I) "
+                            "pressure solve — uniform grids"),
 }
 
 
 def _default_factory(name: str) -> Callable[[], NSSolver]:
     method = _base_method(name)
     backend = infer_backend(name)
+    poisson_method = PoissonMethod.CG
+    if name == SOLVER_TYPE_PROJECTION_SPECTRAL:
+        method, poisson_method = "projection", PoissonMethod.FFT_DIRECT
 
     def factory() -> NSSolver:
         caps = (Capability.INCOMPRESSIBLE | Capability.TRANSIENT
@@ -72,8 +81,10 @@ def _default_factory(name: str) -> Callable[[], NSSolver]:
         if backend == Backend.CUDA:
             caps |= Capability.GPU
         return NSSolver(name=name, method=method,
-                        description=_DESCRIPTIONS.get(method, ""),
-                        backend=backend, capabilities=caps)
+                        description=_DESCRIPTIONS.get(
+                            _base_method(name), ""),
+                        backend=backend, capabilities=caps,
+                        poisson_method=poisson_method)
 
     return factory
 
@@ -107,6 +118,7 @@ class SolverRegistry:
                 SOLVER_TYPE_RK4_OPTIMIZED,
                 SOLVER_TYPE_RK4_OMP,
                 SOLVER_TYPE_RK4_GPU,
+                SOLVER_TYPE_PROJECTION_SPECTRAL,  # TPU extension
         ):
             self.register(name, _default_factory(name))
 

@@ -48,9 +48,10 @@ def test_set_solver_by_name():
 def test_registry_listing():
     reg = create_registry()
     names = reg.list()
-    assert len(names) == 16
+    # The reference's 16 built-ins plus the projection_spectral extension.
+    assert len(names) == 17
     for expected in ("explicit_euler", "projection", "rk2_optimized",
-                     "rk4_gpu", "projection_omp"):
+                     "rk4_gpu", "projection_omp", "projection_spectral"):
         assert expected in names
     assert reg.has("rk4")
     assert not reg.has("nope")
@@ -114,3 +115,19 @@ def test_reentrancy_two_sims(tmp_path):
     assert os.path.isdir(tmp_path / "a" / "output")
     assert os.path.isdir(tmp_path / "b" / "output")
     assert a.field.nx == 10 and b.field.nx == 12
+
+
+def test_projection_spectral_solver():
+    """The TPU-extension registry entry: exact spectral pressure solve
+    through the full Simulation facade."""
+    from cfd_tpu.api.simulation import Simulation, has_solver
+
+    assert has_solver("projection_spectral")
+    sim = Simulation.create(33, 33, solver_type="projection_spectral")
+    assert "spectral" in sim.solver.description
+    for _ in range(3):
+        status = sim.step()
+        assert int(status) == 0
+    stats = sim.get_stats()
+    # Exact solve: per-step pressure residual at roundoff level.
+    assert stats.residual < 1e-6

@@ -125,6 +125,31 @@ class ProjectionKernels:
             nz, ny, nx, 1, 2, 1, div_compute, dtype, n_scalars=1,
             interpret=interpret)
 
+        def btilde_compute(k, scalars, halos, planes):
+            """Spectral-solve input in one pass: b̃ = M·p − (ρ/dt)∇·u*,
+            M the Neumann-mirror face coefficients (see
+            `solvers/poisson/spectral.py`) — skips materializing the
+            Poisson rhs and the face-coefficient pass entirely."""
+            (wm, wc, wp) = halos[0]
+            us, vs, p = planes
+            mask = interior_mask()
+            div = d1x(us) + d1y(vs) + (wp - wm) * inv_2dz
+            import jax as _jax
+            jj = _jax.lax.broadcasted_iota(jnp.int32, (ny, nx), 0)
+            ii = _jax.lax.broadcasted_iota(jnp.int32, (ny, nx), 1)
+            coeff = (inv_dx2 * ((ii == 1).astype(dtype)
+                                + (ii == nx - 2).astype(dtype))
+                     + inv_dy2 * ((jj == 1).astype(dtype)
+                                  + (jj == ny - 2).astype(dtype)))
+            if inv_dz2:
+                kf = ((k == 1).astype(dtype) + (k == nz - 2).astype(dtype))
+                coeff = coeff + inv_dz2 * kf
+            return [mask * (coeff * p - scalars[0] * div)], None
+
+        self.btilde_k = make_rolling_stencil(
+            nz, ny, nx, 1, 3, 1, btilde_compute, dtype, n_scalars=1,
+            interpret=interpret)
+
         def corr_xy(component):
             def compute(k, scalars, halos, planes):
                 star, p = planes
@@ -170,6 +195,12 @@ class ProjectionKernels:
 
     def rhs(self, us, vs, ws, rho_over_dt):
         (out,) = self.divergence(jnp.asarray(rho_over_dt)[None], ws, us, vs)
+        return out
+
+    def btilde(self, us, vs, ws, p, rho_over_dt):
+        """Fused spectral-solve input (zero shell, full shape)."""
+        (out,) = self.btilde_k(jnp.asarray(rho_over_dt)[None],
+                               ws, us, vs, p)
         return out
 
     def corrector(self, us, vs, ws, p, dt_over_rho):

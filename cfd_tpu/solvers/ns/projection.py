@@ -99,6 +99,7 @@ def make_projection_step(grid: Grid, params: NSParams, dtype=None,
     # sources / buoyancy / energy coupling in the kernels — those variants
     # use the jnp path below).
     proj_kernels = None
+    btilde_pipeline = None
     if (use_pallas_cg and dtype == jnp.float32 and grid.nz > 2
             and params.source_func is None and not params.buoyancy_enabled):
         from ...ops.pallas.projection_kernels import (
@@ -109,6 +110,16 @@ def make_projection_step(grid: Grid, params: NSParams, dtype=None,
                                    interpret=pallas_interpret)
             if pk.ok:
                 proj_kernels = pk
+            # Spectral fast path: the btilde kernel feeds the DST pipeline
+            # directly (no materialized Poisson rhs, no residual diagnostics
+            # — exactness is certified by tests/solvers/test_spectral.py).
+            if (pk.ok and pk.btilde_k is not None
+                    and Method(poisson_method) == Method.FFT_DIRECT):
+                from ..poisson.spectral import (make_fft_btilde_solver,
+                                                spectral_supported)
+                if spectral_supported(problem):
+                    btilde_pipeline = make_fft_btilde_solver(problem,
+                                                             pparams)
 
     def fused_step(field: FlowField, dt, iter_idx):
         """Fully fused kernel path — identical math to the jnp body below."""
@@ -121,11 +132,17 @@ def make_projection_step(grid: Grid, params: NSParams, dtype=None,
 
         rho0 = field.rho[0, 0, 0]
         rho0 = jnp.where(rho0 < 1e-10, 1.0, rho0)
-        rhs = proj_kernels.rhs(us, vs, ws, rho0 / dt)
-
-        pres = poisson_solve(field.p, rhs)
-        p_new = pres.x
-        poisson_ok = pres.status == 0
+        if btilde_pipeline is not None:
+            p_new = btilde_pipeline(
+                proj_kernels.btilde(us, vs, ws, field.p, rho0 / dt))
+            residual = jnp.zeros((), dtype)
+            poisson_ok = jnp.bool_(True)   # direct solve
+        else:
+            rhs = proj_kernels.rhs(us, vs, ws, rho0 / dt)
+            pres = poisson_solve(field.p, rhs)
+            p_new = pres.x
+            residual = pres.final_residual
+            poisson_ok = pres.status == 0
 
         u, v, w = proj_kernels.corrector(us, vs, ws, p_new, dt / rho0)
         new_field = field.replace(u=u, v=v, w=w, p=p_new)
@@ -143,7 +160,7 @@ def make_projection_step(grid: Grid, params: NSParams, dtype=None,
                            jnp.where(poisson_ok, jnp.int32(0),
                                      jnp.int32(-7)))
         return new_field, StepResult(iterations=jnp.int32(1), status=status,
-                                     residual=pres.final_residual,
+                                     residual=residual,
                                      max_velocity=vmax, max_pressure=pmax,
                                      max_temperature=tmax)
 

@@ -90,6 +90,75 @@ def spectral_supported(problem: PoissonProblem) -> bool:
     return problem.nz == 1 or (problem.nz >= 3 and problem.dz > 0.0)
 
 
+def _make_btilde_pipeline(problem: PoissonProblem, precision):
+    """The core transform: full-shape zero-shell b̃ → full-shape x_new.
+
+    Forward matrices are (m, n) — interior sine columns with zero boundary
+    columns, so the input needs no interior slicing; inverse matrices are
+    the (n, m) mirror-extended factors (the output carries its Neumann
+    shell).  Matrices are built per dtype on first use.
+    """
+    is_3d = problem.is_3d
+    mx, my = problem.nx - 2, problem.ny - 2
+    mz = problem.nz - 2 if is_3d else 1
+
+    lx = _dirichlet_eigenvalues(mx, problem.inv_dx2)
+    ly = _dirichlet_eigenvalues(my, problem.inv_dy2)
+    lz = (_dirichlet_eigenvalues(mz, problem.inv_dz2) if is_3d
+          else np.zeros(1))
+    scale = (2.0 / (mx + 1)) * (2.0 / (my + 1))
+    if is_3d:
+        scale *= 2.0 / (mz + 1)
+
+    def pad_cols(S):
+        return np.pad(S, ((0, 0), (1, 1)))
+
+    built = {}
+
+    def build(dt):
+        Fx = jnp.asarray(pad_cols(_sine_matrix(mx)), dt)
+        Fy = jnp.asarray(pad_cols(_sine_matrix(my)), dt)
+        Fz = jnp.asarray(pad_cols(_sine_matrix(mz)), dt) if is_3d else None
+        # The 1/(m+1) normalizations all fold into Gx.
+        Gx = jnp.asarray(_mirror_extended_inverse(mx, scale), dt)
+        Gy = jnp.asarray(_mirror_extended_inverse(my, 1.0), dt)
+        Gz = (jnp.asarray(_mirror_extended_inverse(mz, 1.0), dt)
+              if is_3d else None)
+        vx, vy, vz = (jnp.asarray(v, dt) for v in (lx, ly, lz))
+        return Fx, Fy, Fz, Gx, Gy, Gz, vx, vy, vz
+
+    def pipeline(btilde):
+        dt = btilde.dtype
+        if dt not in built:
+            built[dt] = build(dt)
+        Fx, Fy, Fz, Gx, Gy, Gz, vx, vy, vz = built[dt]
+        prec = precision
+
+        a = jnp.einsum("ax,zyx->zya", Fx, btilde, precision=prec)
+        a = jnp.einsum("by,zyx->zbx", Fy, a, precision=prec)
+        if is_3d:
+            a = jnp.einsum("cz,zyx->cyx", Fz, a, precision=prec)
+        lam = vz[:, None, None] + vy[None, :, None] + vx[None, None, :]
+        a = a / lam
+        a = jnp.einsum("ax,zyx->zya", Gx, a, precision=prec)
+        a = jnp.einsum("by,zyx->zbx", Gy, a, precision=prec)
+        if is_3d:
+            a = jnp.einsum("cz,zyx->cyx", Gz, a, precision=prec)
+        return a
+
+    return pipeline
+
+
+def make_fft_btilde_solver(problem: PoissonProblem,
+                           params: PoissonParams = None,
+                           precision=lax.Precision.HIGHEST):
+    """Raw transform entry for fused producers (the Pallas projection
+    kernels emit b̃ = M·p − (ρ/dt)∇·u* directly): (btilde) → x_new."""
+    if not spectral_supported(problem):
+        raise ValueError("spectral solver needs nz==1 or (nz>=3, dz>0)")
+    return jax.jit(_make_btilde_pipeline(problem, precision))
+
+
 def make_fft_direct(problem: PoissonProblem, params: PoissonParams,
                     dtype=None, precision=lax.Precision.HIGHEST,
                     compute_residuals: bool = True):
@@ -113,70 +182,24 @@ def make_fft_direct(problem: PoissonProblem, params: PoissonParams,
     mx, my = problem.nx - 2, problem.ny - 2
     mz = problem.nz - 2 if is_3d else 1
 
-    lx = _dirichlet_eigenvalues(mx, problem.inv_dx2)
-    ly = _dirichlet_eigenvalues(my, problem.inv_dy2)
-    lz = (_dirichlet_eigenvalues(mz, problem.inv_dz2) if is_3d
-          else np.zeros(1))
     cx = _face_coeff(mx, problem.inv_dx2)
     cy = _face_coeff(my, problem.inv_dy2)
     cz = (_face_coeff(mz, problem.inv_dz2) if is_3d else np.zeros(1))
-    scale = (2.0 / (mx + 1)) * (2.0 / (my + 1))
-    if is_3d:
-        scale *= 2.0 / (mz + 1)
 
-    def build(dt):
-        Sx = jnp.asarray(_sine_matrix(mx), dt)
-        Sy = jnp.asarray(_sine_matrix(my), dt)
-        Sz = jnp.asarray(_sine_matrix(mz), dt) if is_3d else None
-        # Mirror-extended inverses; the 1/(m+1) normalizations are folded
-        # into Gx so the other inverse factors stay unit-scaled.
-        Gx = jnp.asarray(_mirror_extended_inverse(mx, scale), dt)
-        Gy = jnp.asarray(_mirror_extended_inverse(my, 1.0), dt)
-        Gz = (jnp.asarray(_mirror_extended_inverse(mz, 1.0), dt)
-              if is_3d else None)
-        vx, vy, vz = (jnp.asarray(v, dt) for v in (lx, ly, lz))
-        fx, fy, fz = (jnp.asarray(c, dt) for c in (cx, cy, cz))
-        prec = precision
+    pipeline = _make_btilde_pipeline(problem, precision)
+    fx = np.pad(cx, 1)
+    fy = np.pad(cy, 1)
+    fz = np.pad(cz, 1) if is_3d else np.zeros(1)
 
-        def face_rhs(x, rhs):
-            """b̃ = face_coeff·x − rhs on the interior block."""
-            xi = problem.interior(x)
-            ri = problem.interior(rhs)
-            coeff = (fz[:, None, None] + fy[None, :, None]
-                     + fx[None, None, :])
-            return coeff * xi - ri
-
-        def forward(a):
-            a = jnp.einsum("ax,zyx->zya", Sx, a, precision=prec)
-            a = jnp.einsum("by,zyx->zbx", Sy, a, precision=prec)
-            if is_3d:
-                a = jnp.einsum("cz,zyx->cyx", Sz, a, precision=prec)
-            return a
-
-        def spectral_divide(a):
-            lam = (vz[:, None, None] + vy[None, :, None] + vx[None, None, :])
-            return a / lam
-
-        def inverse_ext(a):
-            """Inverse DST with the Neumann shell built into the matrices:
-            output shape (nz, ny, nx)."""
-            a = jnp.einsum("ax,zyx->zya", Gx, a, precision=prec)
-            a = jnp.einsum("by,zyx->zbx", Gy, a, precision=prec)
-            if is_3d:
-                a = jnp.einsum("cz,zyx->cyx", Gz, a, precision=prec)
-            return a
-
-        return face_rhs, forward, spectral_divide, inverse_ext
-
-    built = {}
+    def face_rhs(x, rhs, dt):
+        """Full-shape b̃ = face_coeff·x − rhs, zero shell."""
+        coeff = (jnp.asarray(fz, dt)[:, None, None]
+                 + jnp.asarray(fy, dt)[None, :, None]
+                 + jnp.asarray(fx, dt)[None, None, :])
+        return problem.zero_boundary(coeff * x - rhs)
 
     def solve(x, rhs):
-        dt = x.dtype
-        if dt not in built:
-            built[dt] = build(dt)
-        face_rhs, forward, spectral_divide, inverse_ext = built[dt]
-
-        x_new = inverse_ext(spectral_divide(forward(face_rhs(x, rhs))))
+        x_new = pipeline(face_rhs(x, rhs, x.dtype))
 
         if compute_residuals:
             # CG-convention residual: the converged interior inside the

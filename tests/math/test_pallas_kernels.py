@@ -116,3 +116,32 @@ def test_fused_cg_solver_matches_jnp_cg(problem):
     assert abs(int(ra.iterations) - int(rb.iterations)) <= 2
     np.testing.assert_allclose(np.asarray(ra.x), np.asarray(rb.x),
                                rtol=1e-3, atol=1e-4)
+
+
+def test_fused_spectral_projection_step_matches_jnp():
+    """The fully fused projection step (Pallas predictor/btilde/corrector +
+    DST pipeline, interpret mode) matches the jnp step with the same
+    FFT_DIRECT pressure solve to f32 roundoff."""
+    import numpy as np
+    from cfd_tpu import FlowField, Grid
+    from cfd_tpu.solvers.ns import NSParams
+    from cfd_tpu.solvers.ns.projection import make_projection_step
+    from cfd_tpu.solvers.poisson.base import Method
+
+    grid = Grid.uniform(128, 16, 8, 0.0, 1.0, 0.0, 0.5, 0.0, 0.25)
+    params = NSParams(mu=0.01)
+    field = FlowField.initialize(grid, dtype=jnp.float32)
+
+    fused = make_projection_step(grid, params, dtype=jnp.float32,
+                                 poisson_method=Method.FFT_DIRECT,
+                                 use_pallas_cg=True, pallas_interpret=True)
+    plain = make_projection_step(grid, params, dtype=jnp.float32,
+                                 poisson_method=Method.FFT_DIRECT)
+
+    f1, r1 = fused(field, 1e-3, 0)
+    f2, r2 = plain(field, 1e-3, 0)
+    assert int(r1.status) == 0 and int(r2.status) == 0
+    for attr in ("u", "v", "w", "p"):
+        np.testing.assert_allclose(np.asarray(getattr(f1, attr)),
+                                   np.asarray(getattr(f2, attr)),
+                                   rtol=0, atol=2e-5)

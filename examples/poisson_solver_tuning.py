@@ -26,6 +26,8 @@ for method, params in (
         (Method.CG, PoissonParams()),
         (Method.CG, PoissonParams(preconditioner=1)),   # PCG
         (Method.BICGSTAB, PoissonParams()),
+        (Method.MULTIGRID, PoissonParams()),            # TPU extension
+        (Method.FFT_DIRECT, PoissonParams()),           # TPU extension
 ):
     s = create_solver(method)
     s.init(N, N, 1, h, h, 0.0, params)

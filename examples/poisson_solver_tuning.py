@@ -14,7 +14,12 @@ from cfd_tpu.solvers.poisson import (Method, PoissonParams, create_solver)
 N = 65
 h = 1.0 / (N - 1)
 rng = np.random.default_rng(0)
-rhs = jnp.asarray(rng.normal(size=(1, N, N)))
+# Zero-mean interior rhs: the mirrored-Neumann problem the stationary
+# methods solve only has a solution when the rhs is compatible (zero sum);
+# a raw random rhs sends Jacobi/SOR to MAX_ITER by construction.
+raw = rng.normal(size=(1, N, N))
+raw[:, 1:-1, 1:-1] -= raw[:, 1:-1, 1:-1].mean()
+rhs = jnp.asarray(raw)
 
 print(f"Poisson 2D {N}x{N}, tol 1e-6:")
 print(f"{'method':>14} {'iters':>6} {'ms':>8}  status")

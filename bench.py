@@ -46,7 +46,7 @@ def build(n: int):
     step = make_projection_step(
         grid, params, dtype=jnp.float32,
         poisson_method=Method.FFT_DIRECT,
-        use_pallas_cg=True)  # Pallas predictor/divergence/corrector kernels
+        use_pallas=True)  # Pallas predictor/btilde/corrector kernels
 
     # Taylor-Green-style init built directly on device in f32 (avoids a
     # multi-GB float64 host detour at 512³).

@@ -60,13 +60,19 @@ _POISSON_MAKERS = {
 def make_projection_step(grid: Grid, params: NSParams, dtype=None,
                          poisson_method: Method = Method.CG,
                          poisson_params: PoissonParams = None,
-                         use_pallas_cg: bool = False,
-                         pallas_interpret: bool = False):
+                         use_pallas: bool = None,
+                         pallas_interpret: bool = False,
+                         use_pallas_cg: bool = None):
     """Build the jitted projection step: (field, dt, iter) → (field, StepResult).
 
-    ``use_pallas_cg=True`` swaps the pressure solve for the two-pass fused
-    Pallas CG (float32, 3D; falls back to the jnp CG when unsupported).
+    ``use_pallas=True`` enables the fused Pallas fast path (float32, 3D,
+    aligned grids; falls back to the jnp step when unsupported): streaming
+    predictor/divergence/corrector kernels, plus — per ``poisson_method`` —
+    either the two-pass fused Pallas CG or the direct spectral-input kernel.
+    ``use_pallas_cg`` is the original name, kept as an alias.
     """
+    if use_pallas is None:
+        use_pallas = bool(use_pallas_cg)
     validate_grid_for_solver(grid, grid.shape)
     if params.energy_enabled:
         validate_thermal_bc(params.thermal_bc, grid)
@@ -86,7 +92,7 @@ def make_projection_step(grid: Grid, params: NSParams, dtype=None,
     problem = PoissonProblem(grid.nx, grid.ny, grid.nz, dx, dy, grid.dz0)
     pparams = poisson_params or PoissonParams()
     poisson_solve = None
-    if use_pallas_cg and Method(poisson_method) == Method.CG \
+    if use_pallas and Method(poisson_method) == Method.CG \
             and dtype == jnp.float32:
         from ..poisson.krylov import make_cg_fused
         poisson_solve = make_cg_fused(problem, pparams, dtype,
@@ -100,7 +106,7 @@ def make_projection_step(grid: Grid, params: NSParams, dtype=None,
     # use the jnp path below).
     proj_kernels = None
     btilde_pipeline = None
-    if (use_pallas_cg and dtype == jnp.float32 and grid.nz > 2
+    if (use_pallas and dtype == jnp.float32 and grid.nz > 2
             and params.source_func is None and not params.buoyancy_enabled):
         from ...ops.pallas.projection_kernels import (
             ProjectionKernels, projection_kernels_supported)

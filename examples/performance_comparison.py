@@ -15,7 +15,7 @@ from cfd_tpu import FlowField, Grid
 from cfd_tpu.solvers.ns import NSParams
 from cfd_tpu.solvers.ns.euler import make_euler_step
 from cfd_tpu.solvers.ns.projection import make_projection_step
-from cfd_tpu.solvers.poisson.base import PoissonParams
+from cfd_tpu.solvers.poisson.base import Method, PoissonParams
 from cfd_tpu.solvers.ns.rk import make_rk2_step, make_rk4_step
 
 STEPS = 20
@@ -48,7 +48,9 @@ for n in (64, 128):
             ("rk4", make_rk4_step),
             ("projection", lambda g, p: make_projection_step(
                 g, p, poisson_params=PoissonParams(max_iterations=50,
-                                                   tolerance=1e-4)))):
+                                                   tolerance=1e-4))),
+            ("proj_fft", lambda g, p: make_projection_step(
+                g, p, poisson_method=Method.FFT_DIRECT))):
         params = NSParams(mu=0.01)
         step = maker(grid, params)
         t = measure(step, field, 1e-4)

@@ -160,7 +160,7 @@ def make_fft_btilde_solver(problem: PoissonProblem,
 
 
 def make_fft_direct(problem: PoissonProblem, params: PoissonParams,
-                    dtype=None, precision=lax.Precision.HIGHEST,
+                    precision=lax.Precision.HIGHEST,
                     compute_residuals: bool = True):
     """Build the direct solve: (x0, rhs) → PoissonResult (always 1 "iteration").
 

@@ -41,8 +41,15 @@ class ProjectionKernels:
     """The seven fused kernels for one (grid geometry, dtype)."""
 
     def __init__(self, nz, ny, nx, dx, dy, dz, xmin, ymin,
-                 dtype=jnp.float32, interpret=False):
+                 dtype=jnp.float32, interpret=False, global_nz=None):
+        """``global_nz``: sharded (z-decomposed) mode — the kernels operate
+        on a halo-padded local block of ``nz`` planes belonging to a global
+        ``global_nz``-plane domain; the btilde kernel then takes the shard's
+        global plane offset as an extra scalar so its Neumann face
+        coefficients land on the *global* k = 1 and k = global_nz − 2
+        planes.  Used by ``cfd_tpu.parallel.fused`` inside ``shard_map``."""
         self.shape = (nz, ny, nx)
+        self.global_nz = global_nz
         inv_2dx = 1.0 / (2.0 * dx)
         inv_2dy = 1.0 / (2.0 * dy)
         inv_dx2 = 1.0 / (dx * dx)
@@ -142,12 +149,20 @@ class ProjectionKernels:
                      + inv_dy2 * ((jj == 1).astype(dtype)
                                   + (jj == ny - 2).astype(dtype)))
             if inv_dz2:
-                kf = ((k == 1).astype(dtype) + (k == nz - 2).astype(dtype))
+                if global_nz is None:
+                    kg, nz_g = k, nz
+                else:
+                    # local padded plane k ↔ global plane offset + k − 1
+                    kg = scalars[1].astype(jnp.int32) + k - 1
+                    nz_g = global_nz
+                kf = ((kg == 1).astype(dtype)
+                      + (kg == nz_g - 2).astype(dtype))
                 coeff = coeff + inv_dz2 * kf
             return [mask * (coeff * p - scalars[0] * div)], None
 
         self.btilde_k = make_rolling_stencil(
-            nz, ny, nx, 1, 3, 1, btilde_compute, dtype, n_scalars=1,
+            nz, ny, nx, 1, 3, 1, btilde_compute, dtype,
+            n_scalars=1 if global_nz is None else 2,
             interpret=interpret)
 
         def corr_xy(component):
@@ -197,10 +212,17 @@ class ProjectionKernels:
         (out,) = self.divergence(jnp.asarray(rho_over_dt)[None], ws, us, vs)
         return out
 
-    def btilde(self, us, vs, ws, p, rho_over_dt):
-        """Fused spectral-solve input (zero shell, full shape)."""
-        (out,) = self.btilde_k(jnp.asarray(rho_over_dt)[None],
-                               ws, us, vs, p)
+    def btilde(self, us, vs, ws, p, rho_over_dt, z_offset=None):
+        """Fused spectral-solve input (zero shell, full shape).
+
+        In sharded mode (``global_nz`` set) pass ``z_offset`` — the global
+        plane index of the shard's first real plane."""
+        if self.global_nz is None:
+            scal = jnp.asarray(rho_over_dt)[None]
+        else:
+            rod = jnp.asarray(rho_over_dt)
+            scal = jnp.stack([rod, jnp.asarray(z_offset).astype(rod.dtype)])
+        (out,) = self.btilde_k(scal, ws, us, vs, p)
         return out
 
     def corrector(self, us, vs, ws, p, dt_over_rho):

@@ -186,7 +186,7 @@ def make_rolling_stencil(nz: int, ny: int, nx: int,
 
     out_shapes = [jax.ShapeDtypeStruct((rows, nx), dtype)
                   for _ in range(n_out)]
-    out_specs = [pl.BlockSpec(memory_space=pltpu.ANY) for _ in range(n_out)]
+    out_specs = [pl.BlockSpec(memory_space=pl.ANY) for _ in range(n_out)]
     if with_reduction:
         out_shapes.append(jax.ShapeDtypeStruct((1, 1), dtype))
         out_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
@@ -194,7 +194,7 @@ def make_rolling_stencil(nz: int, ny: int, nx: int,
     call = pl.pallas_call(
         kernel,
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
-        + [pl.BlockSpec(memory_space=pltpu.ANY) for _ in range(n_in)],
+        + [pl.BlockSpec(memory_space=pl.ANY) for _ in range(n_in)],
         out_specs=out_specs,
         out_shape=out_shapes,
         scratch_shapes=(

@@ -1,0 +1,207 @@
+"""Fused multi-chip projection step: shard_map + ring halos + pencil DST.
+
+This is the *performance* half of the domain-decomposition design (the
+correctness half — GSPMD placement of the jnp step — lives in
+``sharded.py``).  It is the TPU-native replacement for the reference's
+missing MPI layer (`ROADMAP.md:88`, SURVEY §2.9), built so every hot loop
+stays in the single-chip fast path:
+
+* fields are **z-decomposed** over a mesh axis ``'z'`` (x stays the lane
+  dimension, y the sublane dimension — untouched, so every in-plane kernel
+  is bit-identical to the single-chip one);
+* each shard runs the **rolling-plane Pallas kernels** on its local block,
+  halo-padded by one plane per side via two ``lax.ppermute``s over ICI
+  (only the *7-point-halo* inputs are exchanged; plane-only inputs are
+  zero-padded locally, their pad planes are never read);
+* the pressure solve is the **pencil-transpose distributed DST**
+  (`..solvers.poisson.spectral.make_btilde_pipeline_sharded`): local MXU
+  einsums + two ``all_to_all``s;
+* global z-shell semantics (the reference's boundary save/restore idiom,
+  `solver_projection.c:187-189,277-278`) are restored per edge shard with
+  one-plane masked writes.
+
+Per step, the inter-chip traffic is 5 single-plane ppermute pairs + 2
+all-to-alls — all on ICI; there is no host round-trip.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..core.field import FlowField
+from ..core.grid import Grid
+from ..solvers.energy import apply_thermal_bcs, make_energy_step, \
+    validate_thermal_bc
+from ..solvers.ns.common import field_status_and_diagnostics, \
+    validate_grid_for_solver
+from ..solvers.ns.params import NSParams, StepResult
+from ..solvers.poisson.base import PoissonProblem
+from ..solvers.poisson.spectral import make_btilde_pipeline_sharded
+
+
+def _mesh_z_size(mesh: Mesh):
+    """Shard count along 'z' if the mesh is z-only (other axes size 1)."""
+    if "z" not in mesh.axis_names:
+        return None
+    for name in mesh.axis_names:
+        if name != "z" and mesh.shape[name] != 1:
+            return None
+    return mesh.shape["z"]
+
+
+def fused_sharded_unsupported_reason(grid: Grid, params: NSParams,
+                                     mesh: Mesh, dtype) -> str | None:
+    """None when the fused shard_map path applies, else a human reason."""
+    from ..ops.pallas.projection_kernels import projection_kernels_supported
+
+    n = _mesh_z_size(mesh)
+    if n is None:
+        return ("fused sharded projection needs a z-only mesh "
+                f"(got axes {dict(mesh.shape)})")
+    if dtype != jnp.float32:
+        return f"fused kernels are float32-only (got {dtype})"
+    if grid.nz <= 2:
+        return "fused sharded projection is 3D-only"
+    if grid.nz % n != 0 or grid.nz // n < 2:
+        return (f"nz={grid.nz} must be divisible by {n} shards with >= 2 "
+                "planes per shard")
+    if not projection_kernels_supported(grid.nz // n + 2, grid.ny, grid.nx):
+        return (f"local block ({grid.nz // n}+2, {grid.ny}, {grid.nx}) "
+                "outside rolling-kernel support (nx%128, ny%8, VMEM)")
+    if params.source_func is not None or params.buoyancy_enabled:
+        return "custom sources / Boussinesq coupling use the jnp path"
+    return None
+
+
+def make_fused_sharded_projection_step(grid: Grid, params: NSParams,
+                                       mesh: Mesh, dtype=jnp.float32,
+                                       poisson_params=None,
+                                       interpret: bool = None):
+    """Build (field, dt, iter) → (field, StepResult), z-sharded over mesh.
+
+    The pressure solve is the exact distributed DST (FFT_DIRECT semantics);
+    ``poisson_params`` is accepted for signature parity but a direct method
+    has no iteration knobs.  ``interpret`` defaults to True off-TPU so the
+    same program runs on virtual CPU meshes (tests, driver dryrun).
+    """
+    reason = fused_sharded_unsupported_reason(grid, params, mesh, dtype)
+    if reason is not None:
+        raise ValueError(f"fused sharded projection unsupported: {reason}")
+    validate_grid_for_solver(grid, grid.shape)
+    if params.energy_enabled:
+        validate_thermal_bc(params.thermal_bc, grid)
+    if interpret is None:
+        interpret = mesh.devices.flat[0].platform != "tpu"
+
+    nz, ny, nx = grid.nz, grid.ny, grid.nx
+    n_shards = _mesh_z_size(mesh)
+    nzl = nz // n_shards
+
+    from ..ops.pallas.projection_kernels import ProjectionKernels
+    pk = ProjectionKernels(nzl + 2, ny, nx, grid.dx0, grid.dy0, grid.dz0,
+                           grid.xmin, grid.ymin, dtype,
+                           interpret=interpret, global_nz=nz)
+    if not (pk.ok and pk.btilde_k is not None):
+        raise ValueError("fused sharded projection: kernel build failed")
+
+    problem = PoissonProblem(nx, ny, nz, grid.dx0, grid.dy0, grid.dz0)
+    pencil = make_btilde_pipeline_sharded(problem, "z", n_shards, dtype)
+    energy_step = make_energy_step(grid, params.alpha,
+                                   params.heat_source_func)
+
+    fwd = [(i, i + 1) for i in range(n_shards - 1)]
+    bwd = [(i + 1, i) for i in range(n_shards - 1)]
+
+    def hpad(x):
+        """Halo-pad (nzl, ny, nx) → (nzl+2, ny, nx) via ring ppermutes.
+
+        Edge shards receive zero halo planes (ppermute default) — their
+        outer output planes are overwritten by the shell fix below.
+        """
+        if n_shards == 1:
+            return jnp.pad(x, ((1, 1), (0, 0), (0, 0)))
+        lo = lax.ppermute(x[-1:], "z", fwd)   # left neighbor's last plane
+        hi = lax.ppermute(x[:1], "z", bwd)    # right neighbor's first plane
+        return jnp.concatenate([lo, x, hi], axis=0)
+
+    def zpad(x):
+        """Zero-pad plane-only inputs (their pad planes are never read)."""
+        return jnp.pad(x, ((1, 1), (0, 0), (0, 0)))
+
+    def fix_shell(out, shell_src, first, last):
+        """Restore global z-shell planes (reference save/restore idiom)."""
+        out = out.at[0].set(jnp.where(first, shell_src[0], out[0]))
+        out = out.at[-1].set(jnp.where(last, shell_src[-1], out[-1]))
+        return out
+
+    def local_step(u, v, w, p, dt, rho0, su_amp, sv_amp):
+        idx = lax.axis_index("z")
+        first = idx == 0
+        last = idx == n_shards - 1
+
+        s_pred = jnp.stack([dt, jnp.asarray(params.mu, dtype),
+                            su_amp, sv_amp])
+        us = pk.pred_u(s_pred, hpad(u), zpad(v), zpad(w))[0][1:-1]
+        vs = pk.pred_v(s_pred, hpad(v), zpad(u), zpad(w))[0][1:-1]
+        ws = pk.pred_w(s_pred, hpad(w), zpad(u), zpad(v))[0][1:-1]
+        us = fix_shell(us, u, first, last)
+        vs = fix_shell(vs, v, first, last)
+        ws = fix_shell(ws, w, first, last)
+
+        bt = pk.btilde(zpad(us), zpad(vs), hpad(ws), zpad(p),
+                       rho0 / dt, z_offset=idx * nzl)[1:-1]
+        zero = jnp.zeros_like(bt[0])
+        bt = fix_shell(bt, jnp.stack([zero, zero]), first, last)
+
+        p_new = pencil(bt)
+
+        s_corr = (dt / rho0)[None]
+        un = pk.corr_u(s_corr, zpad(us), zpad(p_new))[0][1:-1]
+        vn = pk.corr_v(s_corr, zpad(vs), zpad(p_new))[0][1:-1]
+        wn = pk.corr_w(s_corr, hpad(p_new), zpad(ws))[0][1:-1]
+        un = fix_shell(un, us, first, last)
+        vn = fix_shell(vn, vs, first, last)
+        wn = fix_shell(wn, ws, first, last)
+        return un, vn, wn, p_new
+
+    spec = P("z", None, None)
+    smapped = jax.shard_map(
+        local_step, mesh=mesh,
+        in_specs=(spec, spec, spec, spec, P(), P(), P(), P()),
+        out_specs=(spec, spec, spec, spec),
+        check_vma=False)
+
+    def step(field: FlowField, dt, iter_idx):
+        dt = jnp.asarray(dt, dtype)
+        rho0 = field.rho[0, 0, 0]
+        rho0 = jnp.where(rho0 < 1e-10, 1.0, rho0).astype(dtype)
+        decay = jnp.exp(jnp.asarray(
+            -params.source_decay_rate * iter_idx * dt, dtype))
+        su = jnp.asarray(params.source_amplitude_u, dtype) * decay
+        sv = jnp.asarray(params.source_amplitude_v, dtype) * decay
+
+        u, v, w, p = smapped(field.u, field.v, field.w, field.p,
+                             dt, rho0, su, sv)
+        new_field = field.replace(u=u, v=v, w=w, p=p)
+
+        # Energy + thermal BCs run as plain sharded jnp (GSPMD partitions
+        # the advection-diffusion stencils; `solver_projection.c:256-268`).
+        if energy_step is not None:
+            T = energy_step(new_field.T, new_field.u, new_field.v,
+                            new_field.w, dt, iter_idx * dt)
+            new_field = new_field.replace(T=T)
+        if params.energy_enabled:
+            new_field = new_field.replace(
+                T=apply_thermal_bcs(new_field.T, params.thermal_bc))
+
+        finite, vmax, pmax, tmax = field_status_and_diagnostics(new_field)
+        status = jnp.where(~finite, jnp.int32(-6), jnp.int32(0))
+        return new_field, StepResult(
+            iterations=jnp.int32(1), status=status,
+            residual=jnp.zeros((), dtype),
+            max_velocity=vmax, max_pressure=pmax, max_temperature=tmax)
+
+    return step

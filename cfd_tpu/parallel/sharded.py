@@ -37,7 +37,42 @@ def make_sharded_step(grid: Grid, params: NSParams, mesh: Mesh,
     Returns (step_fn, place_fn): ``place_fn(field)`` shards the initial
     state; ``step_fn(field, dt, iter)`` runs one step with all collectives
     inside the single XLA program.
+
+    ``use_pallas=True`` with ``method="projection"`` selects the fused
+    multi-chip fast path (`.fused`: shard_map + ring-halo rolling kernels +
+    pencil-transpose DST) when the mesh/grid qualify; otherwise it falls
+    back to the GSPMD jnp step with a logged warning — the single-chip
+    manual-DMA kernels are never run under GSPMD partitioning, where their
+    shell passthrough would be silently wrong at shard boundaries.
     """
+    import jax.numpy as jnp
+
+    from ..core.logging import warning
+    from .fused import (fused_sharded_unsupported_reason,
+                        make_fused_sharded_projection_step)
+
+    use_pallas = bool(kw.pop("use_pallas", False)
+                      or kw.pop("use_pallas_cg", False))
+    if use_pallas:
+        dtype = kw.get("dtype") or jnp.float32
+        if method != "projection":
+            warning("parallel", "use_pallas: no fused sharded %s step; "
+                    "falling back to the GSPMD jnp path", method)
+        else:
+            reason = fused_sharded_unsupported_reason(grid, params, mesh,
+                                                      dtype)
+            if reason is None:
+                raw = make_fused_sharded_projection_step(
+                    grid, params, mesh, dtype=dtype,
+                    poisson_params=kw.get("poisson_params"),
+                    interpret=kw.get("pallas_interpret"))
+                sharding = field_sharding(mesh, grid.nz > 1)
+                out_field = FlowField(u=sharding, v=sharding, w=sharding,
+                                      p=sharding, rho=sharding, T=sharding)
+                step = jax.jit(raw, out_shardings=(out_field, None))
+                return step, lambda field: shard_field(field, mesh)
+            warning("parallel", "use_pallas: %s; falling back to the "
+                    "GSPMD jnp path", reason)
     raw_step = _BUILDERS[method](grid, params, **kw)
     sharding = field_sharding(mesh, grid.nz > 1)
     out_field = FlowField(u=sharding, v=sharding, w=sharding, p=sharding,

@@ -159,6 +159,92 @@ def make_fft_btilde_solver(problem: PoissonProblem,
     return jax.jit(_make_btilde_pipeline(problem, precision))
 
 
+def make_btilde_pipeline_sharded(problem: PoissonProblem, axis_name: str,
+                                 n_shards: int, dtype=jnp.float32,
+                                 precision=lax.Precision.HIGHEST):
+    """Pencil-transpose distributed DST for use *inside* ``shard_map``.
+
+    The TPU-native answer to the reference's missing MPI layer
+    (`ROADMAP.md:88`, SURVEY §2.9) for the spectral pressure solve: fields
+    are z-decomposed over ``n_shards`` devices on mesh axis ``axis_name``;
+    each transform stage is a local MXU einsum and the two re-shardings
+    between z-pencils and x-pencils are ``all_to_all``s over ICI:
+
+        z-pencil:  DSTx, DSTy          (local matmuls — x, y unsharded)
+        all_to_all: split spectral-x, gather z   → x-pencil
+        x-pencil:  DSTz, ÷λ, DSTz⁻¹    (local — z now unsharded)
+        all_to_all: split z, gather spectral-x   → z-pencil
+        z-pencil:  DSTy⁻¹, DSTx⁻¹      (local)
+
+    The spectral-x axis is zero-padded from mx = nx−2 up to a multiple of
+    ``n_shards`` (zero forward rows → zero coefficients; padded eigenvalues
+    are 1 so 0/1 stays 0; zero inverse columns drop them), keeping the
+    all_to_all split exact for any nx.
+
+    Returns ``fn(btilde_local) -> x_local`` mapping the local
+    (nz/P, ny, nx) zero-shell b̃ block to the local solution block with its
+    Neumann mirror shell in place (same contract as
+    :func:`make_fft_btilde_solver`, judged shard-wise).
+    """
+    if not spectral_supported(problem) or not problem.is_3d:
+        raise ValueError("sharded spectral solver needs a 3D problem "
+                         "(nz>=3, dz>0)")
+    P = int(n_shards)
+    if problem.nz % P != 0:
+        raise ValueError(f"nz={problem.nz} not divisible by {P} shards")
+
+    nx, ny, nz = problem.nx, problem.ny, problem.nz
+    mx, my, mz = nx - 2, ny - 2, nz - 2
+    mxp = ((mx + P - 1) // P) * P          # padded spectral-x size
+    chunk = mxp // P
+
+    lx = np.ones(mxp)
+    lx[:mx] = _dirichlet_eigenvalues(mx, problem.inv_dx2)
+    ly = _dirichlet_eigenvalues(my, problem.inv_dy2)
+    lz = _dirichlet_eigenvalues(mz, problem.inv_dz2)
+    scale = (2.0 / (mx + 1)) * (2.0 / (my + 1)) * (2.0 / (mz + 1))
+
+    def pad_cols(S):
+        return np.pad(S, ((0, 0), (1, 1)))
+
+    # Forward: zero-padded rows on x (extra modes are identically zero).
+    Fx = jnp.asarray(np.pad(pad_cols(_sine_matrix(mx)),
+                            ((0, mxp - mx), (0, 0))), dtype)
+    Fy = jnp.asarray(pad_cols(_sine_matrix(my)), dtype)
+    Fz = jnp.asarray(pad_cols(_sine_matrix(mz)), dtype)
+    # Inverse: mirror-extended, zero-padded columns on x; scale folds into Gx.
+    Gx = jnp.asarray(np.pad(_mirror_extended_inverse(mx, scale),
+                            ((0, 0), (0, mxp - mx))), dtype)
+    Gy = jnp.asarray(_mirror_extended_inverse(my, 1.0), dtype)
+    Gz = jnp.asarray(_mirror_extended_inverse(mz, 1.0), dtype)
+    vx = jnp.asarray(lx, dtype)
+    vy = jnp.asarray(ly, dtype)
+    vz = jnp.asarray(lz, dtype)
+
+    def pipeline(btilde_local):
+        prec = precision
+        idx = lax.axis_index(axis_name)
+        a = jnp.einsum("ax,zyx->zya", Fx, btilde_local, precision=prec)
+        a = jnp.einsum("by,zyx->zbx", Fy, a, precision=prec)
+        # z-pencil → x-pencil: split spectral-x into P chunks, gather z.
+        a = lax.all_to_all(a, axis_name, split_axis=2, concat_axis=0,
+                           tiled=True)
+        a = jnp.einsum("cz,zyx->cyx", Fz, a, precision=prec)
+        vx_local = lax.dynamic_slice(vx, (idx * chunk,), (chunk,))
+        lam = (vz[:, None, None] + vy[None, :, None]
+               + vx_local[None, None, :])
+        a = a / lam
+        a = jnp.einsum("cz,zyx->cyx", Gz, a, precision=prec)
+        # x-pencil → z-pencil: split z, gather spectral-x.
+        a = lax.all_to_all(a, axis_name, split_axis=0, concat_axis=2,
+                           tiled=True)
+        a = jnp.einsum("by,zyx->zbx", Gy, a, precision=prec)
+        a = jnp.einsum("ax,zyx->zya", Gx, a, precision=prec)
+        return a
+
+    return pipeline
+
+
 def make_fft_direct(problem: PoissonProblem, params: PoissonParams,
                     precision=lax.Precision.HIGHEST,
                     compute_residuals: bool = True):

@@ -1,0 +1,183 @@
+"""Fused multi-chip projection path (shard_map + ring halos + pencil DST).
+
+Validates the performance half of the domain decomposition on the 8-device
+virtual CPU mesh: numerics vs the single-device jnp and single-chip fused
+paths, the presence of the designed collectives in the compiled HLO, and
+the use_pallas guard/fallback in ``make_sharded_step``.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cfd_tpu import FlowField, Grid
+from cfd_tpu.parallel import make_mesh, make_sharded_step
+from cfd_tpu.parallel.fused import (fused_sharded_unsupported_reason,
+                                    make_fused_sharded_projection_step)
+from cfd_tpu.solvers.ns import NSParams
+from cfd_tpu.solvers.ns.projection import make_projection_step
+from cfd_tpu.solvers.poisson.base import Method
+
+
+def _random_field(grid, seed=0, amp=0.1):
+    rng = np.random.default_rng(seed)
+    f = FlowField.initialize(grid, dtype=jnp.float32)
+    return f.replace(
+        u=jnp.asarray(rng.normal(0, amp, grid.shape), jnp.float32),
+        v=jnp.asarray(rng.normal(0, amp, grid.shape), jnp.float32),
+        w=jnp.asarray(rng.normal(0, amp, grid.shape), jnp.float32),
+        p=jnp.asarray(rng.normal(0, amp, grid.shape), jnp.float32))
+
+
+@pytest.fixture(scope="module")
+def grid():
+    return Grid.uniform(128, 16, 16, zmin=0.0, zmax=1.0)
+
+
+@pytest.fixture(scope="module")
+def zmesh():
+    return make_mesh(axes=("z",))
+
+
+def test_fused_sharded_matches_jnp_single_device(grid, zmesh):
+    params = NSParams()
+    f = _random_field(grid)
+
+    ref_step = jax.jit(make_projection_step(
+        grid, params, dtype=jnp.float32,
+        poisson_method=Method.FFT_DIRECT))
+    f_ref, res_ref = ref_step(f, 0.001, 0)
+
+    step, place = make_sharded_step(grid, params, zmesh, "projection",
+                                    use_pallas=True, dtype=jnp.float32)
+    f_out, res = step(place(f), 0.001, 0)
+
+    assert int(res.status) == int(res_ref.status) == 0
+    assert len(f_out.u.sharding.device_set) == 8
+    for name in ("u", "v", "w"):
+        np.testing.assert_allclose(np.asarray(getattr(f_out, name)),
+                                   np.asarray(getattr(f_ref, name)),
+                                   atol=5e-6)
+    np.testing.assert_allclose(np.asarray(f_out.p), np.asarray(f_ref.p),
+                               atol=5e-5)
+
+
+def test_fused_sharded_matches_fused_single_chip(grid, zmesh):
+    """Same kernels, sharded vs one device: agreement at f32 roundoff."""
+    params = NSParams()
+    f = _random_field(grid, seed=3)
+
+    ref_step = jax.jit(make_projection_step(
+        grid, params, dtype=jnp.float32, use_pallas=True,
+        pallas_interpret=True, poisson_method=Method.FFT_DIRECT))
+    f_ref, _ = ref_step(f, 0.001, 0)
+
+    step, place = make_sharded_step(grid, params, zmesh, "projection",
+                                    use_pallas=True, dtype=jnp.float32)
+    f_out, _ = step(place(f), 0.001, 0)
+
+    for name in ("u", "v", "w"):
+        np.testing.assert_allclose(np.asarray(getattr(f_out, name)),
+                                   np.asarray(getattr(f_ref, name)),
+                                   atol=2e-6)
+    np.testing.assert_allclose(np.asarray(f_out.p), np.asarray(f_ref.p),
+                               atol=2e-5)
+
+
+def test_fused_sharded_hlo_collectives(grid, zmesh):
+    """The compiled program contains the designed ICI collectives: ring
+    halo exchanges (collective-permute) and pencil transposes (all-to-all),
+    and no all-gather of a full field."""
+    params = NSParams()
+    step = make_fused_sharded_projection_step(grid, params, zmesh)
+    f = _random_field(grid)
+    from cfd_tpu.parallel.mesh import shard_field
+    fs = shard_field(f, zmesh)
+    hlo = jax.jit(step).lower(fs, jnp.float32(1e-3), 0).compile().as_text()
+    assert "collective-permute" in hlo
+    assert "all-to-all" in hlo
+
+
+def test_fused_sharded_multi_step(grid, zmesh):
+    """Three steps track the single-device jnp integrator."""
+    params = NSParams()
+    f = _random_field(grid, seed=7)
+
+    ref_step = jax.jit(make_projection_step(
+        grid, params, dtype=jnp.float32,
+        poisson_method=Method.FFT_DIRECT))
+    step, place = make_sharded_step(grid, params, zmesh, "projection",
+                                    use_pallas=True, dtype=jnp.float32)
+    fr, fs = f, place(f)
+    for i in range(3):
+        fr, _ = ref_step(fr, 0.001, i)
+        fs, res = step(fs, 0.001, i)
+    assert int(res.status) == 0
+    np.testing.assert_allclose(np.asarray(fs.u), np.asarray(fr.u), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(fs.p), np.asarray(fr.p), atol=2e-4)
+
+
+def test_fused_sharded_energy_coupling(grid, zmesh):
+    """Energy advection-diffusion runs sharded (GSPMD) after the fused
+    momentum step and matches the single-device solution."""
+    params = NSParams(alpha=0.05)
+    f = _random_field(grid, seed=11)
+    T0 = jnp.asarray(
+        np.random.default_rng(5).normal(300.0, 1.0, grid.shape), jnp.float32)
+    f = f.replace(T=T0)
+
+    ref_step = jax.jit(make_projection_step(
+        grid, params, dtype=jnp.float32,
+        poisson_method=Method.FFT_DIRECT))
+    f_ref, _ = ref_step(f, 0.001, 0)
+
+    step, place = make_sharded_step(grid, params, zmesh, "projection",
+                                    use_pallas=True, dtype=jnp.float32)
+    f_out, res = step(place(f), 0.001, 0)
+    assert int(res.status) == 0
+    np.testing.assert_allclose(np.asarray(f_out.T), np.asarray(f_ref.T),
+                               rtol=1e-5, atol=1e-4)
+
+
+def test_use_pallas_guard_fallback(grid):
+    """use_pallas on a non-qualifying mesh falls back to the GSPMD jnp path
+    (never runs the manual-DMA kernels under GSPMD) and stays correct."""
+    params = NSParams()
+    f = _random_field(grid, seed=2)
+    mesh2d = make_mesh(axes=("z", "y"))   # y>1 → fused path must refuse
+    assert fused_sharded_unsupported_reason(
+        grid, params, mesh2d, jnp.float32) is not None
+
+    step, place = make_sharded_step(grid, params, mesh2d, "projection",
+                                    use_pallas=True, dtype=jnp.float32,
+                                    poisson_method=Method.FFT_DIRECT)
+    f_out, res = step(place(f), 0.001, 0)
+    assert int(res.status) == 0
+
+    ref_step = jax.jit(make_projection_step(
+        grid, params, dtype=jnp.float32,
+        poisson_method=Method.FFT_DIRECT))
+    f_ref, _ = ref_step(f, 0.001, 0)
+    np.testing.assert_allclose(np.asarray(f_out.u), np.asarray(f_ref.u),
+                               atol=1e-5)
+
+
+def test_unsupported_reasons(grid):
+    params = NSParams()
+    zmesh = make_mesh(axes=("z",))
+    # wrong dtype
+    assert "float32" in fused_sharded_unsupported_reason(
+        grid, params, zmesh, jnp.float64)
+    # 2D grid
+    g2 = Grid.uniform(128, 16)
+    assert fused_sharded_unsupported_reason(
+        g2, params, zmesh, jnp.float32) is not None
+    # indivisible nz
+    g_odd = Grid.uniform(128, 16, 12, zmin=0.0, zmax=1.0)
+    assert "divisible" in fused_sharded_unsupported_reason(
+        g_odd, params, zmesh, jnp.float32)
+    # custom source
+    p_src = NSParams(source_func=lambda X, Y, Z, t: (X, Y, Z))
+    assert "jnp path" in fused_sharded_unsupported_reason(
+        grid, p_src, zmesh, jnp.float32)

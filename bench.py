@@ -1,26 +1,32 @@
-"""Benchmark: Chorin projection step throughput in MLUPS.
+"""Benchmark: Chorin projection throughput (MLUPS) + on-chip physics gate.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...} — the
+primary metric is the 3D projection step at the largest grid that fits; the
+same line carries the 2D fused-step rows and an on-hardware Ghia Re=100
+correctness gate so the throughput number is tied to correct physics on the
+actual chip/dtype (the reference's cross-backend consistency strategy,
+`tests/validation/test_cavity_backends.c:38-50`).
 
 Protocol
 --------
-* Largest 3D grid that fits on the chip (tries 512³ → 384³ → 256³ → 192³),
-  float32, Taylor-Green-like initial condition.
-* One full projection step = Pallas predictor + divergence + **exact**
-  spectral pressure solve (DST-I on the MXU, `Method.FFT_DIRECT` — per-step
-  relative pressure residual ~2e-6, tighter than any iterative setting the
-  reference benchmarks with) + corrector + boundary handling + the per-step
-  finite/max diagnostics.
-* MLUPS = cells × steps / seconds (the reference repo's own
-  cell-updates-per-second metric, `examples/performance_comparison.c:61`).
+* 3D: largest grid that fits (512³ → …), float32, Taylor-Green-like init.
+  One step = Pallas predictor + btilde + **exact** spectral pressure solve
+  (DST-I on the MXU, `Method.FFT_DIRECT`, Precision.HIGHEST) + corrector +
+  diagnostics.
+* 2D: 2048² fused block-marching step, reported at HIGHEST and at the
+  Precision.HIGH spectral setting (3-pass bf16 transforms, ~5e-5 relative
+  solution error — far tighter than any iterative tolerance the reference
+  benchmarks with).
+* Ghia gate: lid cavity Re=100 at 128², f32, fused path, 20k steps of
+  dt=5e-4 (t=10); asserts centerline RMS vs Ghia et al. (1982) < 0.10 — the
+  reference's own acceptance bar (`lid_driven_cavity_common.h:28-58`).
+* MLUPS = cells × steps / seconds (`examples/performance_comparison.c:61`).
 
 Baseline
 --------
-The reference publishes projection_optimized (CPU SIMD) at 5.3 ms / 50 steps
-on 100×50 ⇒ 47 MLUPS (`docs/reference/solvers.md:353-361`), and its CUDA
-backend at 12.1× SIMD on large grids (`solvers.md:376-379`) ⇒ ≈570 MLUPS.
-vs_baseline is measured against that strongest reference configuration
-(GPU at scale): vs_baseline = MLUPS / 569.
+projection_optimized (CPU SIMD): 5.3 ms / 50 steps on 100×50 ⇒ 47 MLUPS
+(`docs/reference/solvers.md:353-361`); CUDA at 12.1× SIMD on large grids
+(`solvers.md:376-379`) ⇒ ≈570 MLUPS. vs_baseline = MLUPS / 569.
 """
 
 from __future__ import annotations
@@ -32,56 +38,39 @@ REFERENCE_BASELINE_MLUPS = 569.0  # reference CUDA projection at scale
 TIMED_STEPS = 5
 
 
-def build(n: int):
+def _tg_field(shape):
     import jax.numpy as jnp
 
-    from cfd_tpu import FlowField, Grid
-    from cfd_tpu.solvers.ns import NSParams
-    from cfd_tpu.solvers.ns.projection import make_projection_step
-    from cfd_tpu.solvers.poisson.base import Method
+    from cfd_tpu import FlowField
 
-    grid = Grid.uniform(n, n, n, zmin=0.0, zmax=1.0)
-    params = NSParams(source_amplitude_u=0.0, source_amplitude_v=0.0,
-                      mu=0.01)
-    step = make_projection_step(
-        grid, params, dtype=jnp.float32,
-        poisson_method=Method.FFT_DIRECT,
-        use_pallas=True)  # Pallas predictor/btilde/corrector kernels
-
-    # Taylor-Green-style init built directly on device in f32 (avoids a
-    # multi-GB float64 host detour at 512³).
-    x = jnp.linspace(0.0, 1.0, n, dtype=jnp.float32)
-    X = x[None, None, :]
-    Y = x[None, :, None]
-    Z = x[:, None, None]
+    nz, ny, nx = shape
+    x = jnp.linspace(0.0, 1.0, nx, dtype=jnp.float32)
+    y = jnp.linspace(0.0, 1.0, ny, dtype=jnp.float32)
     two_pi = 2.0 * jnp.pi
-    u = jnp.sin(two_pi * X) * jnp.cos(two_pi * Y) * jnp.cos(two_pi * Z)
-    v = -jnp.cos(two_pi * X) * jnp.sin(two_pi * Y) * jnp.cos(two_pi * Z)
-    shape = (n, n, n)
-    field = FlowField(
+    u = jnp.sin(two_pi * x)[None, None, :] * jnp.cos(two_pi * y)[None, :, None]
+    if nz > 1:
+        z = jnp.linspace(0.0, 1.0, nz, dtype=jnp.float32)
+        u = u * jnp.cos(two_pi * z)[:, None, None]
+    return FlowField(
         u=jnp.broadcast_to(u, shape),
-        v=jnp.broadcast_to(v, shape),
+        v=-jnp.broadcast_to(u, shape),
         w=jnp.zeros(shape, jnp.float32),
         p=jnp.ones(shape, jnp.float32),
         rho=jnp.ones(shape, jnp.float32),
         T=jnp.full(shape, 300.0, jnp.float32))
-    return step, field
 
 
-def run_size(n: int) -> float:
+def _time_steps(step, field, dt, steps=TIMED_STEPS):
     import jax
     import jax.numpy as jnp
     from jax import lax
-
-    step, field = build(n)
-    dt = 1e-4
 
     @jax.jit
     def multi(f):
         def body(i, f):
             f2, _ = step(f, dt, i)
             return f2
-        f = lax.fori_loop(0, TIMED_STEPS, body, f)
+        f = lax.fori_loop(0, steps, body, f)
         # Tiny scalar fetch forces device completion (plain block_until_ready
         # can return early over remote-tunnel transports).
         return jnp.sum(f.u[0, 0])
@@ -89,30 +78,129 @@ def run_size(n: int) -> float:
     float(multi(field))  # compile + warmup
     t0 = time.perf_counter()
     float(multi(field))
-    elapsed = time.perf_counter() - t0
-    cells = float(n) ** 3
-    return cells * TIMED_STEPS / elapsed / 1e6
+    return time.perf_counter() - t0
+
+
+def _make_step(grid, **kw):
+    import jax.numpy as jnp
+
+    from cfd_tpu.solvers.ns import NSParams
+    from cfd_tpu.solvers.ns.projection import make_projection_step
+    from cfd_tpu.solvers.poisson.base import Method
+
+    params = NSParams(source_amplitude_u=0.0, source_amplitude_v=0.0,
+                      mu=0.01)
+    return make_projection_step(
+        grid, params, dtype=jnp.float32,
+        poisson_method=Method.FFT_DIRECT, use_pallas=True, **kw)
+
+
+def run_3d(n: int) -> float:
+    from cfd_tpu import Grid
+
+    grid = Grid.uniform(n, n, n, zmin=0.0, zmax=1.0)
+    step = _make_step(grid)
+    elapsed = _time_steps(step, _tg_field((n, n, n)), 1e-4)
+    return float(n) ** 3 * TIMED_STEPS / elapsed / 1e6
+
+
+def run_2d(n: int, precision=None) -> float:
+    from cfd_tpu import Grid
+
+    grid = Grid.uniform(n, n)
+    kw = {} if precision is None else {"spectral_precision": precision}
+    step = _make_step(grid, **kw)
+    steps = 4 * TIMED_STEPS
+    elapsed = _time_steps(step, _tg_field((1, n, n)), 1e-5, steps)
+    return float(n) ** 2 * steps / elapsed / 1e6
+
+
+def ghia_gate(n: int = 128, steps: int = 20000, dt: float = 5e-4):
+    """Lid cavity Re=100 on-chip (f32, fused path) → (rms_u, rms_v)."""
+    import sys
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from jax import lax
+
+    from cfd_tpu import FlowField, Grid
+    from cfd_tpu.boundary import (DirichletValues, apply_dirichlet_scalar,
+                                  apply_neumann_scalar)
+
+    sys.path.insert(0, ".")
+    from tests.validation import ghia_data
+
+    grid = Grid.uniform(n, n)
+    step = _make_step(grid)   # mu=0.01 → Re=100 at lid speed 1
+    u_bc = DirichletValues(top=1.0)
+    v_bc = DirichletValues()
+
+    def cavity_step(field, i):
+        field = field.replace(
+            u=apply_dirichlet_scalar(field.u, u_bc),
+            v=apply_dirichlet_scalar(field.v, v_bc),
+            p=apply_neumann_scalar(field.p))
+        field, res = step(field, dt, i)
+        return field, res.status
+
+    @jax.jit
+    def run(field):
+        field, statuses = lax.scan(cavity_step, field,
+                                   jnp.arange(steps, dtype=jnp.int32))
+        return field, jnp.max(jnp.abs(statuses))
+
+    field0 = FlowField.quiescent(n, n, pressure=0.0, dtype=jnp.float32)
+    field, bad = run(field0)
+    assert int(bad) == 0, "cavity run failed on-chip"
+    u_prof = np.asarray(field.u)[0, :, n // 2]
+    v_prof = np.asarray(field.v)[0, n // 2, :]
+    y = np.asarray(grid.y)
+    x = np.asarray(grid.x)
+    rms_u = ghia_data.profile_rms_error(y, u_prof, ghia_data.Y_COORDS,
+                                        ghia_data.U_TABLES[100])
+    rms_v = ghia_data.profile_rms_error(x, v_prof, ghia_data.X_COORDS,
+                                        ghia_data.V_TABLES[100])
+    return float(rms_u), float(rms_v)
 
 
 def main():
+    from jax import lax
+
+    mlups3d = None
+    grid3d = None
     last_err = None
     for n in (512, 384, 256, 192, 128):
         try:
-            mlups = run_size(n)
+            mlups3d = run_3d(n)
+            grid3d = n
+            break
         except Exception as e:  # OOM or compile failure: try smaller
             last_err = e
-            continue
-        print(json.dumps({
-            "metric": "projection_step_mlups",
-            "value": round(mlups, 1),
-            "unit": "MLUPS",
-            "vs_baseline": round(mlups / REFERENCE_BASELINE_MLUPS, 3),
-            "grid": f"{n}x{n}x{n}",
-            "pressure_solver": "fft_direct(exact)",
-            "dtype": "float32",
-        }))
-        return
-    raise SystemExit(f"bench failed at all sizes: {last_err}")
+    if mlups3d is None:
+        raise SystemExit(f"bench failed at all 3D sizes: {last_err}")
+
+    mlups2d = run_2d(2048)
+    mlups2d_fast = run_2d(2048, precision=lax.Precision.HIGH)
+    rms_u, rms_v = ghia_gate()
+    assert rms_u < 0.10 and rms_v < 0.10, (
+        f"on-chip Ghia gate failed: rms_u={rms_u:.4f} rms_v={rms_v:.4f}")
+
+    print(json.dumps({
+        "metric": "projection_step_mlups",
+        "value": round(mlups3d, 1),
+        "unit": "MLUPS",
+        "vs_baseline": round(mlups3d / REFERENCE_BASELINE_MLUPS, 3),
+        "grid": f"{grid3d}x{grid3d}x{grid3d}",
+        "pressure_solver": "fft_direct(exact)",
+        "dtype": "float32",
+        "mlups_2d_2048": round(mlups2d, 1),
+        "mlups_2d_2048_fast": round(mlups2d_fast, 1),
+        "vs_baseline_2d": round(mlups2d / REFERENCE_BASELINE_MLUPS, 3),
+        "ghia_rms_u": round(rms_u, 4),
+        "ghia_rms_v": round(rms_v, 4),
+        "ghia_config": "Re=100 128x128 f32 fused, t=10",
+    }))
 
 
 if __name__ == "__main__":

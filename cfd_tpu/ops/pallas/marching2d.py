@@ -1,0 +1,190 @@
+"""Block-marching engine for 2D (ny, nx) stencil kernels.
+
+The 2D sibling of the rolling-plane engine (`rolling.py`): marches
+y-blocks of B rows through VMEM with double-buffered manual DMA, exposing
+(prev, cur, next) block triples of "halo" inputs and single blocks of
+"plane" inputs to a compute callback.  Every input row is fetched from HBM
+exactly once (read amplification 1.0) — the property overlapping-window
+BlockSpecs can't deliver on Mosaic (their index maps must be single-term
+affine and admit no low padding).
+
+Differences from the 3D engine, by design:
+
+* the callback computes ALL rows of its output block and handles the
+  global y/x boundary itself from the global row index (``c·B + iota``) —
+  there is no shell epilogue;
+* the first block's ``prev`` and the last block's ``next`` are
+  uninitialized VMEM: callbacks must select boundary values with
+  ``jnp.where`` (never mask-multiplies — 0·NaN = NaN) so garbage cannot
+  propagate into kept lanes.
+
+Constraints (:func:`marching2d_supported`): nx % 128 == 0, ny divisible by
+a block size B (multiple of 8) with ny/B ≥ 4 blocks and the working set in
+VMEM.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_VMEM_BUDGET = 13 * 1024 * 1024
+
+
+def pick_block_rows(ny: int, nx: int, n_halo: int, n_plane: int,
+                    n_out: int) -> Optional[int]:
+    """Largest B (multiple of 8, dividing ny, ny/B ≥ 4) fitting VMEM."""
+    if nx % 128 != 0 or ny % 8 != 0:
+        return None
+    per_row = nx * 4 * (4 * n_halo + 3 * n_plane + 2 * n_out)
+    best = None
+    for b in range(8, ny // 4 + 1, 8):
+        if ny % b == 0 and b * per_row <= _VMEM_BUDGET:
+            best = b
+    return best
+
+
+def marching2d_supported(ny: int, nx: int, n_halo: int, n_plane: int,
+                         n_out: int) -> bool:
+    return pick_block_rows(ny, nx, n_halo, n_plane, n_out) is not None
+
+
+def make_marching_stencil_2d(ny: int, nx: int,
+                             n_halo: int, n_plane: int, n_out: int,
+                             compute: Callable,
+                             dtype=jnp.float32,
+                             n_scalars: int = 0,
+                             interpret: bool = False):
+    """Build the marching kernel.
+
+    compute(row0, scalars, halo_triples, planes) → outs
+      * row0: int32 global row index of the block's first row
+      * scalars: list of n_scalars float scalars (from SMEM)
+      * halo_triples: per halo input, (prev, cur, next) (B, nx) blocks
+      * planes: per plane input, its (B, nx) block
+      * outs: list of n_out (B, nx) blocks — every row final
+
+    Returns fn(scalars_array, *fields) → outs on (ny, nx) arrays, or None
+    when unsupported.
+    """
+    B = pick_block_rows(ny, nx, n_halo, n_plane, n_out)
+    if B is None:
+        return None
+    nyb = ny // B
+    n_in = n_halo + n_plane
+
+    def kernel(*refs):
+        idx = 0
+        scal_ref = refs[idx]; idx += 1
+        in_hbm = refs[idx:idx + n_in]; idx += n_in
+        out_hbm = refs[idx:idx + n_out]; idx += n_out
+        rings = refs[idx:idx + n_halo]; idx += n_halo
+        stages = refs[idx:idx + n_plane]; idx += n_plane
+        obufs = refs[idx:idx + n_out]; idx += n_out
+        in_sems = refs[idx]; idx += 1
+        out_sems = refs[idx]; idx += 1
+
+        scalars = [scal_ref[0, i] for i in range(n_scalars)]
+
+        def in_dma(k, slot):
+            dmas = []
+            for a in range(n_halo):
+                s = jax.lax.rem(jnp.asarray(k, jnp.int32), jnp.int32(4))
+                dmas.append(pltpu.make_async_copy(
+                    in_hbm[a].at[pl.ds(k * B, B), :],
+                    rings[a].at[s], in_sems.at[slot, a]))
+            for b in range(n_plane):
+                s2 = jax.lax.rem(jnp.asarray(k, jnp.int32), jnp.int32(3))
+                dmas.append(pltpu.make_async_copy(
+                    in_hbm[n_halo + b].at[pl.ds(k * B, B), :],
+                    stages[b].at[s2], in_sems.at[slot, n_halo + b]))
+            return dmas
+
+        def out_dma(k, o, slot):
+            return pltpu.make_async_copy(
+                obufs[o].at[slot], out_hbm[o].at[pl.ds(k * B, B), :],
+                out_sems.at[slot, o])
+
+        def start_all(dmas):
+            for d in dmas:
+                d.start()
+
+        def wait_all(dmas):
+            for d in dmas:
+                d.wait()
+
+        # Prologue: fetch blocks 0 and 1; block 2 prefetches inside c=0.
+        start_all(in_dma(0, 0))
+        start_all(in_dma(1, 1))
+        wait_all(in_dma(0, 0))
+
+        def body(c, carry):
+            c = jnp.asarray(c, jnp.int32)
+            # arrival of block c+1 (prefetched at c−1 / prologue)
+            @pl.when(c + 1 <= nyb - 1)
+            def _():
+                wait_all(in_dma(c + 1, jax.lax.rem(c + 1, jnp.int32(2))))
+
+            @pl.when(c + 2 <= nyb - 1)
+            def _():
+                start_all(in_dma(c + 2, jax.lax.rem(c + 2, jnp.int32(2))))
+
+            halo_triples = []
+            for a in range(n_halo):
+                # +3 ≡ −1 (mod 4) keeps the slot index non-negative at c=0;
+                # that slot is uninitialized there — callbacks must select
+                # boundary rows with jnp.where.
+                pm = rings[a][jax.lax.rem(c + 3, jnp.int32(4))]
+                pc = rings[a][jax.lax.rem(c, jnp.int32(4))]
+                pp = rings[a][jax.lax.rem(c + 1, jnp.int32(4))]
+                halo_triples.append((pm, pc, pp))
+            planes = [stages[b][jax.lax.rem(c, jnp.int32(3))]
+                      for b in range(n_plane)]
+
+            outs = compute(c * B, scalars, halo_triples, planes)
+
+            s_out = jax.lax.rem(c, jnp.int32(2))
+            for o in range(n_out):
+                @pl.when(c >= 2)
+                def _(o=o):
+                    out_dma(c - 2, o, s_out).wait()
+                obufs[o][pl.ds(s_out, 1)] = outs[o][None]
+                out_dma(c, o, s_out).start()
+            return carry
+
+        jax.lax.fori_loop(0, nyb, body, jnp.zeros((), jnp.int32))
+
+        for o in range(n_out):
+            out_dma(nyb - 1, o, (nyb - 1) % 2).wait()
+            out_dma(nyb - 2, o, (nyb - 2) % 2).wait()
+
+    out_shapes = [jax.ShapeDtypeStruct((ny, nx), dtype)
+                  for _ in range(n_out)]
+    out_specs = [pl.BlockSpec(memory_space=pl.ANY) for _ in range(n_out)]
+
+    call = pl.pallas_call(
+        kernel,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
+        + [pl.BlockSpec(memory_space=pl.ANY) for _ in range(n_in)],
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        scratch_shapes=(
+            [pltpu.VMEM((4, B, nx), dtype) for _ in range(n_halo)]
+            + [pltpu.VMEM((3, B, nx), dtype) for _ in range(n_plane)]
+            + [pltpu.VMEM((2, B, nx), dtype) for _ in range(n_out)]
+            + [pltpu.SemaphoreType.DMA((2, n_in)),
+               pltpu.SemaphoreType.DMA((2, n_out))]),
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )
+
+    def run(scalars, *fields):
+        scal = jnp.asarray(scalars, dtype).reshape(1, max(1, n_scalars))
+        flat = [f.reshape(ny, nx) for f in fields]
+        return call(scal, *flat)
+
+    return run

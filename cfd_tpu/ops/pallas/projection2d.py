@@ -1,0 +1,161 @@
+"""Fused 2D projection kernels on the block-marching engine.
+
+Two kernels per step (vs seven in 3D — 2D has no w-halo structure, so the
+whole predictor fuses with the Poisson-input pass):
+
+* ``pred_bt``: one sweep reading (u, v, w, p) once, producing
+  (u*, v*, w*, b̃) — predictor with clamps/sources and the spectral-solve
+  input b̃ = M·p − (ρ/dt)∇·u* (or the plain rhs = (ρ/dt)∇·u* for iterative
+  solvers).  The divergence needs u* one row beyond the block, so the
+  predictor is evaluated on a two-row-extended window recomputed from the
+  neighbor blocks already resident in VMEM — still read-amplification 1.0
+  from HBM.
+* ``corrector``: reads (p, u*, v*) once, producing (u, v); in 2D the
+  w-correction is identically zero (`solver_projection.c:230-250` with
+  inv_dz2 = 0), so w = w* passes through at the jnp level.
+
+Semantics match the jnp 2D step exactly: interior-only updates with ±100
+clamps, caller shells preserved (the reference's save/restore idiom,
+`solver_projection.c:187-189,277-278`), decaying sinusoidal sources
+(`solver_explicit_euler.c:317-333`).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from .marching2d import make_marching_stencil_2d, marching2d_supported
+
+CLAMP = 100.0  # PROJ_MAX_VELOCITY
+
+
+def projection2d_supported(ny: int, nx: int) -> bool:
+    return (marching2d_supported(ny, nx, 3, 1, 4)
+            and marching2d_supported(ny, nx, 1, 2, 2))
+
+
+class Projection2DKernels:
+    """The two fused kernels for one (2D grid geometry, dtype)."""
+
+    def __init__(self, ny, nx, dx, dy, xmin, ymin, dtype=jnp.float32,
+                 emit="btilde", with_sources=True, interpret=False):
+        self.shape = (ny, nx)
+        inv_2dx = 1.0 / (2.0 * dx)
+        inv_2dy = 1.0 / (2.0 * dy)
+        inv_dx2 = 1.0 / (dx * dx)
+        inv_dy2 = 1.0 / (dy * dy)
+
+        def d1x(a):
+            return (jnp.roll(a, -1, 1) - jnp.roll(a, 1, 1)) * inv_2dx
+
+        def iotas(row0, rows, nx_):
+            jg = row0 + jax.lax.broadcasted_iota(jnp.int32, (rows, nx_), 0)
+            ii = jax.lax.broadcasted_iota(jnp.int32, (rows, nx_), 1)
+            return jg, ii
+
+        def interior(jg, ii):
+            return (jg > 0) & (jg < ny - 1) & (ii > 0) & (ii < nx - 1)
+
+        def pred_bt_compute(row0, scalars, halos, planes):
+            dt, nu, su_amp, sv_amp, rod = scalars
+            (um, uc, up), (vm, vc, vp), (wm, wc, wp) = halos
+            (pc,) = planes
+            B = uc.shape[0]
+
+            # Two-row extension: rows [row0−2, row0+B+2) from the resident
+            # neighbor blocks.  The first/last global block's outer rows are
+            # uninitialized VMEM — every consumer below jnp.where-selects
+            # them away (mask-multiplying would propagate NaN garbage).
+            def ext(m, c, p):
+                return jnp.concatenate([m[-2:], c, p[:2]], axis=0)
+
+            ue, ve, we = ext(um, uc, up), ext(vm, vc, vp), ext(wm, wc, wp)
+
+            # Predictor on the (B+2)-row window [row0−1, row0+B+1).
+            jg_e, ii_e = iotas(row0 - 1, B + 2, nx)
+            mask_e = interior(jg_e, ii_e)
+            if with_sources:
+                y = ymin + jg_e.astype(dtype) * dtype(dy)
+                x = xmin + ii_e.astype(dtype) * dtype(dx)
+                src_u = su_amp * jnp.sin(jnp.asarray(jnp.pi, dtype) * y)
+                src_v = sv_amp * jnp.sin(jnp.asarray(2.0 * jnp.pi, dtype)
+                                         * x)
+            else:
+                # Amplitudes statically zero at build time: skip the two
+                # transcendental sweeps (VPU sin is the costliest op here).
+                src_u = src_v = 0.0
+
+            def star(fe, src):
+                fc_ = fe[1:-1]
+                dfdx = d1x(fc_)
+                dfdy = (fe[2:] - fe[:-2]) * inv_2dy
+                conv = ue[1:-1] * dfdx + ve[1:-1] * dfdy
+                lap = ((jnp.roll(fc_, -1, 1) - 2.0 * fc_
+                        + jnp.roll(fc_, 1, 1)) * inv_dx2
+                       + (fe[2:] - 2.0 * fc_ + fe[:-2]) * inv_dy2)
+                s = fc_ + dt * (-conv + nu * lap + src)
+                return jnp.where(mask_e, jnp.clip(s, -CLAMP, CLAMP), fc_)
+
+            us_e = star(ue, src_u)
+            vs_e = star(ve, src_v)
+            ws_e = star(we, 0.0)
+
+            # Divergence of u* on the block's own B rows.
+            div = d1x(us_e[1:-1]) + (vs_e[2:] - vs_e[:-2]) * inv_2dy
+
+            jg, ii = iotas(row0, B, nx)
+            mask = interior(jg, ii)
+            zero = jnp.zeros((), dtype)
+            if emit == "btilde":
+                coeff = (inv_dx2 * ((ii == 1).astype(dtype)
+                                    + (ii == nx - 2).astype(dtype))
+                         + inv_dy2 * ((jg == 1).astype(dtype)
+                                      + (jg == ny - 2).astype(dtype)))
+                out = jnp.where(mask, coeff * pc - rod * div, zero)
+            else:
+                out = jnp.where(mask, rod * div, zero)
+            return [us_e[1:-1], vs_e[1:-1], ws_e[1:-1], out]
+
+        self.pred_bt = make_marching_stencil_2d(
+            ny, nx, 3, 1, 4, pred_bt_compute, dtype, n_scalars=5,
+            interpret=interpret)
+
+        def corr_compute(row0, scalars, halos, planes):
+            (dt_over_rho,) = scalars
+            (pm, pc, pp) = halos[0]
+            us, vs = planes
+            B = pc.shape[0]
+            pe = jnp.concatenate([pm[-1:], pc, pp[:1]], axis=0)
+            jg, ii = iotas(row0, B, nx)
+            mask = interior(jg, ii)
+            dpdx = d1x(pe[1:-1])
+            dpdy = (pe[2:] - pe[:-2]) * inv_2dy
+            u = jnp.where(mask, jnp.clip(us - dt_over_rho * dpdx,
+                                         -CLAMP, CLAMP), us)
+            v = jnp.where(mask, jnp.clip(vs - dt_over_rho * dpdy,
+                                         -CLAMP, CLAMP), vs)
+            return [u, v]
+
+        self.corr = make_marching_stencil_2d(
+            ny, nx, 1, 2, 2, corr_compute, dtype, n_scalars=1,
+            interpret=interpret)
+
+        self.ok = self.pred_bt is not None and self.corr is not None
+
+    # ---- step pieces -------------------------------------------------------
+
+    def predictor_and_poisson_input(self, u, v, w, p, dt, nu,
+                                    src_u_amp, src_v_amp, rho_over_dt):
+        """(u*, v*, w*, b̃-or-rhs), each (1, ny, nx); one HBM sweep."""
+        s = jnp.stack([jnp.asarray(dt), jnp.asarray(nu),
+                       jnp.asarray(src_u_amp), jnp.asarray(src_v_amp),
+                       jnp.asarray(rho_over_dt)])
+        us, vs, ws, bt = self.pred_bt(s, u[0], v[0], w[0], p[0])
+        return us[None], vs[None], ws[None], bt[None]
+
+    def corrector(self, us, vs, p, dt_over_rho):
+        """(u, v) corrected; w is identity in 2D (handled by the caller)."""
+        s = jnp.asarray(dt_over_rho)[None]
+        u, v = self.corr(s, p[0], us[0], vs[0])
+        return u[None], v[None]

@@ -62,14 +62,21 @@ def make_projection_step(grid: Grid, params: NSParams, dtype=None,
                          poisson_params: PoissonParams = None,
                          use_pallas: bool = None,
                          pallas_interpret: bool = False,
-                         use_pallas_cg: bool = None):
+                         use_pallas_cg: bool = None,
+                         spectral_precision=None):
     """Build the jitted projection step: (field, dt, iter) → (field, StepResult).
 
-    ``use_pallas=True`` enables the fused Pallas fast path (float32, 3D,
+    ``use_pallas=True`` enables the fused Pallas fast path (float32,
     aligned grids; falls back to the jnp step when unsupported): streaming
-    predictor/divergence/corrector kernels, plus — per ``poisson_method`` —
-    either the two-pass fused Pallas CG or the direct spectral-input kernel.
+    predictor/divergence/corrector kernels (rolling-plane in 3D,
+    block-marching in 2D), plus — per ``poisson_method`` — either the
+    two-pass fused Pallas CG or the direct spectral-input kernel.
     ``use_pallas_cg`` is the original name, kept as an alias.
+
+    ``spectral_precision`` overrides the FFT_DIRECT MXU contraction
+    precision (default ``lax.Precision.HIGHEST``; ``HIGH`` runs the sine
+    transforms as 3-pass bfloat16 — ~5e-5 relative solution error at
+    2048², 25-40% faster).
     """
     if use_pallas is None:
         use_pallas = bool(use_pallas_cg)
@@ -98,8 +105,41 @@ def make_projection_step(grid: Grid, params: NSParams, dtype=None,
         poisson_solve = make_cg_fused(problem, pparams, dtype,
                                       interpret=pallas_interpret)
     if poisson_solve is None:
-        poisson_solve = _POISSON_MAKERS[Method(poisson_method)](problem,
-                                                               pparams)
+        if (Method(poisson_method) == Method.FFT_DIRECT
+                and spectral_precision is not None):
+            poisson_solve = make_fft_direct(problem, pparams,
+                                            precision=spectral_precision)
+        else:
+            poisson_solve = _POISSON_MAKERS[Method(poisson_method)](
+                problem, pparams)
+
+    # Fully fused 2D path: one predictor+Poisson-input sweep and one
+    # corrector sweep on the block-marching engine (float32, nx%128,
+    # ny block-divisible; same gating exclusions as 3D).
+    proj2d = None
+    btilde2d = None
+    if (use_pallas and dtype == jnp.float32 and grid.nz == 1
+            and params.source_func is None and not params.buoyancy_enabled):
+        from ...ops.pallas.projection2d import (Projection2DKernels,
+                                                projection2d_supported)
+        if projection2d_supported(grid.ny, grid.nx):
+            from ..poisson.spectral import spectral_supported
+            use_bt = (Method(poisson_method) == Method.FFT_DIRECT
+                      and spectral_supported(problem))
+            pk2 = Projection2DKernels(
+                grid.ny, grid.nx, dx, dy, grid.xmin, grid.ymin, dtype,
+                emit="btilde" if use_bt else "rhs",
+                with_sources=(params.source_amplitude_u != 0.0
+                              or params.source_amplitude_v != 0.0),
+                interpret=pallas_interpret)
+            if pk2.ok:
+                proj2d = pk2
+                if use_bt:
+                    from ..poisson.spectral import make_fft_btilde_solver
+                    btilde2d = make_fft_btilde_solver(
+                        problem, pparams,
+                        **({} if spectral_precision is None
+                           else {"precision": spectral_precision}))
 
     # Fully fused predictor/divergence/corrector (float32 3D, no custom
     # sources / buoyancy / energy coupling in the kernels — those variants
@@ -124,8 +164,10 @@ def make_projection_step(grid: Grid, params: NSParams, dtype=None,
                 from ..poisson.spectral import (make_fft_btilde_solver,
                                                 spectral_supported)
                 if spectral_supported(problem):
-                    btilde_pipeline = make_fft_btilde_solver(problem,
-                                                             pparams)
+                    btilde_pipeline = make_fft_btilde_solver(
+                        problem, pparams,
+                        **({} if spectral_precision is None
+                           else {"precision": spectral_precision}))
 
     def fused_step(field: FlowField, dt, iter_idx):
         """Fully fused kernel path — identical math to the jnp body below."""
@@ -170,9 +212,54 @@ def make_projection_step(grid: Grid, params: NSParams, dtype=None,
                                      max_velocity=vmax, max_pressure=pmax,
                                      max_temperature=tmax)
 
+    def fused_step_2d(field: FlowField, dt, iter_idx):
+        """2D fused kernel path — identical math to the jnp body below."""
+        dt = jnp.asarray(dt, dtype)
+        decay = jnp.exp(-params.source_decay_rate * iter_idx * dt)
+        rho0 = field.rho[0, 0, 0]
+        rho0 = jnp.where(rho0 < 1e-10, 1.0, rho0)
+
+        us, vs, ws, pin = proj2d.predictor_and_poisson_input(
+            field.u, field.v, field.w, field.p, dt, params.mu,
+            params.source_amplitude_u * decay,
+            params.source_amplitude_v * decay, rho0 / dt)
+
+        if btilde2d is not None:
+            p_new = btilde2d(pin)
+            residual = jnp.zeros((), dtype)
+            poisson_ok = jnp.bool_(True)   # direct solve
+        else:
+            pres = poisson_solve(field.p, pin)
+            p_new = pres.x
+            residual = pres.final_residual
+            poisson_ok = pres.status == 0
+
+        u, v = proj2d.corrector(us, vs, p_new, dt / rho0)
+        # w-correction is identically zero in 2D (inv_dz2 = 0).
+        new_field = field.replace(u=u, v=v, w=ws, p=p_new)
+
+        if energy_step is not None:
+            T = energy_step(new_field.T, new_field.u, new_field.v,
+                            new_field.w, dt, iter_idx * dt)
+            new_field = new_field.replace(T=T)
+        if params.energy_enabled:
+            new_field = new_field.replace(
+                T=apply_thermal_bcs(new_field.T, params.thermal_bc))
+
+        finite, vmax, pmax, tmax = field_status_and_diagnostics(new_field)
+        status = jnp.where(~finite, jnp.int32(-6),
+                           jnp.where(poisson_ok, jnp.int32(0),
+                                     jnp.int32(-7)))
+        return new_field, StepResult(iterations=jnp.int32(1), status=status,
+                                     residual=residual,
+                                     max_velocity=vmax, max_pressure=pmax,
+                                     max_temperature=tmax)
+
     def step(field: FlowField, dt, iter_idx):
         if proj_kernels is not None:
             return fused_step(field, dt, iter_idx)
+        if proj2d is not None:
+            return fused_step_2d(field, dt, iter_idx)
         u, v, w, p = field.u, field.v, field.w, field.p
 
         # ---- Predictor: u* = u + dt(−u·∇u + ν∇²u + f) --------------------

@@ -134,16 +134,26 @@ def _make_btilde_pipeline(problem: PoissonProblem, precision):
         Fx, Fy, Fz, Gx, Gy, Gz, vx, vy, vz = built[dt]
         prec = precision
 
+        if not is_3d:
+            # 2D: squeeze the size-1 z batch and run a plain matmul chain —
+            # measured 25% faster than the batched einsums at 2048² (the
+            # MXU tiles unbatched (ny, nx) GEMMs better).
+            b = btilde[0]
+            a = jnp.matmul(b, Fx.T, precision=prec)          # (ny, mx)
+            a = jnp.matmul(Fy, a, precision=prec)            # (my, mx)
+            a = a / (vy[:, None] + vx[None, :])
+            a = jnp.matmul(Gy, a, precision=prec)            # (ny, mx)
+            a = jnp.matmul(a, Gx.T, precision=prec)          # (ny, nx)
+            return a[None]
+
         a = jnp.einsum("ax,zyx->zya", Fx, btilde, precision=prec)
         a = jnp.einsum("by,zyx->zbx", Fy, a, precision=prec)
-        if is_3d:
-            a = jnp.einsum("cz,zyx->cyx", Fz, a, precision=prec)
+        a = jnp.einsum("cz,zyx->cyx", Fz, a, precision=prec)
         lam = vz[:, None, None] + vy[None, :, None] + vx[None, None, :]
         a = a / lam
         a = jnp.einsum("ax,zyx->zya", Gx, a, precision=prec)
         a = jnp.einsum("by,zyx->zbx", Gy, a, precision=prec)
-        if is_3d:
-            a = jnp.einsum("cz,zyx->cyx", Gz, a, precision=prec)
+        a = jnp.einsum("cz,zyx->cyx", Gz, a, precision=prec)
         return a
 
     return pipeline

@@ -73,8 +73,17 @@ def make_cg(problem: PoissonProblem, params: PoissonParams):
             r = jnp.where(breakdown1, r, r - alpha * Ap)
             z = precond(r)
             rho_new = problem.dot_interior(r, z)
-            res_new = jnp.sqrt(problem.dot_interior(r, r))
             check = (it % ci) == 0
+            if use_precond:
+                # ⟨r,r⟩ is a real extra sweep here — honor check_interval
+                # (`poisson_solver.h:105`) by computing it only on check
+                # iterations.
+                res_new = lax.cond(
+                    check, lambda: jnp.sqrt(problem.dot_interior(r, r)),
+                    lambda: res)
+            else:
+                # z == r ⇒ ‖r‖ = √rho: the residual is free every iteration.
+                res_new = jnp.sqrt(rho_new)
             converged = check & ((res_new < tol) | (res_new < abs_tol))
             breakdown2 = jnp.abs(rho) < BREAKDOWN
             beta = rho_new / jnp.where(breakdown2, 1.0, rho)

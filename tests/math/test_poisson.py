@@ -98,6 +98,25 @@ def test_stationary_cross_method_consistency():
         np.testing.assert_allclose(a, ref, atol=2e-5, err_msg=str(method))
 
 
+def test_check_interval_semantics():
+    """check_interval skips residual *work*, not just the decision
+    (`poisson_solver.h:105`): convergence is detected on the first check at
+    or after the ci=1 iteration count, so counts agree within one interval
+    and are multiples of it."""
+    it1 = solve_with(Method.REDBLACK_SOR, 33, neumann_problem_2d,
+                     PoissonParams(check_interval=1))[2].iterations
+    sol10, _, stats10 = solve_with(
+        Method.REDBLACK_SOR, 33, neumann_problem_2d,
+        PoissonParams(check_interval=10))
+    assert stats10.status == PoissonStatus.CONVERGED
+    assert stats10.iterations % 10 == 0
+    assert it1 <= stats10.iterations < it1 + 10
+    sol1 = solve_with(Method.REDBLACK_SOR, 33, neumann_problem_2d,
+                      PoissonParams(check_interval=1))[0]
+    np.testing.assert_allclose(sol10 - sol10.mean(), sol1 - sol1.mean(),
+                               atol=1e-6)
+
+
 def test_redblack_faster_than_jacobi():
     params = PoissonParams(max_iterations=30000, check_interval=10)
     _, _, stats_j = solve_with(Method.JACOBI, 33, neumann_problem_2d, params)

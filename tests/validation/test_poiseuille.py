@@ -97,3 +97,74 @@ def test_poiseuille_outlet_zero_gradient():
     field = run_poiseuille(grid)
     u = np.asarray(field.u)[0]
     np.testing.assert_allclose(u[:, -1], u[:, -2], atol=1e-12)
+
+
+# ---------------------------------------------------------------------------
+# Stretched-grid configuration (examples/poiseuille_stretched_grid.c:210-232)
+# ---------------------------------------------------------------------------
+
+RE_STRETCHED = 100.0
+NU_STRETCHED = U_MAX * HEIGHT / RE_STRETCHED
+
+
+def run_poiseuille_stretched(beta: float, nx=40, ny=32, steps=500):
+    """The reference's run_case: tanh-β grid, analytic init, channel BCs,
+    diffusive-limit dt cap, L2 error at the last interior column."""
+    if beta:
+        grid = Grid.stretched(nx, ny, xmax=LENGTH, ymax=HEIGHT, beta=beta)
+    else:
+        grid = Grid.uniform(nx, ny, xmax=LENGTH, ymax=HEIGHT)
+    min_dy = float(np.min(grid.dy))
+    dt = min(5e-4, 0.25 * min_dy * min_dy / NU_STRETCHED)
+    params = NSParams(dt=dt, mu=NU_STRETCHED, max_iter=1,
+                      source_amplitude_u=0.0, source_amplitude_v=0.0)
+    step = make_projection_step(grid, params)
+    inlet = InletConfig.parabolic(U_MAX)
+    outlet = OutletConfig.zero_gradient()
+
+    def bc(field):
+        u, v = apply_noslip(field.u, field.v)
+        u, v = apply_inlet(u, v, inlet)
+        u, v = apply_outlet_velocity(u, v, outlet)
+        return field.replace(u=u, v=v)
+
+    def one_step(field, i):
+        field = bc(field)
+        field, res = step(field, dt, i)
+        return field, res.status
+
+    Y = np.broadcast_to(np.asarray(grid.y)[None, :, None], grid.shape)
+    field0 = FlowField.quiescent(nx, ny).replace(u=jnp.asarray(analytic_u(Y)))
+    field, statuses = jax.jit(
+        lambda f: lax.scan(one_step, f, jnp.arange(steps)))(field0)
+    assert (np.asarray(statuses) == 0).all()
+
+    u_num = np.asarray(field.u)[0, 1:-1, -2]
+    u_ana = analytic_u(np.asarray(grid.y))[1:-1]
+    l2 = float(np.sqrt(np.mean((u_num - u_ana) ** 2)))
+    return l2, field, grid
+
+
+@pytest.mark.parametrize("beta,bar", [(0.0, 0.05), (1.5, 0.20), (2.0, 0.30)])
+def test_poiseuille_stretched_grid(beta, bar):
+    """Stretched-grid channel stays stable and profile-accurate within the
+    reference's own expectations: the solver intentionally uses
+    uniform-grid stencils (dx0/dy0 from the first cell,
+    `solver_projection.c:72-75`), so the stretched cases carry an O(10⁻¹)
+    index-space discretization error — the limitation the reference example
+    itself documents (`poiseuille_stretched_grid.c:255-258`).
+    Measured: β=0 → 0.011, β=1.5 → 0.126, β=2.0 → 0.188."""
+    l2, field, grid = run_poiseuille_stretched(beta)
+    assert l2 < bar, f"beta={beta}: outlet L2 {l2:.4f} >= {bar}"
+    u = np.asarray(field.u)[0]
+    # walls stay no-slip; cross-flow stays small
+    assert np.abs(u[0]).max() == 0.0 and np.abs(u[-1]).max() == 0.0
+    assert np.abs(np.asarray(field.v)).max() < 0.05
+
+
+def test_poiseuille_stretched_error_ordering():
+    """Uniform beats stretched under uniform-index stencils — the ordering
+    the reference's summary table shows."""
+    l2_uniform, _, _ = run_poiseuille_stretched(0.0)
+    l2_stretched, _, _ = run_poiseuille_stretched(1.5)
+    assert l2_uniform < l2_stretched

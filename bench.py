@@ -95,11 +95,12 @@ def _make_step(grid, **kw):
         poisson_method=Method.FFT_DIRECT, use_pallas=True, **kw)
 
 
-def run_3d(n: int) -> float:
+def run_3d(n: int, precision=None) -> float:
     from cfd_tpu import Grid
 
     grid = Grid.uniform(n, n, n, zmin=0.0, zmax=1.0)
-    step = _make_step(grid)
+    kw = {} if precision is None else {"spectral_precision": precision}
+    step = _make_step(grid, **kw)
     elapsed = _time_steps(step, _tg_field((n, n, n)), 1e-4)
     return float(n) ** 3 * TIMED_STEPS / elapsed / 1e6
 
@@ -180,6 +181,7 @@ def main():
     if mlups3d is None:
         raise SystemExit(f"bench failed at all 3D sizes: {last_err}")
 
+    mlups3d_fast = run_3d(grid3d, precision=lax.Precision.HIGH)
     mlups2d = run_2d(2048)
     mlups2d_fast = run_2d(2048, precision=lax.Precision.HIGH)
     rms_u, rms_v = ghia_gate()
@@ -194,6 +196,7 @@ def main():
         "grid": f"{grid3d}x{grid3d}x{grid3d}",
         "pressure_solver": "fft_direct(exact)",
         "dtype": "float32",
+        "mlups_3d_fast": round(mlups3d_fast, 1),
         "mlups_2d_2048": round(mlups2d, 1),
         "mlups_2d_2048_fast": round(mlups2d_fast, 1),
         "vs_baseline_2d": round(mlups2d / REFERENCE_BASELINE_MLUPS, 3),

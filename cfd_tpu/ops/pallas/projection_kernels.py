@@ -41,7 +41,8 @@ class ProjectionKernels:
     """The seven fused kernels for one (grid geometry, dtype)."""
 
     def __init__(self, nz, ny, nx, dx, dy, dz, xmin, ymin,
-                 dtype=jnp.float32, interpret=False, global_nz=None):
+                 dtype=jnp.float32, interpret=False, global_nz=None,
+                 emit="btilde", with_sources=True):
         """``global_nz``: sharded (z-decomposed) mode — the kernels operate
         on a halo-padded local block of ``nz`` planes belonging to a global
         ``global_nz``-plane domain; the btilde kernel then takes the shard's
@@ -197,7 +198,112 @@ class ProjectionKernels:
                        self.divergence, self.corr_u, self.corr_v,
                        self.corr_w))
 
+        # ---- mega kernels (single-chip fast path) ---------------------------
+        # One ±2-window sweep for the whole predictor + Poisson input
+        # (8 HBM passes instead of 17: the divergence's off-plane w* values
+        # are recomputed from neighbor planes already resident in VMEM),
+        # and one corrector sweep producing (u, v, w) plus the step
+        # diagnostics as fused max-reductions.  Enabled by the real v5e
+        # VMEM budget (~128 MiB); the per-component kernels above remain
+        # for the sharded path and as fallback.
+
+        def pred_bt_compute(k, scalars, halos, planes):
+            dt_, nu_, su_amp, sv_amp, rod = scalars[:5]
+            uw, vw, ww = halos      # 5-plane windows (k−2 … k+2)
+            (pc,) = planes
+            mask, jj, ii = plane_masks(ny, nx, dtype)
+            maskb = mask > 0
+
+            if with_sources:
+                src_u = su_amp * source_plane(0)
+                src_v = sv_amp * source_plane(1)
+            else:
+                src_u = src_v = 0.0
+
+            def star(f3, uc_, vc_, wc_, src, kq):
+                fm, fc, fp = f3
+                conv = uc_ * d1x(fc) + vc_ * d1y(fc) + wc_ * ((fp - fm)
+                                                              * inv_2dz)
+                s = fc + dt_ * (-conv + nu_ * lap(fm, fc, fp) + src)
+                s = jnp.clip(s, -CLAMP, CLAMP)
+                # in-plane shell passthrough + global z-shell select (the
+                # k±1 w-stars touch garbage edge planes at k=1 / nz−2;
+                # where-select keeps NaN garbage out).
+                s = jnp.where(maskb, s, fc)
+                interior_z = (kq > 0) & (kq < nz - 1)
+                return jnp.where(interior_z, s, fc)
+
+            us = star(uw[1:4], uw[2], vw[2], ww[2], src_u, k)
+            vs = star(vw[1:4], uw[2], vw[2], ww[2], src_v, k)
+            ws = star(ww[1:4], uw[2], vw[2], ww[2], 0.0, k)
+            ws_m = star(ww[0:3], uw[1], vw[1], ww[1], 0.0, k - 1)
+            ws_p = star(ww[2:5], uw[3], vw[3], ww[3], 0.0, k + 1)
+
+            div = d1x(us) + d1y(vs) + (ws_p - ws_m) * inv_2dz
+            if emit == "btilde":
+                coeff = (inv_dx2 * ((ii == 1).astype(dtype)
+                                    + (ii == nx - 2).astype(dtype))
+                         + inv_dy2 * ((jj == 1).astype(dtype)
+                                      + (jj == ny - 2).astype(dtype)))
+                if inv_dz2:
+                    kf = ((k == 1).astype(dtype)
+                          + (k == nz - 2).astype(dtype))
+                    coeff = coeff + inv_dz2 * kf
+                out = jnp.where(maskb, coeff * pc - rod * div, 0.0)
+            else:
+                out = jnp.where(maskb, rod * div, 0.0)
+            return [us, vs, ws, out], None
+
+        self.pred_bt = None
+        if global_nz is None:
+            self.pred_bt = make_rolling_stencil(
+                nz, ny, nx, 3, 1, 4, pred_bt_compute, dtype, n_scalars=5,
+                shell_passthrough=[0, 1, 2, None], halo_window=2,
+                interpret=interpret)
+
+        def corr_all_compute(k, scalars, halos, planes):
+            (pm, pc, pp) = halos[0]
+            us, vs, ws = planes
+            mask, _, _ = plane_masks(ny, nx, dtype)
+            maskb = mask > 0
+            s = scalars[0]
+            u = jnp.where(maskb,
+                          jnp.clip(us - s * d1x(pc), -CLAMP, CLAMP), us)
+            v = jnp.where(maskb,
+                          jnp.clip(vs - s * d1y(pc), -CLAMP, CLAMP), vs)
+            w = jnp.where(maskb,
+                          jnp.clip(ws - s * (pp - pm) * inv_2dz,
+                                   -CLAMP, CLAMP), ws)
+            m2 = jnp.max(u * u + v * v + w * w)
+            return [u, v, w], (m2, jnp.max(pc), jnp.max(jnp.abs(pc)))
+
+        self.corr_all = None
+        if global_nz is None:
+            self.corr_all = make_rolling_stencil(
+                nz, ny, nx, 1, 3, 3, corr_all_compute, dtype, n_scalars=1,
+                reductions=("max", "max", "max"),
+                shell_passthrough=[1, 2, 3], interpret=interpret)
+
+        self.mega_ok = (self.pred_bt is not None
+                        and self.corr_all is not None)
+
     # ---- step pieces -------------------------------------------------------
+
+    def predictor_poisson_input(self, u, v, w, p, dt, nu,
+                                src_u_amp, src_v_amp, rho_over_dt):
+        """Mega path: (u*, v*, w*, b̃-or-rhs) in ONE sweep."""
+        s = jnp.stack([jnp.asarray(dt), jnp.asarray(nu),
+                       jnp.asarray(src_u_amp), jnp.asarray(src_v_amp),
+                       jnp.asarray(rho_over_dt)])
+        return self.pred_bt(s, u, v, w, p)
+
+    def corrector_diag(self, us, vs, ws, p, dt_over_rho):
+        """Mega path: (u, v, w, max|vel|² , max p, max|p|) in ONE sweep.
+
+        The reductions cover the computed interior planes; callers fold in
+        the two z-shell planes with cheap jnp face maxima."""
+        s = jnp.asarray(dt_over_rho)[None]
+        return self.corr_all(s, p, us, vs, ws)
 
     def predictor(self, u, v, w, dt, nu, src_u_amp, src_v_amp):
         """(u*, v*, w*) with caller shells preserved."""

@@ -2,17 +2,29 @@
 
 Factors the manual-DMA pattern of ``cg_kernels.make_lap_dot_rolling`` into a
 reusable builder: march z-planes of (nz, ny, nx) fields through VMEM with
-double-buffered DMA, exposing (k−1, k, k+1) plane triples of "halo" inputs
-and single planes of "plane" inputs to a user compute callback, writing one
-or more output planes per step and optionally accumulating a scalar
-reduction.  Every input plane is fetched from HBM exactly once (read
-amplification 1.0) — the property halo-window BlockSpecs can't deliver.
+double-buffered DMA, exposing (k−W, …, k, …, k+W) plane windows of "halo"
+inputs and single planes of "plane" inputs to a user compute callback,
+writing one or more output planes per step and optionally accumulating
+scalar reductions.  Every input plane is fetched from HBM exactly once
+(read amplification 1.0) — the property halo-window BlockSpecs can't
+deliver on Mosaic.
 
 Used by the fused projection kernels (predictor / divergence / corrector)
-and available for any 7-point-stencil-shaped op.
+and available for any stencil-shaped op up to radius ``halo_window`` in z.
+
+``halo_window=2`` windows read garbage planes at the ends (plane −1 at
+k=1, plane nz at k=nz−2): callbacks must discard those contributions with
+``jnp.where`` selects (mask-multiplies propagate NaN garbage).
+
+``reductions`` lists per-kernel scalar accumulators ("sum" or "max") over
+the computed interior planes k = 1..nz−2; z-shell planes are NOT included
+— callers fold them in with two cheap jnp face reductions when the
+semantics need the full field.
 
 Constraints (checked by :func:`rolling_supported`): nx % 128 == 0,
-ny % 8 == 0, nz ≥ 3, and the plane working set must fit VMEM.
+ny % 8 == 0, nz ≥ 3, and the plane working set within VMEM (v5e carries
+128 MiB of VMEM — probed empirically up to 127 MiB of scratch; the budget
+leaves headroom for compiler temporaries).
 """
 
 from __future__ import annotations
@@ -24,15 +36,17 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-_VMEM_BUDGET = 13 * 1024 * 1024
+_VMEM_BUDGET = 110 * 1024 * 1024
 
 
 def rolling_supported(nz: int, ny: int, nx: int, n_halo: int, n_plane: int,
-                      n_out: int) -> bool:
+                      n_out: int, halo_window: int = 1) -> bool:
     if nz < 3 or nx % 128 != 0 or ny % 8 != 0:
         return False
     plane_bytes = ny * nx * 4
-    planes = 4 * n_halo + 3 * n_plane + 2 * n_out
+    ring = 2 * halo_window + 2
+    stage = halo_window + 2
+    planes = ring * n_halo + stage * n_plane + 2 * n_out
     return planes * plane_bytes <= _VMEM_BUDGET
 
 
@@ -42,30 +56,62 @@ def make_rolling_stencil(nz: int, ny: int, nx: int,
                          dtype=jnp.float32,
                          n_scalars: int = 0,
                          with_reduction: bool = False,
+                         reductions: Optional[Sequence[str]] = None,
                          shell_passthrough: Optional[Sequence] = None,
+                         halo_window: int = 1,
                          interpret: bool = False):
     """Build the rolling kernel.
 
-    compute(k, scalars, halo_triples, planes) → (outs, partial)
+    compute(k, scalars, halo_windows, planes) → (outs, partials)
       * k: int32 plane index (interior: 1..nz-2)
       * scalars: list of n_scalars float scalars (from the SMEM input)
-      * halo_triples: per halo input, (zm, zc, zp) plane arrays (ny, nx)
+      * halo_windows: per halo input, a (2W+1)-tuple of (ny, nx) planes
+        (k−W … k+W); with W=1 the familiar (zm, zc, zp) triple
       * planes: per plane input, its (ny, nx) plane
       * outs: list of n_out (ny, nx) planes for plane k
-      * partial: scalar contribution (when with_reduction)
+      * partials: tuple of scalar contributions matching ``reductions``
+        (None / ignored when no reductions)
 
     Output z-shell planes (k=0, nz−1): zero-filled by default; when
     ``shell_passthrough[o]`` names an input index, that input's shell planes
     are copied through instead (used by the projection kernels to preserve
     caller-set boundary values, the reference's save/restore idiom).
 
-    Returns fn(scalars_array, *fields) → (*outs[, reduction]) operating on
-    (nz, ny, nx) arrays.
+    ``with_reduction=True`` is the legacy spelling of
+    ``reductions=("sum",)`` with the partial returned as a bare scalar.
+
+    Returns fn(scalars_array, *fields) → (*outs[, *reductions]) operating
+    on (nz, ny, nx) arrays, or None when unsupported.
     """
-    if not rolling_supported(nz, ny, nx, n_halo, n_plane, n_out):
+    if with_reduction and reductions is None:
+        reductions = ("sum",)
+    reductions = tuple(reductions or ())
+    n_red = len(reductions)
+    if not rolling_supported(nz, ny, nx, n_halo, n_plane, n_out,
+                             halo_window):
         return None
     rows = nz * ny
     n_in = n_halo + n_plane
+    W = int(halo_window)
+    R = 2 * W + 2  # halo ring slots: 2W+1 live + 1 prefetch target
+    S = W + 2      # plane staging: plane k lives from fetch (k−W−1) to read (k)
+
+    def _red_init():
+        vals = []
+        for op in reductions:
+            if op == "sum":
+                vals.append(jnp.zeros((), dtype))
+            elif op == "max":
+                vals.append(jnp.full((), -jnp.inf, dtype))
+            else:
+                raise ValueError(f"unknown reduction {op!r}")
+        return tuple(vals)
+
+    def _red_combine(acc, partials):
+        out = []
+        for op, a, p in zip(reductions, acc, partials):
+            out.append(a + p if op == "sum" else jnp.maximum(a, p))
+        return tuple(out)
 
     def kernel(*refs):
         # ref order: scalars_smem, in_hbm×n_in, out_hbm×n_out [, red_smem],
@@ -76,7 +122,7 @@ def make_rolling_stencil(nz: int, ny: int, nx: int,
         in_hbm = refs[idx:idx + n_in]; idx += n_in
         out_hbm = refs[idx:idx + n_out]; idx += n_out
         red_ref = None
-        if with_reduction:
+        if n_red:
             red_ref = refs[idx]; idx += 1
         rings = refs[idx:idx + n_halo]; idx += n_halo
         stages = refs[idx:idx + n_plane]; idx += n_plane
@@ -86,19 +132,25 @@ def make_rolling_stencil(nz: int, ny: int, nx: int,
 
         scalars = [scal_ref[0, i] for i in range(n_scalars)]
 
+        def ring_slot(k):
+            # k ≥ −W can occur in slot math only via live plane indices
+            # (k ≥ 0 for DMAs); +R keeps rem non-negative everywhere.
+            return jax.lax.rem(jnp.asarray(k, jnp.int32) + jnp.int32(R),
+                               jnp.int32(R))
+
         def in_dma(k, slot):
             """DMAs for plane k of every input. Halo inputs land in ring
-            slot k%4; plane inputs in stage slot k%2."""
+            slot k%R; plane inputs in stage slot k%3."""
             dmas = []
             for a in range(n_halo):
-                s = jax.lax.rem(jnp.asarray(k, jnp.int32), jnp.int32(4))
                 dmas.append(pltpu.make_async_copy(
                     in_hbm[a].at[pl.ds(k * ny, ny), :],
-                    rings[a].at[s], in_sems.at[slot, a]))
+                    rings[a].at[ring_slot(k)], in_sems.at[slot, a]))
             for b in range(n_plane):
-                # 3-slot staging: the prefetch for plane k+2 must not land in
-                # the slot holding plane k, which compute still reads.
-                s2 = jax.lax.rem(jnp.asarray(k, jnp.int32), jnp.int32(3))
+                # (W+2)-slot staging: the prefetch for plane k+W+1 must not
+                # land in the slot holding plane k, which compute still
+                # reads, nor in slots of fetched-not-yet-read planes.
+                s2 = jax.lax.rem(jnp.asarray(k, jnp.int32), jnp.int32(S))
                 dmas.append(pltpu.make_async_copy(
                     in_hbm[n_halo + b].at[pl.ds(k * ny, ny), :],
                     stages[b].at[s2], in_sems.at[slot, n_halo + b]))
@@ -117,33 +169,35 @@ def make_rolling_stencil(nz: int, ny: int, nx: int,
             for d in dmas:
                 d.wait()
 
-        # Prologue: fetch planes 0, 1, start 2.
-        start_all(in_dma(0, 0))
-        start_all(in_dma(1, 1))
-        wait_all(in_dma(0, 0))
-        wait_all(in_dma(1, 1))
-        start_all(in_dma(2, 0))
+        # Prologue: fetch planes 0..W+1 (the first compute at c=1 reads
+        # planes up to 1+W); plane 2+W prefetches inside the first body.
+        first = min(W + 1, nz - 1)
+        for k in range(first + 1):
+            start_all(in_dma(k, k % 2))
+        for k in range(first + 1):
+            wait_all(in_dma(k, k % 2))
 
         def body(c, acc):
             c = jnp.asarray(c, jnp.int32)
-            # plane c+1 arrival (started at previous step / prologue)
-            wait_all(in_dma(c + 1, jax.lax.rem(c + 1, jnp.int32(2))))
-
-            # prefetch plane c+2
-            @pl.when(c + 2 <= nz - 1)
+            # prefetch plane c+W+1 (its arrival is awaited at c+1)
+            @pl.when(c + W + 1 <= nz - 1)
             def _():
-                start_all(in_dma(c + 2, jax.lax.rem(c + 2, jnp.int32(2))))
+                start_all(in_dma(c + W + 1,
+                                 jax.lax.rem(c + W + 1, jnp.int32(2))))
 
-            halo_triples = []
+            # plane c+W arrival (started at c−1 / prologue)
+            @pl.when((c + W <= nz - 1) & (c > 1))
+            def _():
+                wait_all(in_dma(c + W, jax.lax.rem(c + W, jnp.int32(2))))
+
+            halo_windows = []
             for a in range(n_halo):
-                zm = rings[a][jax.lax.rem(c - 1, jnp.int32(4))]
-                zc = rings[a][jax.lax.rem(c, jnp.int32(4))]
-                zp = rings[a][jax.lax.rem(c + 1, jnp.int32(4))]
-                halo_triples.append((zm, zc, zp))
-            planes = [stages[b][jax.lax.rem(c, jnp.int32(3))]
+                halo_windows.append(tuple(rings[a][ring_slot(c + d)]
+                                          for d in range(-W, W + 1)))
+            planes = [stages[b][jax.lax.rem(c, jnp.int32(S))]
                       for b in range(n_plane)]
 
-            outs, partial = compute(c, scalars, halo_triples, planes)
+            outs, partials = compute(c, scalars, halo_windows, planes)
 
             s_out = jax.lax.rem(c, jnp.int32(2))
             for o in range(n_out):
@@ -152,11 +206,13 @@ def make_rolling_stencil(nz: int, ny: int, nx: int,
                     out_dma(c - 2, o, s_out).wait()
                 obufs[o][pl.ds(s_out, 1)] = outs[o][None]
                 out_dma(c, o, s_out).start()
-            if with_reduction:
-                acc = acc + partial
+            if n_red:
+                if with_reduction:
+                    partials = (partials,)
+                acc = _red_combine(acc, partials)
             return acc
 
-        acc = jax.lax.fori_loop(1, nz - 1, body, jnp.zeros((), dtype))
+        acc = jax.lax.fori_loop(1, nz - 1, body, _red_init())
 
         # Epilogue: drain output DMAs, then fill the z-shell planes —
         # zeros by default, or a passthrough copy of an input's shells.
@@ -181,14 +237,14 @@ def make_rolling_stencil(nz: int, ny: int, nx: int,
                     fetch.wait()
                     out_dma(k, o, slot).start()
                     out_dma(k, o, slot).wait()
-        if with_reduction:
-            red_ref[0, 0] = acc
+        for i in range(n_red):
+            red_ref[0, i] = acc[i]
 
     out_shapes = [jax.ShapeDtypeStruct((rows, nx), dtype)
                   for _ in range(n_out)]
     out_specs = [pl.BlockSpec(memory_space=pl.ANY) for _ in range(n_out)]
-    if with_reduction:
-        out_shapes.append(jax.ShapeDtypeStruct((1, 1), dtype))
+    if n_red:
+        out_shapes.append(jax.ShapeDtypeStruct((1, n_red), dtype))
         out_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
 
     call = pl.pallas_call(
@@ -198,12 +254,16 @@ def make_rolling_stencil(nz: int, ny: int, nx: int,
         out_specs=out_specs,
         out_shape=out_shapes,
         scratch_shapes=(
-            [pltpu.VMEM((4, ny, nx), dtype) for _ in range(n_halo)]
-            + [pltpu.VMEM((3, ny, nx), dtype) for _ in range(n_plane)]
+            [pltpu.VMEM((R, ny, nx), dtype) for _ in range(n_halo)]
+            + [pltpu.VMEM((S, ny, nx), dtype) for _ in range(n_plane)]
             + [pltpu.VMEM((2, ny, nx), dtype) for _ in range(n_out)]
             + [pltpu.SemaphoreType.DMA((2, n_in)),
                pltpu.SemaphoreType.DMA((2, n_out))]),
-        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        compiler_params=pltpu.CompilerParams(
+            has_side_effects=True,
+            # v5e carries 128 MiB of VMEM; XLA's default scoped limit is
+            # 16 MiB — raise it so the wide-window fused kernels fit.
+            vmem_limit_bytes=_VMEM_BUDGET + 8 * 1024 * 1024),
         interpret=interpret,
     )
 
@@ -214,6 +274,8 @@ def make_rolling_stencil(nz: int, ny: int, nx: int,
         outs = [results[o].reshape(nz, ny, nx) for o in range(n_out)]
         if with_reduction:
             return (*outs, results[n_out][0, 0])
+        if n_red:
+            return (*outs, *(results[n_out][0, i] for i in range(n_red)))
         return tuple(outs)
 
     return run

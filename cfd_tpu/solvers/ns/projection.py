@@ -150,49 +150,70 @@ def make_projection_step(grid: Grid, params: NSParams, dtype=None,
             and params.source_func is None and not params.buoyancy_enabled):
         from ...ops.pallas.projection_kernels import (
             ProjectionKernels, projection_kernels_supported)
+        from ..poisson.spectral import spectral_supported
+        use_bt3 = (Method(poisson_method) == Method.FFT_DIRECT
+                   and spectral_supported(problem))
         if projection_kernels_supported(grid.nz, grid.ny, grid.nx):
             pk = ProjectionKernels(grid.nz, grid.ny, grid.nx, dx, dy,
                                    grid.dz0, grid.xmin, grid.ymin, dtype,
+                                   emit="btilde" if use_bt3 else "rhs",
+                                   with_sources=(params.source_amplitude_u
+                                                 != 0.0
+                                                 or params.source_amplitude_v
+                                                 != 0.0),
                                    interpret=pallas_interpret)
             if pk.ok:
                 proj_kernels = pk
-            # Spectral fast path: the btilde kernel feeds the DST pipeline
-            # directly (no materialized Poisson rhs, no residual diagnostics
-            # — exactness is certified by tests/solvers/test_spectral.py).
-            if (pk.ok and pk.btilde_k is not None
-                    and Method(poisson_method) == Method.FFT_DIRECT):
-                from ..poisson.spectral import (make_fft_btilde_solver,
-                                                spectral_supported)
-                if spectral_supported(problem):
-                    btilde_pipeline = make_fft_btilde_solver(
-                        problem, pparams,
-                        **({} if spectral_precision is None
-                           else {"precision": spectral_precision}))
+            # Spectral fast path: the btilde/pred_bt kernel feeds the DST
+            # pipeline directly (no materialized Poisson rhs, no residual
+            # diagnostics — exactness is certified by
+            # tests/solvers/test_spectral.py).
+            if (pk.ok and use_bt3
+                    and (pk.btilde_k is not None or pk.mega_ok)):
+                from ..poisson.spectral import make_fft_btilde_solver
+                btilde_pipeline = make_fft_btilde_solver(
+                    problem, pparams,
+                    **({} if spectral_precision is None
+                       else {"precision": spectral_precision}))
 
     def fused_step(field: FlowField, dt, iter_idx):
         """Fully fused kernel path — identical math to the jnp body below."""
         dt = jnp.asarray(dt, dtype)
         decay = jnp.exp(-params.source_decay_rate * iter_idx * dt)
-        us, vs, ws = proj_kernels.predictor(
-            field.u, field.v, field.w, dt, params.mu,
-            params.source_amplitude_u * decay,
-            params.source_amplitude_v * decay)
-
+        su = params.source_amplitude_u * decay
+        sv = params.source_amplitude_v * decay
         rho0 = field.rho[0, 0, 0]
         rho0 = jnp.where(rho0 < 1e-10, 1.0, rho0)
+        mega = proj_kernels.mega_ok
+
+        if mega:
+            us, vs, ws, pin = proj_kernels.predictor_poisson_input(
+                field.u, field.v, field.w, field.p, dt, params.mu,
+                su, sv, rho0 / dt)
+        else:
+            us, vs, ws = proj_kernels.predictor(
+                field.u, field.v, field.w, dt, params.mu, su, sv)
+            pin = None
+
         if btilde_pipeline is not None:
-            p_new = btilde_pipeline(
-                proj_kernels.btilde(us, vs, ws, field.p, rho0 / dt))
+            if pin is None:
+                pin = proj_kernels.btilde(us, vs, ws, field.p, rho0 / dt)
+            p_new = btilde_pipeline(pin)
             residual = jnp.zeros((), dtype)
             poisson_ok = jnp.bool_(True)   # direct solve
         else:
-            rhs = proj_kernels.rhs(us, vs, ws, rho0 / dt)
-            pres = poisson_solve(field.p, rhs)
+            if pin is None:
+                pin = proj_kernels.rhs(us, vs, ws, rho0 / dt)
+            pres = poisson_solve(field.p, pin)
             p_new = pres.x
             residual = pres.final_residual
             poisson_ok = pres.status == 0
 
-        u, v, w = proj_kernels.corrector(us, vs, ws, p_new, dt / rho0)
+        if mega:
+            u, v, w, m2i, pmaxi, pabsi = proj_kernels.corrector_diag(
+                us, vs, ws, p_new, dt / rho0)
+        else:
+            u, v, w = proj_kernels.corrector(us, vs, ws, p_new, dt / rho0)
         new_field = field.replace(u=u, v=v, w=w, p=p_new)
 
         if energy_step is not None:
@@ -203,7 +224,25 @@ def make_projection_step(grid: Grid, params: NSParams, dtype=None,
             new_field = new_field.replace(
                 T=apply_thermal_bcs(new_field.T, params.thermal_bc))
 
-        finite, vmax, pmax, tmax = field_status_and_diagnostics(new_field)
+        if mega:
+            # Fused diagnostics: kernel max-reductions cover the interior
+            # planes; fold in the two z-shell planes with cheap face maxima
+            # (exact parity with field_status_and_diagnostics).
+            def m2_face(k):
+                return jnp.max(u[k] ** 2 + v[k] ** 2 + w[k] ** 2)
+
+            m2 = jnp.maximum(m2i, jnp.maximum(m2_face(0), m2_face(-1)))
+            pmax = jnp.maximum(pmaxi, jnp.maximum(jnp.max(p_new[0]),
+                                                  jnp.max(p_new[-1])))
+            pabs = jnp.maximum(pabsi,
+                               jnp.maximum(jnp.max(jnp.abs(p_new[0])),
+                                           jnp.max(jnp.abs(p_new[-1]))))
+            tmax = jnp.max(new_field.T)
+            finite = jnp.isfinite(m2) & jnp.isfinite(pabs)
+            vmax = jnp.sqrt(m2)
+        else:
+            finite, vmax, pmax, tmax = field_status_and_diagnostics(
+                new_field)
         status = jnp.where(~finite, jnp.int32(-6),
                            jnp.where(poisson_ok, jnp.int32(0),
                                      jnp.int32(-7)))

@@ -1,0 +1,96 @@
+"""Mega-fused 3D projection kernels (±2-window predictor+btilde, corrector
+with fused max-reduction diagnostics) — interpret-mode consistency vs the
+jnp step, including StepResult diagnostic parity (the reductions must match
+``field_status_and_diagnostics`` exactly, shells included)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cfd_tpu import FlowField, Grid
+from cfd_tpu.ops.pallas.projection_kernels import ProjectionKernels
+from cfd_tpu.solvers.ns import NSParams
+from cfd_tpu.solvers.ns.projection import make_projection_step
+from cfd_tpu.solvers.poisson.base import Method
+
+
+def _random_field(grid, seed=0, amp=0.1):
+    rng = np.random.default_rng(seed)
+    f = FlowField.initialize(grid, dtype=jnp.float32)
+    return f.replace(
+        u=jnp.asarray(rng.normal(0, amp, grid.shape), jnp.float32),
+        v=jnp.asarray(rng.normal(0, amp, grid.shape), jnp.float32),
+        w=jnp.asarray(rng.normal(0, amp, grid.shape), jnp.float32),
+        p=jnp.asarray(rng.normal(0, amp, grid.shape), jnp.float32))
+
+
+def test_mega_kernels_built():
+    g = Grid.uniform(128, 16, 8, zmin=0.0, zmax=1.0)
+    pk = ProjectionKernels(g.nz, g.ny, g.nx, g.dx0, g.dy0, g.dz0,
+                           g.xmin, g.ymin, interpret=True)
+    assert pk.mega_ok
+    # sharded mode keeps the per-component kernels only
+    pk_sh = ProjectionKernels(4, 16, 128, g.dx0, g.dy0, g.dz0,
+                              g.xmin, g.ymin, interpret=True, global_nz=16)
+    assert not pk_sh.mega_ok and pk_sh.ok
+
+
+@pytest.mark.parametrize("method", [Method.FFT_DIRECT, Method.CG])
+@pytest.mark.parametrize("nz,sources", [(8, True), (16, False)])
+def test_mega_matches_jnp(method, nz, sources):
+    g = Grid.uniform(128, 16, nz, zmin=0.0, zmax=1.0)
+    amp = 1.0 if sources else 0.0
+    params = NSParams(source_amplitude_u=amp, source_amplitude_v=amp)
+    f = _random_field(g, seed=nz)
+
+    ref = jax.jit(make_projection_step(g, params, dtype=jnp.float32,
+                                       poisson_method=method))
+    fus = jax.jit(make_projection_step(g, params, dtype=jnp.float32,
+                                       poisson_method=method,
+                                       use_pallas=True,
+                                       pallas_interpret=True))
+    fr, rr = ref(f, 0.001, 0)
+    ff, rf = fus(f, 0.001, 0)
+    assert int(rf.status) == int(rr.status) == 0
+    for name in ("u", "v", "w", "p"):
+        np.testing.assert_allclose(np.asarray(getattr(ff, name)),
+                                   np.asarray(getattr(fr, name)),
+                                   atol=2e-5)
+    # fused diagnostics parity: interior reductions + shell face maxima
+    # must reproduce the jnp full-field reductions
+    for attr in ("max_velocity", "max_pressure", "max_temperature"):
+        np.testing.assert_allclose(float(getattr(rf, attr)),
+                                   float(getattr(rr, attr)), rtol=1e-6,
+                                   err_msg=attr)
+
+
+def test_mega_diag_catches_shell_extremum():
+    """A velocity extremum sitting ON the z-shell must be reported (the
+    kernel reductions skip shell planes; the step folds in face maxima)."""
+    g = Grid.uniform(128, 16, 8, zmin=0.0, zmax=1.0)
+    params = NSParams(source_amplitude_u=0.0, source_amplitude_v=0.0)
+    f = _random_field(g, seed=3)
+    f = f.replace(u=f.u.at[0].set(9.0))  # z=0 shell plane dominates
+
+    fus = jax.jit(make_projection_step(g, params, dtype=jnp.float32,
+                                       poisson_method=Method.FFT_DIRECT,
+                                       use_pallas=True,
+                                       pallas_interpret=True))
+    ff, rf = fus(f, 0.001, 0)
+    assert float(rf.max_velocity) >= 9.0
+
+
+def test_mega_divergence_detection():
+    """NaN injection is still caught through the fused max-reductions."""
+    g = Grid.uniform(128, 16, 8, zmin=0.0, zmax=1.0)
+    params = NSParams(source_amplitude_u=0.0, source_amplitude_v=0.0)
+    fus = jax.jit(make_projection_step(g, params, dtype=jnp.float32,
+                                       poisson_method=Method.FFT_DIRECT,
+                                       use_pallas=True,
+                                       pallas_interpret=True))
+    for where in ((0, 5, 5), (4, 5, 5)):  # shell plane and interior
+        f = _random_field(g, seed=4)
+        f = f.replace(u=f.u.at[where].set(jnp.nan))
+        ff, rf = fus(f, 0.001, 0)
+        assert int(rf.status) == -6, where  # DIVERGED

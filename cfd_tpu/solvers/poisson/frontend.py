@@ -26,10 +26,11 @@ import jax.numpy as jnp
 from ...core.status import CFDError, Status
 from .base import (Method, PoissonParams, PoissonProblem, PoissonResult,
                    PoissonStats, PoissonStatus, Precond, result_to_stats)
-from .krylov import make_bicgstab, make_cg
+from .krylov import make_bicgstab, make_bicgstab_fused, make_cg, make_cg_fused
 from .multigrid import make_mg_cg, make_multigrid
 from .spectral import make_fft_direct, spectral_supported
-from .stationary import make_jacobi, make_redblack_sor, make_sor
+from .stationary import (make_jacobi, make_redblack_sor,
+                         make_redblack_sor_fused, make_sor)
 
 
 def _make_cg_dispatch(problem, params):
@@ -69,6 +70,26 @@ _MAKERS = {
     Method.MULTIGRID: _make_multigrid_dispatch,
     Method.FFT_DIRECT: _make_fft_dispatch,
 }
+
+def _fused_maker(method: Method, problem: PoissonProblem,
+                 params: PoissonParams, interpret: bool):
+    """Fused-Pallas builder for the methods that have one, else None.
+
+    CG's multigrid preconditioner has no fused kernel; Jacobi/SOR gain
+    nothing from fusion that XLA doesn't already do (Jacobi is one fused
+    sweep under jit; SOR is scan-bound)."""
+    if not problem.is_3d:
+        return None
+    fn = None
+    if method == Method.REDBLACK_SOR:
+        fn = make_redblack_sor_fused(problem, params, interpret=interpret)
+    elif method == Method.CG and params.preconditioner != Precond.MULTIGRID:
+        fn = make_cg_fused(problem, params, interpret=interpret)
+    elif method == Method.BICGSTAB:
+        fn = make_bicgstab_fused(problem, params, interpret=interpret)
+    import jax
+    return None if fn is None else jax.jit(fn)
+
 
 _METHOD_NAMES = {
     Method.JACOBI: "jacobi",
@@ -126,6 +147,7 @@ class PoissonSolver:
     problem: Optional[PoissonProblem] = None
     params: PoissonParams = PoissonParams()
     _solve_fn: Optional[object] = None
+    _fused_fn: Optional[object] = None
 
     @property
     def name(self) -> str:
@@ -133,8 +155,17 @@ class PoissonSolver:
 
     def init(self, nx: int, ny: int, nz: int = 1,
              dx: float = 1.0, dy: float = 1.0, dz: float = 0.0,
-             params: Optional[PoissonParams] = None) -> "PoissonSolver":
-        """Bind to a problem geometry (mirrors poisson_solver_init)."""
+             params: Optional[PoissonParams] = None,
+             use_pallas: Optional[bool] = None) -> "PoissonSolver":
+        """Bind to a problem geometry (mirrors poisson_solver_init).
+
+        ``use_pallas``: None (default) enables the fused Pallas fast path
+        automatically on TPU for the methods that have one (Red-Black SOR,
+        CG/PCG, BiCGSTAB — the reference's GPU-backed methods,
+        `lib/src/solvers/linear/gpu/`); True forces it (interpret mode off
+        TPU, for tests); False disables it.  The fused path engages only
+        for float32 inputs; other dtypes keep the jnp reference numerics.
+        """
         self.problem = PoissonProblem(nx, ny, nz, dx, dy, dz)
         if params is not None:
             self.params = params
@@ -146,7 +177,18 @@ class PoissonSolver:
                                               max_iterations=2000,
                                               check_interval=10)
         self._solve_fn = _MAKERS[self.method](self.problem, self.params)
+        self._fused_fn = None
+        import jax
+        on_tpu = jax.default_backend() == "tpu"
+        if use_pallas or (use_pallas is None and on_tpu):
+            self._fused_fn = _fused_maker(self.method, self.problem,
+                                          self.params, interpret=not on_tpu)
         return self
+
+    def _dispatch(self, x):
+        if self._fused_fn is not None and x.dtype == jnp.float32:
+            return self._fused_fn
+        return self._solve_fn
 
     def solve(self, x, rhs) -> Tuple[jnp.ndarray, PoissonStats]:
         """Solve ∇²x = rhs from initial guess x; returns (x, stats)."""
@@ -160,7 +202,7 @@ class PoissonSolver:
         else:
             squeeze = False
         t0 = time.perf_counter()
-        result: PoissonResult = self._solve_fn(x, rhs)
+        result: PoissonResult = self._dispatch(x)(x, rhs)
         result.x.block_until_ready()
         ms = (time.perf_counter() - t0) * 1e3
         out = result.x[0] if squeeze else result.x
@@ -170,7 +212,7 @@ class PoissonSolver:
         """Device-side solve (no host sync) for embedding in larger jits."""
         if self._solve_fn is None:
             raise CFDError(Status.ERROR_INVALID, "solver not initialized")
-        return self._solve_fn(x, rhs)
+        return self._dispatch(x)(x, rhs)
 
     def compute_residual(self, x, rhs) -> float:
         x = jnp.asarray(x)

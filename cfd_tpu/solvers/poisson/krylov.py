@@ -203,6 +203,106 @@ def make_cg_fused(problem: PoissonProblem, params: PoissonParams,
     return solve
 
 
+def make_bicgstab_fused(problem: PoissonProblem, params: PoissonParams,
+                        dtype=jnp.float32, interpret: bool = False):
+    """BiCGSTAB on the three fused Pallas passes (float32, 3D grids).
+
+    Mathematically identical to :func:`make_bicgstab` (same recursion,
+    breakdown and early s-exit semantics); the loop is rotated so next
+    iteration's ρ = ⟨r̂, r⟩ comes out of the update pass for free, and the
+    early-exit / breakdown x-variants are expressed by zeroing the α/ω fed
+    to the update pass (x_early = x + α·p' is the ω=0 case —
+    `linear_solver_bicgstab.c:398-405`).  Returns None when the kernels
+    don't support the problem shape.
+    """
+    from ...ops.pallas.bicgstab_kernels import (BiCGSTABKernels,
+                                                bicgstab_kernels_supported)
+
+    nz, ny, nx = problem.shape
+    if nz < 3 or not bicgstab_kernels_supported(nz, ny, nx):
+        return None
+    k = BiCGSTABKernels(nz, ny, nx, problem.inv_dx2, problem.inv_dy2,
+                        problem.inv_dz2, dtype, interpret)
+    if not k.ok:
+        return None
+
+    ci = max(1, int(params.check_interval))
+    max_iter = int(params.max_iterations)
+    abs_tol = params.absolute_tolerance
+
+    def solve(x, rhs):
+        x = problem.neumann_bc(x)
+        r = problem.zero_boundary(problem.laplacian(x) - rhs)
+        r_hat = r
+        v = jnp.zeros_like(r)
+        p = jnp.zeros_like(r)
+        rr0 = problem.dot_interior(r, r)
+        initial_res = jnp.sqrt(rr0)
+        tol = problem.tolerance_for(params, initial_res)
+        already = initial_res < abs_tol
+        one = jnp.asarray(1.0, x.dtype)
+
+        # carry: x, r, p, v, rho_prev, rho_new(=⟨r̂,r⟩ from pass 3),
+        #        alpha, omega, it, res, running, stagnated
+        def cond(c):
+            return c[10] & (c[8] < max_iter)
+
+        def body(c):
+            (x, r, p, v, rho_prev, rho_new, alpha, omega, it, res,
+             _, _) = c
+            bd1 = jnp.abs(rho_new) < BREAKDOWN
+            beta = (rho_new / jnp.where(bd1, 1.0, rho_prev)) \
+                * (alpha / jnp.where(jnp.abs(omega) < BREAKDOWN, 1.0, omega))
+            p_new, v_new, rhv = k.pass_pv(r, p, v, r_hat, beta, omega)
+            bd2 = jnp.abs(rhv) < BREAKDOWN
+            alpha_new = rho_new / jnp.where(bd2, 1.0, rhv)
+            s, t, ss, ts, tt = k.pass_st(r, v_new, alpha_new)
+            s_norm = jnp.sqrt(ss)
+            early = (s_norm < tol) | (s_norm < abs_tol)
+            bd3 = jnp.abs(tt) < BREAKDOWN
+            omega_new = ts / jnp.where(bd3, 1.0, tt)
+
+            bd = bd1 | bd2
+            # Breakdown before any progress: x unchanged (α=ω=0).  Early
+            # s-exit / t·t-breakdown: x += α·p' only (ω=0) — then the pass's
+            # ⟨r',r'⟩ equals ⟨s,s⟩, so √rr reports s_norm exactly as the
+            # reference does on those paths.
+            alpha_eff = jnp.where(bd, 0.0, alpha_new)
+            omega_eff = jnp.where(bd | early | bd3, 0.0, omega_new)
+            x, r, rr, rhat_r = k.pass_xr(x, p_new, s, t, r_hat,
+                                         alpha_eff, omega_eff)
+            res_new = jnp.where(bd, res, jnp.sqrt(rr))
+
+            check = (it % ci) == 0
+            converged = early | (check & ((res_new < tol)
+                                          | (res_new < abs_tol)))
+            bd4 = jnp.abs(omega_new) < BREAKDOWN
+            stop = bd | bd3 | converged | (bd4 & ~converged)
+            stagnated = bd | bd3 | (bd4 & ~converged)
+            return (x, r, p_new, v_new, rho_new, rhat_r, alpha_new,
+                    omega_new, it + 1, res_new, ~stop, stagnated)
+
+        init = (x, r, p, v, one, rr0, one, one, jnp.int32(0), initial_res,
+                ~already, jnp.asarray(False))
+        (x_f, _, _, _, _, _, _, _, it_f, res_f, _, stagnated_f) = \
+            lax.while_loop(cond, body, init)
+
+        converged = (res_f < tol) | (res_f < abs_tol) | already
+        x_f = problem.neumann_bc(x_f)
+        iterations = jnp.where(already, 0, jnp.minimum(it_f, max_iter))
+        status = jnp.where(
+            converged, jnp.int32(PoissonStatus.CONVERGED),
+            jnp.where(stagnated_f, jnp.int32(PoissonStatus.STAGNATED),
+                      jnp.int32(PoissonStatus.MAX_ITER)))
+        return PoissonResult(x=x_f, iterations=iterations,
+                             initial_residual=initial_res,
+                             final_residual=jnp.where(already, initial_res,
+                                                      res_f),
+                             status=status)
+
+    return solve
+
+
 def make_bicgstab(problem: PoissonProblem, params: PoissonParams):
     ci = max(1, int(params.check_interval))
     max_iter = int(params.max_iterations)

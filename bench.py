@@ -116,6 +116,61 @@ def run_2d(n: int, precision=None) -> float:
     return float(n) ** 2 * steps / elapsed / 1e6
 
 
+def run_smallgrid_ms(nx: int = 100, ny: int = 50, steps: int = 500) -> float:
+    """Per-step milliseconds on the reference's published 100×50 config
+    (`README.md:225-231`: projection 19.0 ms scalar / 5.3 SIMD / 4.2 OMP).
+    Latency-bound on TPU — timed inside one jit to amortize dispatch."""
+    from cfd_tpu import Grid
+
+    grid = Grid.uniform(nx, ny)
+    step = _make_step(grid)
+    elapsed = _time_steps(step, _tg_field((1, ny, nx)), 1e-4, steps)
+    return elapsed / steps * 1e3
+
+
+# Reference Poisson throughput at 100×100, tol 1e-6
+# (`docs/reference/solvers.md:231-238`): RB-SOR ~2000 it / 8 ms,
+# CG ~80 it / 5 ms, BiCGSTAB ~40 it / 4 ms.
+POISSON_BASELINE_ITERS_PER_SEC = {
+    "redblack_sor": 250_000.0,
+    "cg": 16_000.0,
+    "bicgstab": 10_000.0,
+}
+
+
+def run_poisson_iters(n: int = 100, iters: int = 2000) -> dict:
+    """Poisson iteration throughput (iters/sec) per method at n², f32.
+
+    tolerance=0 forces exactly ``iters`` iterations so the number is a pure
+    iteration-throughput metric (matching the reference's iters/time table).
+    """
+    import jax.numpy as jnp
+    import numpy as np
+
+    from cfd_tpu.solvers.poisson.base import Method, PoissonParams
+    from cfd_tpu.solvers.poisson.frontend import create_solver
+
+    rng = np.random.default_rng(0)
+    rhs = jnp.asarray(rng.normal(0.0, 1.0, (1, n, n)), jnp.float32)
+    rhs = rhs - jnp.mean(rhs)
+    x0 = jnp.zeros_like(rhs)
+    out = {}
+    for name, method in (("redblack_sor", Method.REDBLACK_SOR),
+                         ("cg", Method.CG),
+                         ("bicgstab", Method.BICGSTAB)):
+        pp = PoissonParams(tolerance=0.0, absolute_tolerance=0.0,
+                           max_iterations=iters, check_interval=iters)
+        s = create_solver(method, pp)
+        s.init(n, n, 1, 1.0 / (n - 1), 1.0 / (n - 1), 0.0)
+        s.solve(x0, rhs)  # compile + warmup (stats fetch syncs the device)
+        t0 = time.perf_counter()
+        _, st = s.solve(x0, rhs)
+        dt = time.perf_counter() - t0
+        done = max(int(st.iterations), 1)
+        out[name] = round(done / dt, 1)
+    return out
+
+
 def ghia_gate(n: int = 128, steps: int = 20000, dt: float = 5e-4):
     """Lid cavity Re=100 on-chip (f32, fused path) → (rms_u, rms_v)."""
     import sys
@@ -184,6 +239,8 @@ def main():
     mlups3d_fast = run_3d(grid3d, precision=lax.Precision.HIGH)
     mlups2d = run_2d(2048)
     mlups2d_fast = run_2d(2048, precision=lax.Precision.HIGH)
+    smallgrid_ms = run_smallgrid_ms()
+    poisson_ips = run_poisson_iters()
     rms_u, rms_v = ghia_gate()
     assert rms_u < 0.10 and rms_v < 0.10, (
         f"on-chip Ghia gate failed: rms_u={rms_u:.4f} rms_v={rms_v:.4f}")
@@ -200,6 +257,12 @@ def main():
         "mlups_2d_2048": round(mlups2d, 1),
         "mlups_2d_2048_fast": round(mlups2d_fast, 1),
         "vs_baseline_2d": round(mlups2d / REFERENCE_BASELINE_MLUPS, 3),
+        "projection_ms_100x50": round(smallgrid_ms, 3),
+        "vs_baseline_smallgrid": round(4.2 / smallgrid_ms, 2),
+        "poisson_iters_per_sec_100x100": poisson_ips,
+        "poisson_vs_baseline": {
+            k: round(v / POISSON_BASELINE_ITERS_PER_SEC[k], 2)
+            for k, v in poisson_ips.items()},
         "ghia_rms_u": round(rms_u, 4),
         "ghia_rms_v": round(rms_v, 4),
         "ghia_config": "Re=100 128x128 f32 fused, t=10",

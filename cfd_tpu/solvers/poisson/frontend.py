@@ -30,7 +30,8 @@ from .krylov import make_bicgstab, make_bicgstab_fused, make_cg, make_cg_fused
 from .multigrid import make_mg_cg, make_multigrid
 from .spectral import make_fft_direct, spectral_supported
 from .stationary import (make_jacobi, make_redblack_sor,
-                         make_redblack_sor_fused, make_sor)
+                         make_redblack_sor_fused, make_redblack_sor_vmem,
+                         make_sor)
 
 
 def _make_cg_dispatch(problem, params):
@@ -79,7 +80,13 @@ def _fused_maker(method: Method, problem: PoissonProblem,
     nothing from fusion that XLA doesn't already do (Jacobi is one fused
     sweep under jit; SOR is scan-bound)."""
     if not problem.is_3d:
-        return None
+        # Small 2D grids: the whole solve runs VMEM-resident in one kernel
+        # (launch latency, not bandwidth, bounds these sizes).
+        fn = None
+        if method == Method.REDBLACK_SOR:
+            fn = make_redblack_sor_vmem(problem, params, interpret=interpret)
+        import jax
+        return None if fn is None else jax.jit(fn)
     fn = None
     if method == Method.REDBLACK_SOR:
         fn = make_redblack_sor_fused(problem, params, interpret=interpret)

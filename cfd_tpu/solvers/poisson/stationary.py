@@ -181,6 +181,43 @@ def make_redblack_sor_fused(problem: PoissonProblem, params: PoissonParams,
     return solve
 
 
+def make_redblack_sor_vmem(problem: PoissonProblem, params: PoissonParams,
+                           dtype=jnp.float32, interpret: bool = False):
+    """Whole-solve VMEM-resident Red-Black SOR for small 2D grids.
+
+    The entire convergence loop runs inside ONE Pallas kernel with the
+    iterate held in VMEM — zero HBM traffic and zero launch overhead per
+    iteration, which is what the reference's published 100×100 Poisson
+    baselines (`docs/reference/solvers.md:231-238`) are latency-bound on.
+    Same update order, Neumann mirror, check_interval chunking and status
+    rules as :func:`make_redblack_sor`.  Returns None when unsupported.
+    """
+    from ...ops.pallas.vmem_small import make_rbsor_vmem_solve
+
+    nz, ny, nx = problem.shape
+    if nz != 1:
+        return None
+    omega = problem.resolve_omega(params.omega)
+    fn = make_rbsor_vmem_solve(
+        ny, nx, problem.inv_dx2, problem.inv_dy2, problem.inv_factor,
+        omega, params.tolerance, params.absolute_tolerance,
+        params.max_iterations, params.check_interval,
+        dtype=dtype, interpret=interpret)
+    if fn is None:
+        return None
+
+    def solve(x, rhs):
+        x_new, r0, res_f, iters, converged = fn(x, rhs)
+        status = jnp.where(converged,
+                           jnp.int32(PoissonStatus.CONVERGED),
+                           jnp.int32(PoissonStatus.MAX_ITER))
+        return PoissonResult(x=x_new, iterations=iters,
+                             initial_residual=r0, final_residual=res_f,
+                             status=status)
+
+    return solve
+
+
 def make_redblack_sor(problem: PoissonProblem, params: PoissonParams):
     inv_dx2, inv_dy2 = problem.inv_dx2, problem.inv_dy2
     inv_dz2, inv_factor = problem.inv_dz2, problem.inv_factor

@@ -1,0 +1,99 @@
+"""VMEM-resident whole-solve Red-Black SOR (small 2D grids) — interpret-mode
+consistency vs the jnp reference path: identical iteration counts, statuses,
+residuals, and iterates (the cross-backend consistency bar,
+`test_omp_consistency.c:88`)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cfd_tpu.solvers.poisson.base import (Method, PoissonParams,
+                                          PoissonProblem)
+from cfd_tpu.solvers.poisson.stationary import (make_redblack_sor,
+                                                make_redblack_sor_vmem)
+
+
+def _problem(ny, nx):
+    return PoissonProblem(nx, ny, 1, 1.0 / (nx - 1), 1.0 / (ny - 1), 0.0)
+
+
+def _data(ny, nx, seed=0):
+    rng = np.random.default_rng(seed)
+    rhs = jnp.asarray(rng.normal(0, 1, (1, ny, nx)), jnp.float32)
+    x0 = jnp.asarray(rng.normal(0, 0.1, (1, ny, nx)), jnp.float32)
+    return x0, rhs
+
+
+def test_supported_shapes():
+    from cfd_tpu.ops.pallas.vmem_small import vmem_solve_supported
+    assert vmem_solve_supported(1, 100, 100)
+    assert vmem_solve_supported(1, 33, 65)
+    assert not vmem_solve_supported(3, 100, 100)      # 2D only
+    assert not vmem_solve_supported(1, 4096, 4096)    # exceeds VMEM budget
+
+
+@pytest.mark.parametrize("ny,nx,ci", [(100, 100, 1), (100, 100, 10),
+                                      (33, 65, 7)])
+def test_vmem_matches_jnp_exactly(ny, nx, ci):
+    prob = _problem(ny, nx)
+    pp = PoissonParams(tolerance=1e-3, absolute_tolerance=1e-12,
+                       max_iterations=300, check_interval=ci)
+    ref = make_redblack_sor(prob, pp)
+    vm = make_redblack_sor_vmem(prob, pp, dtype=jnp.float32, interpret=True)
+    assert vm is not None
+    x0, rhs = _data(ny, nx)
+    r_ref = ref(x0, rhs)
+    r_vm = jax.jit(vm)(x0, rhs)
+    assert int(r_ref.iterations) == int(r_vm.iterations)
+    assert int(r_ref.status) == int(r_vm.status)
+    np.testing.assert_allclose(float(r_vm.initial_residual),
+                               float(r_ref.initial_residual), rtol=1e-5)
+    np.testing.assert_allclose(float(r_vm.final_residual),
+                               float(r_ref.final_residual), rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(r_vm.x), np.asarray(r_ref.x),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_vmem_max_iter_status():
+    prob = _problem(40, 40)
+    pp = PoissonParams(tolerance=0.0, absolute_tolerance=0.0,
+                       max_iterations=37, check_interval=5)
+    vm = make_redblack_sor_vmem(prob, pp, dtype=jnp.float32, interpret=True)
+    x0, rhs = _data(40, 40)
+    r = jax.jit(vm)(x0, rhs)
+    assert int(r.iterations) == 37   # final chunk clipped: 7×5 + 2
+    assert int(r.status) == 1        # MAX_ITER
+
+
+def test_vmem_already_converged():
+    prob = _problem(32, 64)
+    pp = PoissonParams(tolerance=1e-6, absolute_tolerance=1e-2,
+                       max_iterations=100)
+    vm = make_redblack_sor_vmem(prob, pp, dtype=jnp.float32, interpret=True)
+    x0 = jnp.zeros((1, 32, 64), jnp.float32)
+    rhs = jnp.full((1, 32, 64), 1e-5, jnp.float32)   # residual < abs_tol
+    r = jax.jit(vm)(x0, rhs)
+    assert int(r.iterations) == 0
+    assert int(r.status) == 0
+    np.testing.assert_allclose(float(r.final_residual),
+                               float(r.initial_residual))
+
+
+def test_frontend_dispatches_vmem_2d():
+    """use_pallas=True on a small 2D problem routes f32 solves through the
+    VMEM kernel and f64 through the jnp path."""
+    from cfd_tpu.solvers.poisson.frontend import create_solver
+
+    pp = PoissonParams(tolerance=1e-3, max_iterations=200)
+    s = create_solver(Method.REDBLACK_SOR, pp)
+    s.init(100, 100, 1, 1 / 99, 1 / 99, 0.0, use_pallas=True)
+    assert s._fused_fn is not None
+    x0, rhs = _data(100, 100)
+    x_f, st_f = s.solve(x0, rhs)
+    s2 = create_solver(Method.REDBLACK_SOR, pp)
+    s2.init(100, 100, 1, 1 / 99, 1 / 99, 0.0, use_pallas=False)
+    x_j, st_j = s2.solve(x0, rhs)
+    assert st_f.iterations == st_j.iterations
+    np.testing.assert_allclose(np.asarray(x_f), np.asarray(x_j),
+                               rtol=2e-5, atol=2e-5)

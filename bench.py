@@ -138,14 +138,22 @@ POISSON_BASELINE_ITERS_PER_SEC = {
 }
 
 
-def run_poisson_iters(n: int = 100, iters: int = 2000) -> dict:
+def run_poisson_iters(n: int = 100) -> dict:
     """Poisson iteration throughput (iters/sec) per method at n², f32.
 
-    tolerance=0 forces exactly ``iters`` iterations so the number is a pure
-    iteration-throughput metric (matching the reference's iters/time table).
+    The reference's iters/time table (`docs/reference/solvers.md:231-238`)
+    expresses pure per-iteration compute.  On the remote-tunnel transport a
+    single call carries a ~30 ms fixed round-trip, so the DEVICE throughput
+    is measured marginally: S solves (each a fixed iteration budget, rhs
+    perturbed per solve to defeat CSE) are chained in one `lax.scan` inside
+    one jit, and the rate is Δiterations/Δtime between two values of S.
+    Krylov budgets stay below the f32 breakdown point (tolerance=0 runs a
+    converged Krylov iteration into rho→0 STAGNATED exit).
     """
+    import jax
     import jax.numpy as jnp
     import numpy as np
+    from jax import lax
 
     from cfd_tpu.solvers.poisson.base import Method, PoissonParams
     from cfd_tpu.solvers.poisson.frontend import create_solver
@@ -155,19 +163,42 @@ def run_poisson_iters(n: int = 100, iters: int = 2000) -> dict:
     rhs = rhs - jnp.mean(rhs)
     x0 = jnp.zeros_like(rhs)
     out = {}
+
+    budgets = {"redblack_sor": 2000, "cg": 400, "bicgstab": 150}
+    pair = {"redblack_sor": (5, 105), "cg": (5, 105), "bicgstab": (5, 105)}
+
     for name, method in (("redblack_sor", Method.REDBLACK_SOR),
                          ("cg", Method.CG),
                          ("bicgstab", Method.BICGSTAB)):
+        budget = budgets[name]
         pp = PoissonParams(tolerance=0.0, absolute_tolerance=0.0,
-                           max_iterations=iters, check_interval=iters)
+                           max_iterations=budget, check_interval=budget)
         s = create_solver(method, pp)
         s.init(n, n, 1, 1.0 / (n - 1), 1.0 / (n - 1), 0.0)
-        s.solve(x0, rhs)  # compile + warmup (stats fetch syncs the device)
-        t0 = time.perf_counter()
-        _, st = s.solve(x0, rhs)
-        dt = time.perf_counter() - t0
-        done = max(int(st.iterations), 1)
-        out[name] = round(done / dt, 1)
+        fn = s._dispatch(x0)
+
+        @jax.jit
+        def many(eps_arr):
+            def body(tot, eps):
+                r = fn(x0, rhs * (1.0 + eps))
+                return tot + r.iterations, 0
+            tot, _ = lax.scan(body, jnp.int32(0), eps_arr)
+            return tot
+
+        meas = {}
+        for S in pair[name]:
+            eps = jnp.linspace(0.0, 1e-4, S).astype(jnp.float32)
+            tot = int(many(eps))  # compile + warmup
+            best = float("inf")
+            for _ in range(3):
+                t0 = time.perf_counter()
+                tot = int(many(eps))
+                best = min(best, time.perf_counter() - t0)
+            meas[S] = (tot, best)
+        s1, s2 = pair[name]
+        d_iters = meas[s2][0] - meas[s1][0]
+        d_time = max(meas[s2][1] - meas[s1][1], 1e-9)
+        out[name] = round(d_iters / d_time, 1)
     return out
 
 

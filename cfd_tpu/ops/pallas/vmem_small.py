@@ -55,6 +55,34 @@ def vmem_solve_supported(nz: int, ny: int, nx: int, itemsize: int = 4) -> bool:
     return 6 * py * px * itemsize <= _VMEM_SOLVE_BUDGET
 
 
+def _plane_helpers(ny, nx, py, px, inv_dx2, inv_dy2, dtype):
+    """Shared in-kernel building blocks over the padded (py, px) plane."""
+    jj = lax.broadcasted_iota(jnp.int32, (py, px), 0)
+    ii = lax.broadcasted_iota(jnp.int32, (py, px), 1)
+    interior = (jj > 0) & (jj < ny - 1) & (ii > 0) & (ii < nx - 1)
+    zero = jnp.zeros((), dtype)
+
+    def laplacian(p):
+        return ((shift_x(p, 1) - 2.0 * p + shift_x(p, -1)) * inv_dx2
+                + (shift_y(p, 1, py) - 2.0 * p
+                   + shift_y(p, -1, py)) * inv_dy2)
+
+    def mirror(p):
+        p = jnp.where(ii == 0, shift_x(p, 1), p)
+        p = jnp.where(ii == nx - 1, shift_x(p, -1), p)
+        p = jnp.where(jj == 0, shift_y(p, 1, py), p)
+        p = jnp.where(jj == ny - 1, shift_y(p, -1, py), p)
+        return p
+
+    def zero_boundary(p):
+        return jnp.where(interior, p, zero)
+
+    def dot(a, b):
+        return jnp.sum(jnp.where(interior, a * b, zero))
+
+    return jj, ii, interior, zero, laplacian, mirror, zero_boundary, dot
+
+
 def make_rbsor_vmem_solve(ny: int, nx: int,
                           inv_dx2: float, inv_dy2: float, inv_factor: float,
                           omega: float, tolerance: float, abs_tol: float,
@@ -152,6 +180,215 @@ def make_rbsor_vmem_solve(ny: int, nx: int,
         out, stats = call(xp, rp)
         x_new = out[:ny, :nx][None]
         return (x_new, stats[0, 0], stats[0, 1],
+                stats[0, 2].astype(jnp.int32), stats[0, 3] > 0)
+
+    return solve
+
+
+BREAKDOWN = 1e-30  # matches krylov.BREAKDOWN
+
+
+def make_cg_vmem_solve(ny: int, nx: int,
+                       inv_dx2: float, inv_dy2: float, scale: float,
+                       tolerance: float, abs_tol: float,
+                       max_iterations: int, check_interval: int,
+                       dtype=jnp.float32, interpret: bool = False):
+    """Whole CG/PCG solve in one kernel (2D small grids).
+
+    Same recursion, breakdown and status semantics as `krylov.make_cg`
+    (`linear_solver_cg.c:290-460`); the constant-diagonal Jacobi
+    preconditioner enters as the scalar ``scale`` exactly as in
+    `make_cg_fused`.  Returns fn(x, rhs) -> (x, r0, res, iters, running)
+    or None when unsupported.
+    """
+    if not vmem_solve_supported(1, ny, nx, jnp.dtype(dtype).itemsize):
+        return None
+    py, px = _padded_dims(ny, nx)
+    ci = max(1, int(check_interval))
+    max_iter = int(max_iterations)
+
+    def kernel(x_ref, rhs_ref, out_ref, stats_ref):
+        (_, _, interior, zero, laplacian, mirror, zero_boundary,
+         dot) = _plane_helpers(ny, nx, py, px, inv_dx2, inv_dy2, dtype)
+        rhsv = rhs_ref[:, :]
+
+        def A(p):
+            return zero_boundary(-laplacian(p))
+
+        x = mirror(x_ref[:, :])
+        r = zero_boundary(laplacian(x) - rhsv)
+        rr0 = dot(r, r)
+        rho0 = jnp.asarray(scale, dtype) * rr0
+        initial_res = jnp.sqrt(rr0)
+        tol = jnp.maximum(jnp.asarray(tolerance, dtype) * initial_res,
+                          jnp.asarray(abs_tol, dtype))
+        already = initial_res < jnp.asarray(abs_tol, dtype)
+        p0 = jnp.where(interior, jnp.asarray(scale, dtype) * r, zero)
+
+        def cond(c):
+            return c[6] & (c[4] < max_iter)
+
+        def body(c):
+            x, r, p, rho, it, res, _ = c
+            Ap = A(p)
+            pAp = dot(p, Ap)
+            bd1 = jnp.abs(pAp) < BREAKDOWN
+            alpha = rho / jnp.where(bd1, 1.0, pAp)
+            x = jnp.where(bd1, x, x + alpha * p)
+            r = jnp.where(bd1, r, r - alpha * Ap)
+            rr = dot(r, r)
+            rho_new = jnp.asarray(scale, dtype) * rr
+            res_new = jnp.sqrt(rr)
+            check = (it % ci) == 0
+            converged = check & ((res_new < tol)
+                                 | (res_new < jnp.asarray(abs_tol, dtype)))
+            bd2 = jnp.abs(rho) < BREAKDOWN
+            beta = rho_new / jnp.where(bd2, 1.0, rho)
+            z = jnp.asarray(scale, dtype) * r
+            p = jnp.where(converged | bd1 | bd2, p, z + beta * p)
+            stop = converged | bd1 | bd2
+            return (x, r, p, rho_new, it + 1,
+                    jnp.where(bd1, res, res_new), ~stop)
+
+        x_f, _, _, _, it_f, res_f, running_f = lax.while_loop(
+            cond, body, (x, r, p0, rho0, jnp.int32(0), initial_res,
+                         ~already))
+
+        out_ref[:, :] = mirror(x_f)
+        stats_ref[0, 0] = initial_res
+        stats_ref[0, 1] = jnp.where(already, initial_res, res_f)
+        stats_ref[0, 2] = jnp.where(already, jnp.zeros((), dtype),
+                                    it_f.astype(dtype))
+        stats_ref[0, 3] = running_f.astype(dtype)
+
+    call = pl.pallas_call(
+        kernel,
+        out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM),
+                   pl.BlockSpec(memory_space=pltpu.SMEM)],
+        out_shape=[jax.ShapeDtypeStruct((py, px), dtype),
+                   jax.ShapeDtypeStruct((1, 4), dtype)],
+        interpret=interpret,
+    )
+
+    def solve(x, rhs):
+        xp = jnp.pad(x[0].astype(dtype), ((0, py - ny), (0, px - nx)))
+        rp = jnp.pad(rhs[0].astype(dtype), ((0, py - ny), (0, px - nx)))
+        out, stats = call(xp, rp)
+        return (out[:ny, :nx][None], stats[0, 0], stats[0, 1],
+                stats[0, 2].astype(jnp.int32), stats[0, 3] > 0)
+
+    return solve
+
+
+def make_bicgstab_vmem_solve(ny: int, nx: int,
+                             inv_dx2: float, inv_dy2: float,
+                             tolerance: float, abs_tol: float,
+                             max_iterations: int, check_interval: int,
+                             dtype=jnp.float32, interpret: bool = False):
+    """Whole BiCGSTAB solve in one kernel (2D small grids).
+
+    Same recursion, early s-exit, breakdown and status semantics as
+    `krylov.make_bicgstab` (`linear_solver_bicgstab.c:303-500`).
+    Returns fn(x, rhs) -> (x, r0, res, iters, running, stagnated) or None.
+    """
+    if not vmem_solve_supported(1, ny, nx, jnp.dtype(dtype).itemsize):
+        return None
+    py, px = _padded_dims(ny, nx)
+    ci = max(1, int(check_interval))
+    max_iter = int(max_iterations)
+
+    def kernel(x_ref, rhs_ref, out_ref, stats_ref):
+        (_, _, interior, zero, laplacian, mirror, zero_boundary,
+         dot) = _plane_helpers(ny, nx, py, px, inv_dx2, inv_dy2, dtype)
+        rhsv = rhs_ref[:, :]
+        one = jnp.ones((), dtype)
+
+        def A(p):
+            return zero_boundary(-laplacian(p))
+
+        x = mirror(x_ref[:, :])
+        r = zero_boundary(laplacian(x) - rhsv)
+        r_hat = r
+        v0 = jnp.where(interior, zero, zero)
+        p0 = v0
+        rr0 = dot(r, r)
+        initial_res = jnp.sqrt(rr0)
+        tol = jnp.maximum(jnp.asarray(tolerance, dtype) * initial_res,
+                          jnp.asarray(abs_tol, dtype))
+        abs_t = jnp.asarray(abs_tol, dtype)
+        already = initial_res < abs_t
+
+        def cond(c):
+            return c[9] & (c[7] < max_iter)
+
+        def body(c):
+            x, r, p, v, rho, alpha, omega, it, res, _, _ = c
+            rho_new = dot(r_hat, r)
+            bd1 = jnp.abs(rho_new) < BREAKDOWN
+            beta = (rho_new / jnp.where(bd1, 1.0, rho)) \
+                * (alpha / jnp.where(jnp.abs(omega) < BREAKDOWN, one, omega))
+            p_new = r + beta * (p - omega * v)
+            v_new = A(p_new)
+            rhv = dot(r_hat, v_new)
+            bd2 = jnp.abs(rhv) < BREAKDOWN
+            alpha_new = rho_new / jnp.where(bd2, 1.0, rhv)
+            s = r - alpha_new * v_new
+            s_norm = jnp.sqrt(dot(s, s))
+            early = (s_norm < tol) | (s_norm < abs_t)
+
+            t = A(s)
+            tds = dot(t, s)
+            tdt = dot(t, t)
+            bd3 = jnp.abs(tdt) < BREAKDOWN
+            omega_new = tds / jnp.where(bd3, 1.0, tdt)
+
+            x_full = x + alpha_new * p_new + omega_new * s
+            r_full = s - omega_new * t
+            res_full = jnp.sqrt(dot(r_full, r_full))
+            x_early = x + alpha_new * p_new
+
+            bd = bd1 | bd2
+            x_next = jnp.where(bd, x,
+                               jnp.where(early | bd3, x_early, x_full))
+            r_next = jnp.where(bd | early | bd3, r, r_full)
+            res_next = jnp.where(bd, res,
+                                 jnp.where(early | bd3, s_norm, res_full))
+
+            check = (it % ci) == 0
+            converged = early | (check & ((res_full < tol)
+                                          | (res_full < abs_t)))
+            bd4 = jnp.abs(omega_new) < BREAKDOWN
+            stop = bd | bd3 | converged | (bd4 & ~converged)
+            stagnated = bd | bd3 | (bd4 & ~converged)
+            return (x_next, r_next, p_new, v_new, rho_new, alpha_new,
+                    omega_new, it + 1, res_next, ~stop, stagnated)
+
+        init = (x, r, p0, v0, one, one, one, jnp.int32(0), initial_res,
+                ~already, already & False)
+        (x_f, _, _, _, _, _, _, it_f, res_f, _, stagnated_f) = \
+            lax.while_loop(cond, body, init)
+
+        out_ref[:, :] = mirror(x_f)
+        stats_ref[0, 0] = initial_res
+        stats_ref[0, 1] = jnp.where(already, initial_res, res_f)
+        stats_ref[0, 2] = jnp.where(already, jnp.zeros((), dtype),
+                                    it_f.astype(dtype))
+        stats_ref[0, 3] = stagnated_f.astype(dtype)
+
+    call = pl.pallas_call(
+        kernel,
+        out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM),
+                   pl.BlockSpec(memory_space=pltpu.SMEM)],
+        out_shape=[jax.ShapeDtypeStruct((py, px), dtype),
+                   jax.ShapeDtypeStruct((1, 4), dtype)],
+        interpret=interpret,
+    )
+
+    def solve(x, rhs):
+        xp = jnp.pad(x[0].astype(dtype), ((0, py - ny), (0, px - nx)))
+        rp = jnp.pad(rhs[0].astype(dtype), ((0, py - ny), (0, px - nx)))
+        out, stats = call(xp, rp)
+        return (out[:ny, :nx][None], stats[0, 0], stats[0, 1],
                 stats[0, 2].astype(jnp.int32), stats[0, 3] > 0)
 
     return solve

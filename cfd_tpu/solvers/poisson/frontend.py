@@ -26,7 +26,8 @@ import jax.numpy as jnp
 from ...core.status import CFDError, Status
 from .base import (Method, PoissonParams, PoissonProblem, PoissonResult,
                    PoissonStats, PoissonStatus, Precond, result_to_stats)
-from .krylov import make_bicgstab, make_bicgstab_fused, make_cg, make_cg_fused
+from .krylov import (make_bicgstab, make_bicgstab_fused, make_bicgstab_vmem,
+                     make_cg, make_cg_fused, make_cg_vmem)
 from .multigrid import make_mg_cg, make_multigrid
 from .spectral import make_fft_direct, spectral_supported
 from .stationary import (make_jacobi, make_redblack_sor,
@@ -85,6 +86,10 @@ def _fused_maker(method: Method, problem: PoissonProblem,
         fn = None
         if method == Method.REDBLACK_SOR:
             fn = make_redblack_sor_vmem(problem, params, interpret=interpret)
+        elif method == Method.CG:
+            fn = make_cg_vmem(problem, params, interpret=interpret)
+        elif method == Method.BICGSTAB:
+            fn = make_bicgstab_vmem(problem, params, interpret=interpret)
         import jax
         return None if fn is None else jax.jit(fn)
     fn = None

@@ -203,6 +203,84 @@ def make_cg_fused(problem: PoissonProblem, params: PoissonParams,
     return solve
 
 
+def make_cg_vmem(problem: PoissonProblem, params: PoissonParams,
+                 dtype=jnp.float32, interpret: bool = False):
+    """Whole-solve VMEM-resident CG/PCG for small 2D grids (the entire
+    while_loop runs inside one Pallas kernel — see
+    `ops/pallas/vmem_small.py`).  Same recursion/breakdown/status semantics
+    as :func:`make_cg`.  Returns None when unsupported."""
+    from ...ops.pallas.vmem_small import make_cg_vmem_solve
+
+    nz, ny, nx = problem.shape
+    if nz != 1 or params.preconditioner == Precond.MULTIGRID:
+        return None
+    scale = (problem.inv_factor
+             if params.preconditioner == Precond.JACOBI else 1.0)
+    fn = make_cg_vmem_solve(ny, nx, problem.inv_dx2, problem.inv_dy2, scale,
+                            params.tolerance, params.absolute_tolerance,
+                            params.max_iterations, params.check_interval,
+                            dtype=dtype, interpret=interpret)
+    if fn is None:
+        return None
+    abs_tol = params.absolute_tolerance
+    max_iter = int(params.max_iterations)
+
+    def solve(x, rhs):
+        x_f, initial_res, res_f, it_f, running_f = fn(x, rhs)
+        tol = problem.tolerance_for(params, initial_res)
+        already = initial_res < abs_tol
+        converged = (res_f < tol) | (res_f < abs_tol) | already
+        iterations = jnp.where(already, 0, jnp.minimum(it_f, max_iter))
+        stagnated = (~converged) & (it_f < max_iter) & (~running_f)
+        status = jnp.where(
+            converged, jnp.int32(PoissonStatus.CONVERGED),
+            jnp.where(stagnated, jnp.int32(PoissonStatus.STAGNATED),
+                      jnp.int32(PoissonStatus.MAX_ITER)))
+        return PoissonResult(x=x_f, iterations=iterations,
+                             initial_residual=initial_res,
+                             final_residual=res_f, status=status)
+
+    return solve
+
+
+def make_bicgstab_vmem(problem: PoissonProblem, params: PoissonParams,
+                       dtype=jnp.float32, interpret: bool = False):
+    """Whole-solve VMEM-resident BiCGSTAB for small 2D grids.  Same
+    recursion, early s-exit, breakdown and status semantics as
+    :func:`make_bicgstab`.  Returns None when unsupported."""
+    from ...ops.pallas.vmem_small import make_bicgstab_vmem_solve
+
+    nz, ny, nx = problem.shape
+    if nz != 1:
+        return None
+    fn = make_bicgstab_vmem_solve(ny, nx, problem.inv_dx2, problem.inv_dy2,
+                                  params.tolerance,
+                                  params.absolute_tolerance,
+                                  params.max_iterations,
+                                  params.check_interval,
+                                  dtype=dtype, interpret=interpret)
+    if fn is None:
+        return None
+    abs_tol = params.absolute_tolerance
+    max_iter = int(params.max_iterations)
+
+    def solve(x, rhs):
+        x_f, initial_res, res_f, it_f, stagnated_f = fn(x, rhs)
+        tol = problem.tolerance_for(params, initial_res)
+        already = initial_res < abs_tol
+        converged = (res_f < tol) | (res_f < abs_tol) | already
+        iterations = jnp.where(already, 0, jnp.minimum(it_f, max_iter))
+        status = jnp.where(
+            converged, jnp.int32(PoissonStatus.CONVERGED),
+            jnp.where(stagnated_f, jnp.int32(PoissonStatus.STAGNATED),
+                      jnp.int32(PoissonStatus.MAX_ITER)))
+        return PoissonResult(x=x_f, iterations=iterations,
+                             initial_residual=initial_res,
+                             final_residual=res_f, status=status)
+
+    return solve
+
+
 def make_bicgstab_fused(problem: PoissonProblem, params: PoissonParams,
                         dtype=jnp.float32, interpret: bool = False):
     """BiCGSTAB on the three fused Pallas passes (float32, 3D grids).

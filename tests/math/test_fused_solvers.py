@@ -230,11 +230,16 @@ def test_frontend_dispatches_fused_by_dtype():
         assert st64.status == PoissonStatus.CONVERGED
 
 
-def test_fused_maker_absent_for_2d_and_multigrid_precond():
+def test_fused_maker_absent_for_huge_2d_and_multigrid_precond():
     params = PoissonParams()
     s = create_solver(Method.REDBLACK_SOR, params)
+    # 2D now has the VMEM whole-solve kernel...
     s.init(nx=128, ny=16, dx=0.05, dy=0.05, use_pallas=True)
-    assert s._fused_fn is None  # 2D: no fused variant
+    assert s._fused_fn is not None
+    # ...but only while the plane fits the VMEM budget
+    s_big = create_solver(Method.REDBLACK_SOR, params)
+    s_big.init(nx=4096, ny=4096, dx=0.05, dy=0.05, use_pallas=True)
+    assert s_big._fused_fn is None
     pcg_mg = dataclasses.replace(params, preconditioner=2)
     s2 = create_solver(Method.CG, pcg_mg)
     # multigrid-preconditioned CG: needs coarsenable dims; 129 = 2^7+1

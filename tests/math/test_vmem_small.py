@@ -97,3 +97,77 @@ def test_frontend_dispatches_vmem_2d():
     assert st_f.iterations == st_j.iterations
     np.testing.assert_allclose(np.asarray(x_f), np.asarray(x_j),
                                rtol=2e-5, atol=2e-5)
+
+
+# ---------------------------------------------------------------- Krylov
+
+def test_vmem_cg_matches_jnp_exactly():
+    """CG's trajectory is reduction-order-robust here: iteration counts and
+    iterates match the jnp path."""
+    from cfd_tpu.solvers.poisson.krylov import make_cg, make_cg_vmem
+
+    prob = _problem(100, 100)
+    pp = PoissonParams(tolerance=1e-5, max_iterations=1000)
+    x0, rhs = _data(100, 100, seed=3)
+    x0 = jnp.zeros_like(x0)
+    r_ref = make_cg(prob, pp)(x0, rhs)
+    r_vm = jax.jit(make_cg_vmem(prob, pp, dtype=jnp.float32,
+                                interpret=True))(x0, rhs)
+    assert int(r_ref.status) == int(r_vm.status) == 0
+    assert abs(int(r_ref.iterations) - int(r_vm.iterations)) <= 2
+    np.testing.assert_allclose(np.asarray(r_vm.x), np.asarray(r_ref.x),
+                               atol=1e-5)
+
+
+def test_vmem_pcg_jacobi_preconditioner():
+    from cfd_tpu.solvers.poisson.base import Precond
+    from cfd_tpu.solvers.poisson.krylov import make_cg, make_cg_vmem
+
+    prob = _problem(64, 96)
+    pp = PoissonParams(tolerance=1e-5, max_iterations=1000,
+                       preconditioner=Precond.JACOBI)
+    x0, rhs = _data(64, 96, seed=5)
+    r_ref = make_cg(prob, pp)(x0, rhs)
+    r_vm = jax.jit(make_cg_vmem(prob, pp, dtype=jnp.float32,
+                                interpret=True))(x0, rhs)
+    assert int(r_ref.status) == int(r_vm.status) == 0
+    assert abs(int(r_ref.iterations) - int(r_vm.iterations)) <= 2
+    np.testing.assert_allclose(np.asarray(r_vm.x), np.asarray(r_ref.x),
+                               atol=1e-4)
+
+
+def test_vmem_bicgstab_converges_to_same_solution():
+    """BiCGSTAB's path is hypersensitive to fp reduction order (a pure
+    dot-accumulation-order change shifts the f64 trajectory by ~1e-7), so
+    iteration counts may differ; the contract is status + a solution whose
+    TRUE residual meets the tolerance."""
+    from cfd_tpu.solvers.poisson.krylov import (make_bicgstab,
+                                                make_bicgstab_vmem)
+
+    prob = _problem(100, 100)
+    pp = PoissonParams(tolerance=1e-5, max_iterations=1000)
+    x0, rhs = _data(100, 100, seed=3)
+    x0 = jnp.zeros_like(x0)
+    r_ref = make_bicgstab(prob, pp)(x0, rhs)
+    r_vm = jax.jit(make_bicgstab_vmem(prob, pp, dtype=jnp.float32,
+                                      interpret=True))(x0, rhs)
+    assert int(r_ref.status) == int(r_vm.status) == 0
+    assert 0 < int(r_vm.iterations) <= 2 * int(r_ref.iterations)
+    # both meet the same L2 recursion tolerance; solutions agree at tol level
+    tol = pp.tolerance * float(r_vm.initial_residual)
+    assert float(r_vm.final_residual) < tol
+    np.testing.assert_allclose(np.asarray(r_vm.x), np.asarray(r_ref.x),
+                               atol=5e-4)
+
+
+def test_frontend_dispatches_vmem_krylov_2d():
+    for method in (Method.CG, Method.BICGSTAB):
+        from cfd_tpu.solvers.poisson.frontend import create_solver
+        pp = PoissonParams(tolerance=1e-4, max_iterations=500)
+        s = create_solver(method, pp)
+        s.init(100, 100, 1, 1 / 99, 1 / 99, 0.0, use_pallas=True)
+        assert s._fused_fn is not None, method
+        x0, rhs = _data(100, 100, seed=9)
+        x, st = s.solve(jnp.zeros_like(x0), rhs)
+        assert st.status.name == "CONVERGED"
+        assert np.all(np.isfinite(np.asarray(x)))

@@ -104,6 +104,18 @@ def make_projection_step(grid: Grid, params: NSParams, dtype=None,
         from ..poisson.krylov import make_cg_fused
         poisson_solve = make_cg_fused(problem, pparams, dtype,
                                       interpret=pallas_interpret)
+    if (poisson_solve is None and use_pallas and dtype == jnp.float32
+            and grid.nz == 1):
+        # Small 2D grids: whole-solve VMEM kernels (latency-bound sizes).
+        from ..poisson.krylov import make_bicgstab_vmem, make_cg_vmem
+        from ..poisson.stationary import make_redblack_sor_vmem
+        vmem_makers = {Method.REDBLACK_SOR: make_redblack_sor_vmem,
+                       Method.CG: make_cg_vmem,
+                       Method.BICGSTAB: make_bicgstab_vmem}
+        mk = vmem_makers.get(Method(poisson_method))
+        if mk is not None:
+            poisson_solve = mk(problem, pparams, dtype,
+                               interpret=pallas_interpret)
     if poisson_solve is None:
         if (Method(poisson_method) == Method.FFT_DIRECT
                 and spectral_precision is not None):

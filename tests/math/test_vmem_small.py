@@ -171,3 +171,27 @@ def test_frontend_dispatches_vmem_krylov_2d():
         x, st = s.solve(jnp.zeros_like(x0), rhs)
         assert st.status.name == "CONVERGED"
         assert np.all(np.isfinite(np.asarray(x)))
+
+
+def test_projection_2d_with_vmem_poisson_matches_jnp():
+    """use_pallas 2D projection routes iterative Poisson through the VMEM
+    whole-solve kernels and matches the jnp step (status + fields)."""
+    from cfd_tpu import FlowField, Grid
+    from cfd_tpu.solvers.ns import NSParams
+    from cfd_tpu.solvers.ns.projection import make_projection_step
+
+    g = Grid.uniform(128, 64)
+    pp = PoissonParams(tolerance=1e-4, max_iterations=600)
+    for m in (Method.REDBLACK_SOR, Method.CG, Method.BICGSTAB):
+        ref = jax.jit(make_projection_step(
+            g, NSParams(), dtype=jnp.float32, poisson_method=m,
+            poisson_params=pp))
+        fus = jax.jit(make_projection_step(
+            g, NSParams(), dtype=jnp.float32, poisson_method=m,
+            poisson_params=pp, use_pallas=True, pallas_interpret=True))
+        f = FlowField.initialize(g, dtype=jnp.float32)
+        fr, rr = ref(f, 1e-3, 0)
+        ff, rf = fus(f, 1e-3, 0)
+        assert int(rr.status) == int(rf.status), m
+        np.testing.assert_allclose(np.asarray(ff.u), np.asarray(fr.u),
+                                   atol=1e-4, err_msg=str(m))

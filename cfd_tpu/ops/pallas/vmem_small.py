@@ -1,32 +1,37 @@
-"""VMEM-resident whole-solve Poisson kernels for small 2D grids.
+"""VMEM-resident whole-solve Poisson kernels for small grids (2D and 3D).
 
 The reference publishes its Poisson baselines at 100×100
-(`docs/reference/solvers.md:231-238`: Red-Black SOR ~2000 it / 8 ms).  Grids
-that small are pure launch-latency on an accelerator if each sweep is its
-own device computation — a 100² plane is 40 KB, against 128 MiB of VMEM.
+(`docs/reference/solvers.md:231-238`: Red-Black SOR ~2000 it / 8 ms), and
+its 3D validation configs run at 64³-class sizes.  Grids that small are
+pure launch-latency on an accelerator if each sweep is its own device
+computation — a 100² plane is 40 KB and a 64³ volume ~1 MB, against
+128 MiB of VMEM.
 
 The TPU-native answer: put the ENTIRE solve inside one Pallas kernel.  The
 iterate and rhs live in VMEM for the whole solve; the convergence loop is a
-`lax.while_loop` over scalars inside the kernel; each iteration is a pure
-VPU sweep with zero HBM traffic and zero launch overhead.  One kernel call
-= one complete solve (iterate → Neumann mirror → ∞-norm residual at
-check intervals), returning the final iterate plus (initial_res, final_res,
-iterations, converged) scalars.
+`lax.while_loop` carried on scalars + register/VMEM-resident arrays; each
+iteration is a pure VPU sweep with zero HBM traffic and zero launch
+overhead (measured ~0.24 µs per RB-SOR sweep at 100² — the ~30 ms a single
+call appears to take over the remote transport is round-trip latency).
 
-Semantics are bit-identical to `stationary.make_redblack_sor` +
-`_common_while` (same masked two-color update, same post-sweep Neumann
-corner ownership, same check_interval chunking and status rules —
-`linear_solver.c:397-485`); consistency is enforced by
-tests/math/test_vmem_small.py.
+Layout: the volume is stored as a (rows, px) array with rows = nz·pny,
+where pny pads ny to a POWER OF TWO (≥8) in 3D so the (k, j) row
+decomposition is a shift/mask — Mosaic vector integer div/mod is
+unreliable, `jj >> log2(pny)` and `jj & (pny-1)` are not.  In 2D pny is
+just the 8-aligned ny.  Masks are rebuilt from iota against the TRUE dims,
+so padded lanes/rows never update, never contribute to reductions, and are
+sliced away by the wrapper.
 
-Arrays are padded to the (8, 128) f32 tile; masks are rebuilt from iota
-against the TRUE dims so padded lanes never update, never contribute to
-residuals, and are sliced away by the wrapper.
+Semantics match the jnp solvers exactly — `stationary.make_redblack_sor` +
+`_common_while` (masked two-color update, post-sweep Neumann mirror with
+the reference's x→y→z face order, check_interval chunking, status rules —
+`linear_solver.c:397-485`) and `krylov.make_cg`/`make_bicgstab` (Dirichlet-0
+correction space, L2 recursion residual, breakdown → STAGNATED, BiCGSTAB's
+early s-exit — `linear_solver_cg.c:290-460`, `linear_solver_bicgstab.c:
+303-500`).  Consistency is enforced by tests/math/test_vmem_small.py.
 """
 
 from __future__ import annotations
-
-import functools
 
 import jax
 import jax.numpy as jnp
@@ -36,42 +41,85 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .rolling import shift_x, shift_y
 
-# Working set: out (iterate), rhs, plus ~4 full-plane temporaries during a
-# sweep. Keep well under the 128 MiB v5e VMEM.
+# Working set: iterate + rhs + a few full-volume temporaries / Krylov
+# vectors.  Keep well under the 128 MiB v5e VMEM.
 _VMEM_SOLVE_BUDGET = 24 * 1024 * 1024
 
+BREAKDOWN = 1e-30  # matches krylov.BREAKDOWN
 
-def _padded_dims(ny: int, nx: int):
-    py = ((ny + 7) // 8) * 8
+
+def _pow2_at_least(n: int) -> int:
+    p = 8
+    while p < n:
+        p *= 2
+    return p
+
+
+def _padded_dims(nz: int, ny: int, nx: int):
+    """(pny, px, rows): padded plane height, padded lane width, total rows."""
     px = ((nx + 127) // 128) * 128
-    return py, px
+    if nz == 1:
+        pny = ((ny + 7) // 8) * 8
+    else:
+        pny = _pow2_at_least(ny)
+    return pny, px, nz * pny
 
 
 def vmem_solve_supported(nz: int, ny: int, nx: int, itemsize: int = 4) -> bool:
-    """2D only; the padded plane (×6 copies of headroom) must fit VMEM."""
-    if nz != 1:
+    """nz == 1 or nz >= 3; ~8 copies of the padded volume must fit VMEM."""
+    if nz != 1 and nz < 3:
         return False
-    py, px = _padded_dims(ny, nx)
-    return 6 * py * px * itemsize <= _VMEM_SOLVE_BUDGET
+    pny, px, rows = _padded_dims(nz, ny, nx)
+    return 8 * rows * px * itemsize <= _VMEM_SOLVE_BUDGET
 
 
-def _plane_helpers(ny, nx, py, px, inv_dx2, inv_dy2, dtype):
-    """Shared in-kernel building blocks over the padded (py, px) plane."""
-    jj = lax.broadcasted_iota(jnp.int32, (py, px), 0)
-    ii = lax.broadcasted_iota(jnp.int32, (py, px), 1)
+def _volume_helpers(nz, ny, nx, inv_dx2, inv_dy2, inv_dz2, dtype):
+    """In-kernel building blocks over the padded (rows, px) volume."""
+    pny, px, rows = _padded_dims(nz, ny, nx)
+    jr = lax.broadcasted_iota(jnp.int32, (rows, px), 0)
+    ii = lax.broadcasted_iota(jnp.int32, (rows, px), 1)
+    if nz == 1:
+        jj, kk = jr, jnp.zeros_like(jr)
+        z_active = False
+    else:
+        shift = pny.bit_length() - 1          # pny is a power of two
+        jj = jnp.bitwise_and(jr, pny - 1)
+        kk = jnp.right_shift(jr, shift)
+        z_active = True
     interior = (jj > 0) & (jj < ny - 1) & (ii > 0) & (ii < nx - 1)
+    if z_active:
+        interior = interior & (kk > 0) & (kk < nz - 1)
+    red = jnp.bitwise_and(ii + jj + kk, 1) == 0
     zero = jnp.zeros((), dtype)
 
+    def neighbors(p):
+        nb = ((shift_x(p, 1) + shift_x(p, -1)) * inv_dx2
+              + (shift_y(p, 1, rows) + shift_y(p, -1, rows)) * inv_dy2)
+        if z_active:
+            nb = nb + (shift_y(p, pny, rows)
+                       + shift_y(p, -pny, rows)) * inv_dz2
+        return nb
+
     def laplacian(p):
-        return ((shift_x(p, 1) - 2.0 * p + shift_x(p, -1)) * inv_dx2
-                + (shift_y(p, 1, py) - 2.0 * p
-                   + shift_y(p, -1, py)) * inv_dy2)
+        lap = ((shift_x(p, 1) - 2.0 * p + shift_x(p, -1)) * inv_dx2
+               + (shift_y(p, 1, rows) - 2.0 * p
+                  + shift_y(p, -1, rows)) * inv_dy2)
+        if z_active:
+            lap = lap + (shift_y(p, pny, rows) - 2.0 * p
+                         + shift_y(p, -pny, rows)) * inv_dz2
+        return lap
 
     def mirror(p):
+        # Reference Neumann face order: x columns, then y rows, then z
+        # planes (later faces own corners) — `linear_solver.c:361-392` /
+        # `apply_neumann_scalar`.
         p = jnp.where(ii == 0, shift_x(p, 1), p)
         p = jnp.where(ii == nx - 1, shift_x(p, -1), p)
-        p = jnp.where(jj == 0, shift_y(p, 1, py), p)
-        p = jnp.where(jj == ny - 1, shift_y(p, -1, py), p)
+        p = jnp.where(jj == 0, shift_y(p, 1, rows), p)
+        p = jnp.where(jj == ny - 1, shift_y(p, -1, rows), p)
+        if z_active:
+            p = jnp.where(kk == 0, shift_y(p, pny, rows), p)
+            p = jnp.where(kk == nz - 1, shift_y(p, -pny, rows), p)
         return p
 
     def zero_boundary(p):
@@ -80,56 +128,71 @@ def _plane_helpers(ny, nx, py, px, inv_dx2, inv_dy2, dtype):
     def dot(a, b):
         return jnp.sum(jnp.where(interior, a * b, zero))
 
-    return jj, ii, interior, zero, laplacian, mirror, zero_boundary, dot
+    return dict(pny=pny, px=px, rows=rows, interior=interior, red=red,
+                zero=zero, neighbors=neighbors, laplacian=laplacian,
+                mirror=mirror, zero_boundary=zero_boundary, dot=dot)
 
 
-def make_rbsor_vmem_solve(ny: int, nx: int,
-                          inv_dx2: float, inv_dy2: float, inv_factor: float,
+def _make_call(kernel, rows, px, dtype, interpret):
+    return pl.pallas_call(
+        kernel,
+        out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM),
+                   pl.BlockSpec(memory_space=pltpu.SMEM)],
+        out_shape=[jax.ShapeDtypeStruct((rows, px), dtype),
+                   jax.ShapeDtypeStruct((1, 4), dtype)],
+        compiler_params=pltpu.CompilerParams(
+            # XLA's scoped-vmem default (16 MiB) is far below the chip's
+            # 128 MiB; the whole-volume working set needs the real limit.
+            vmem_limit_bytes=_VMEM_SOLVE_BUDGET + 40 * 1024 * 1024),
+        interpret=interpret,
+    )
+
+
+def _wrap(call, nz, ny, nx, pny, px, dtype):
+    """Pad (nz,ny,nx) → (rows,px) rows layout; slice the result back."""
+
+    def prep(a):
+        a = jnp.pad(a.astype(dtype),
+                    ((0, 0), (0, pny - ny), (0, px - nx)))
+        return a.reshape(nz * pny, px)
+
+    def solve(x, rhs):
+        out, stats = call(prep(x), prep(rhs))
+        vol = out.reshape(nz, pny, px)[:, :ny, :nx]
+        return vol, stats
+
+    return solve
+
+
+def make_rbsor_vmem_solve(nz: int, ny: int, nx: int,
+                          inv_dx2: float, inv_dy2: float, inv_dz2: float,
+                          inv_factor: float,
                           omega: float, tolerance: float, abs_tol: float,
                           max_iterations: int, check_interval: int,
                           dtype=jnp.float32, interpret: bool = False):
     """Whole Red-Black-SOR solve in one kernel.
 
     Returns fn(x, rhs) -> (x_new, initial_res, final_res, iterations,
-    converged) with x, rhs shaped (1, ny, nx), or None if unsupported.
+    converged) with x, rhs shaped (nz, ny, nx), or None if unsupported.
     """
-    if not vmem_solve_supported(1, ny, nx, jnp.dtype(dtype).itemsize):
+    if not vmem_solve_supported(nz, ny, nx, jnp.dtype(dtype).itemsize):
         return None
-    py, px = _padded_dims(ny, nx)
     ci = max(1, int(check_interval))
     max_iter = int(max_iterations)
 
     def kernel(x_ref, rhs_ref, out_ref, stats_ref):
-        jj = lax.broadcasted_iota(jnp.int32, (py, px), 0)
-        ii = lax.broadcasted_iota(jnp.int32, (py, px), 1)
-        interior = (jj > 0) & (jj < ny - 1) & (ii > 0) & (ii < nx - 1)
-        red = jnp.bitwise_and(ii + jj, 1) == 0
-        zero = jnp.zeros((), dtype)
-
+        h = _volume_helpers(nz, ny, nx, inv_dx2, inv_dy2, inv_dz2, dtype)
+        interior, red, zero = h["interior"], h["red"], h["zero"]
         rhsv = rhs_ref[:, :]
 
-        def neighbors(p):
-            return ((shift_x(p, 1) + shift_x(p, -1)) * inv_dx2
-                    + (shift_y(p, 1, py) + shift_y(p, -1, py)) * inv_dy2)
-
         def half(p, mask):
-            gs = -(rhsv - neighbors(p)) * inv_factor
+            gs = -(rhsv - h["neighbors"](p)) * inv_factor
             return jnp.where(mask & interior, p + omega * (gs - p), p)
 
-        def mirror(p):
-            # apply_neumann_scalar order: x-columns first, then y-rows
-            # (y-rows own the corners) — `linear_solver.c:361-392`.
-            p = jnp.where(ii == 0, shift_x(p, 1), p)
-            p = jnp.where(ii == nx - 1, shift_x(p, -1), p)
-            p = jnp.where(jj == 0, shift_y(p, 1, py), p)
-            p = jnp.where(jj == ny - 1, shift_y(p, -1, py), p)
-            return p
-
         def residual(p):
-            lap = ((shift_x(p, 1) - 2.0 * p + shift_x(p, -1)) * inv_dx2
-                   + (shift_y(p, 1, py) - 2.0 * p
-                      + shift_y(p, -1, py)) * inv_dy2)
-            return jnp.max(jnp.where(interior, jnp.abs(lap - rhsv), zero))
+            return jnp.max(jnp.where(interior,
+                                     jnp.abs(h["laplacian"](p) - rhsv),
+                                     zero))
 
         out_ref[:, :] = x_ref[:, :]
         r0 = residual(out_ref[:, :])
@@ -149,7 +212,7 @@ def make_rbsor_vmem_solve(ny: int, nx: int,
                 p = out_ref[:, :]
                 p = half(p, red)
                 p = half(p, ~red)
-                out_ref[:, :] = mirror(p)
+                out_ref[:, :] = h["mirror"](p)
                 return token
 
             lax.fori_loop(0, n_sweeps, one, jnp.int32(0))
@@ -165,58 +228,45 @@ def make_rbsor_vmem_solve(ny: int, nx: int,
         stats_ref[0, 2] = jnp.where(already, zero, it_f.astype(dtype))
         stats_ref[0, 3] = (conv_f | already).astype(dtype)
 
-    call = pl.pallas_call(
-        kernel,
-        out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM),
-                   pl.BlockSpec(memory_space=pltpu.SMEM)],
-        out_shape=[jax.ShapeDtypeStruct((py, px), dtype),
-                   jax.ShapeDtypeStruct((1, 4), dtype)],
-        interpret=interpret,
-    )
+    pny, px, rows = _padded_dims(nz, ny, nx)
+    base = _wrap(_make_call(kernel, rows, px, dtype, interpret),
+                 nz, ny, nx, pny, px, dtype)
 
     def solve(x, rhs):
-        xp = jnp.pad(x[0].astype(dtype), ((0, py - ny), (0, px - nx)))
-        rp = jnp.pad(rhs[0].astype(dtype), ((0, py - ny), (0, px - nx)))
-        out, stats = call(xp, rp)
-        x_new = out[:ny, :nx][None]
-        return (x_new, stats[0, 0], stats[0, 1],
+        vol, stats = base(x, rhs)
+        return (vol, stats[0, 0], stats[0, 1],
                 stats[0, 2].astype(jnp.int32), stats[0, 3] > 0)
 
     return solve
 
 
-BREAKDOWN = 1e-30  # matches krylov.BREAKDOWN
-
-
-def make_cg_vmem_solve(ny: int, nx: int,
-                       inv_dx2: float, inv_dy2: float, scale: float,
+def make_cg_vmem_solve(nz: int, ny: int, nx: int,
+                       inv_dx2: float, inv_dy2: float, inv_dz2: float,
+                       scale: float,
                        tolerance: float, abs_tol: float,
                        max_iterations: int, check_interval: int,
                        dtype=jnp.float32, interpret: bool = False):
-    """Whole CG/PCG solve in one kernel (2D small grids).
+    """Whole CG/PCG solve in one kernel (small grids).
 
-    Same recursion, breakdown and status semantics as `krylov.make_cg`
-    (`linear_solver_cg.c:290-460`); the constant-diagonal Jacobi
-    preconditioner enters as the scalar ``scale`` exactly as in
-    `make_cg_fused`.  Returns fn(x, rhs) -> (x, r0, res, iters, running)
-    or None when unsupported.
+    The constant-diagonal Jacobi preconditioner enters as the scalar
+    ``scale`` exactly as in `krylov.make_cg_fused`.  Returns
+    fn(x, rhs) -> (x, r0, res, iters, running) or None when unsupported.
     """
-    if not vmem_solve_supported(1, ny, nx, jnp.dtype(dtype).itemsize):
+    if not vmem_solve_supported(nz, ny, nx, jnp.dtype(dtype).itemsize):
         return None
-    py, px = _padded_dims(ny, nx)
     ci = max(1, int(check_interval))
     max_iter = int(max_iterations)
 
     def kernel(x_ref, rhs_ref, out_ref, stats_ref):
-        (_, _, interior, zero, laplacian, mirror, zero_boundary,
-         dot) = _plane_helpers(ny, nx, py, px, inv_dx2, inv_dy2, dtype)
+        h = _volume_helpers(nz, ny, nx, inv_dx2, inv_dy2, inv_dz2, dtype)
+        interior, zero, dot = h["interior"], h["zero"], h["dot"]
         rhsv = rhs_ref[:, :]
 
         def A(p):
-            return zero_boundary(-laplacian(p))
+            return h["zero_boundary"](-h["laplacian"](p))
 
-        x = mirror(x_ref[:, :])
-        r = zero_boundary(laplacian(x) - rhsv)
+        x = h["mirror"](x_ref[:, :])
+        r = h["zero_boundary"](h["laplacian"](x) - rhsv)
         rr0 = dot(r, r)
         rho0 = jnp.asarray(scale, dtype) * rr0
         initial_res = jnp.sqrt(rr0)
@@ -254,60 +304,50 @@ def make_cg_vmem_solve(ny: int, nx: int,
             cond, body, (x, r, p0, rho0, jnp.int32(0), initial_res,
                          ~already))
 
-        out_ref[:, :] = mirror(x_f)
+        out_ref[:, :] = h["mirror"](x_f)
         stats_ref[0, 0] = initial_res
         stats_ref[0, 1] = jnp.where(already, initial_res, res_f)
         stats_ref[0, 2] = jnp.where(already, jnp.zeros((), dtype),
                                     it_f.astype(dtype))
         stats_ref[0, 3] = running_f.astype(dtype)
 
-    call = pl.pallas_call(
-        kernel,
-        out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM),
-                   pl.BlockSpec(memory_space=pltpu.SMEM)],
-        out_shape=[jax.ShapeDtypeStruct((py, px), dtype),
-                   jax.ShapeDtypeStruct((1, 4), dtype)],
-        interpret=interpret,
-    )
+    pny, px, rows = _padded_dims(nz, ny, nx)
+    base = _wrap(_make_call(kernel, rows, px, dtype, interpret),
+                 nz, ny, nx, pny, px, dtype)
 
     def solve(x, rhs):
-        xp = jnp.pad(x[0].astype(dtype), ((0, py - ny), (0, px - nx)))
-        rp = jnp.pad(rhs[0].astype(dtype), ((0, py - ny), (0, px - nx)))
-        out, stats = call(xp, rp)
-        return (out[:ny, :nx][None], stats[0, 0], stats[0, 1],
+        vol, stats = base(x, rhs)
+        return (vol, stats[0, 0], stats[0, 1],
                 stats[0, 2].astype(jnp.int32), stats[0, 3] > 0)
 
     return solve
 
 
-def make_bicgstab_vmem_solve(ny: int, nx: int,
-                             inv_dx2: float, inv_dy2: float,
+def make_bicgstab_vmem_solve(nz: int, ny: int, nx: int,
+                             inv_dx2: float, inv_dy2: float, inv_dz2: float,
                              tolerance: float, abs_tol: float,
                              max_iterations: int, check_interval: int,
                              dtype=jnp.float32, interpret: bool = False):
-    """Whole BiCGSTAB solve in one kernel (2D small grids).
+    """Whole BiCGSTAB solve in one kernel (small grids).
 
-    Same recursion, early s-exit, breakdown and status semantics as
-    `krylov.make_bicgstab` (`linear_solver_bicgstab.c:303-500`).
-    Returns fn(x, rhs) -> (x, r0, res, iters, running, stagnated) or None.
+    Returns fn(x, rhs) -> (x, r0, res, iters, stagnated) or None.
     """
-    if not vmem_solve_supported(1, ny, nx, jnp.dtype(dtype).itemsize):
+    if not vmem_solve_supported(nz, ny, nx, jnp.dtype(dtype).itemsize):
         return None
-    py, px = _padded_dims(ny, nx)
     ci = max(1, int(check_interval))
     max_iter = int(max_iterations)
 
     def kernel(x_ref, rhs_ref, out_ref, stats_ref):
-        (_, _, interior, zero, laplacian, mirror, zero_boundary,
-         dot) = _plane_helpers(ny, nx, py, px, inv_dx2, inv_dy2, dtype)
+        h = _volume_helpers(nz, ny, nx, inv_dx2, inv_dy2, inv_dz2, dtype)
+        interior, zero, dot = h["interior"], h["zero"], h["dot"]
         rhsv = rhs_ref[:, :]
         one = jnp.ones((), dtype)
 
         def A(p):
-            return zero_boundary(-laplacian(p))
+            return h["zero_boundary"](-h["laplacian"](p))
 
-        x = mirror(x_ref[:, :])
-        r = zero_boundary(laplacian(x) - rhsv)
+        x = h["mirror"](x_ref[:, :])
+        r = h["zero_boundary"](h["laplacian"](x) - rhsv)
         r_hat = r
         v0 = jnp.where(interior, zero, zero)
         p0 = v0
@@ -368,27 +408,20 @@ def make_bicgstab_vmem_solve(ny: int, nx: int,
         (x_f, _, _, _, _, _, _, it_f, res_f, _, stagnated_f) = \
             lax.while_loop(cond, body, init)
 
-        out_ref[:, :] = mirror(x_f)
+        out_ref[:, :] = h["mirror"](x_f)
         stats_ref[0, 0] = initial_res
         stats_ref[0, 1] = jnp.where(already, initial_res, res_f)
         stats_ref[0, 2] = jnp.where(already, jnp.zeros((), dtype),
                                     it_f.astype(dtype))
         stats_ref[0, 3] = stagnated_f.astype(dtype)
 
-    call = pl.pallas_call(
-        kernel,
-        out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM),
-                   pl.BlockSpec(memory_space=pltpu.SMEM)],
-        out_shape=[jax.ShapeDtypeStruct((py, px), dtype),
-                   jax.ShapeDtypeStruct((1, 4), dtype)],
-        interpret=interpret,
-    )
+    pny, px, rows = _padded_dims(nz, ny, nx)
+    base = _wrap(_make_call(kernel, rows, px, dtype, interpret),
+                 nz, ny, nx, pny, px, dtype)
 
     def solve(x, rhs):
-        xp = jnp.pad(x[0].astype(dtype), ((0, py - ny), (0, px - nx)))
-        rp = jnp.pad(rhs[0].astype(dtype), ((0, py - ny), (0, px - nx)))
-        out, stats = call(xp, rp)
-        return (out[:ny, :nx][None], stats[0, 0], stats[0, 1],
+        vol, stats = base(x, rhs)
+        return (vol, stats[0, 0], stats[0, 1],
                 stats[0, 2].astype(jnp.int32), stats[0, 3] > 0)
 
     return solve

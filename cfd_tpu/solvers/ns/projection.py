@@ -104,9 +104,9 @@ def make_projection_step(grid: Grid, params: NSParams, dtype=None,
         from ..poisson.krylov import make_cg_fused
         poisson_solve = make_cg_fused(problem, pparams, dtype,
                                       interpret=pallas_interpret)
-    if (poisson_solve is None and use_pallas and dtype == jnp.float32
-            and grid.nz == 1):
-        # Small 2D grids: whole-solve VMEM kernels (latency-bound sizes).
+    if poisson_solve is None and use_pallas and dtype == jnp.float32:
+        # Small grids (2D, or 3D volumes that fit VMEM): whole-solve VMEM
+        # kernels (latency-bound sizes); the makers self-gate on size.
         from ..poisson.krylov import make_bicgstab_vmem, make_cg_vmem
         from ..poisson.stationary import make_redblack_sor_vmem
         vmem_makers = {Method.REDBLACK_SOR: make_redblack_sor_vmem,

@@ -80,25 +80,25 @@ def _fused_maker(method: Method, problem: PoissonProblem,
     CG's multigrid preconditioner has no fused kernel; Jacobi/SOR gain
     nothing from fusion that XLA doesn't already do (Jacobi is one fused
     sweep under jit; SOR is scan-bound)."""
-    if not problem.is_3d:
-        # Small 2D grids: the whole solve runs VMEM-resident in one kernel
-        # (launch latency, not bandwidth, bounds these sizes).
-        fn = None
-        if method == Method.REDBLACK_SOR:
-            fn = make_redblack_sor_vmem(problem, params, interpret=interpret)
-        elif method == Method.CG:
-            fn = make_cg_vmem(problem, params, interpret=interpret)
-        elif method == Method.BICGSTAB:
-            fn = make_bicgstab_vmem(problem, params, interpret=interpret)
-        import jax
-        return None if fn is None else jax.jit(fn)
+    # Small grids (2D or 3D volumes that fit VMEM): the whole solve runs
+    # VMEM-resident in one kernel — these sizes are launch-latency-bound,
+    # not bandwidth-bound.
     fn = None
     if method == Method.REDBLACK_SOR:
-        fn = make_redblack_sor_fused(problem, params, interpret=interpret)
-    elif method == Method.CG and params.preconditioner != Precond.MULTIGRID:
-        fn = make_cg_fused(problem, params, interpret=interpret)
+        fn = make_redblack_sor_vmem(problem, params, interpret=interpret)
+    elif method == Method.CG:
+        fn = make_cg_vmem(problem, params, interpret=interpret)
     elif method == Method.BICGSTAB:
-        fn = make_bicgstab_fused(problem, params, interpret=interpret)
+        fn = make_bicgstab_vmem(problem, params, interpret=interpret)
+    # Large 3D grids: streaming rolling-plane kernels.
+    if fn is None and problem.is_3d:
+        if method == Method.REDBLACK_SOR:
+            fn = make_redblack_sor_fused(problem, params, interpret=interpret)
+        elif method == Method.CG \
+                and params.preconditioner != Precond.MULTIGRID:
+            fn = make_cg_fused(problem, params, interpret=interpret)
+        elif method == Method.BICGSTAB:
+            fn = make_bicgstab_fused(problem, params, interpret=interpret)
     import jax
     return None if fn is None else jax.jit(fn)
 

@@ -205,18 +205,19 @@ def make_cg_fused(problem: PoissonProblem, params: PoissonParams,
 
 def make_cg_vmem(problem: PoissonProblem, params: PoissonParams,
                  dtype=jnp.float32, interpret: bool = False):
-    """Whole-solve VMEM-resident CG/PCG for small 2D grids (the entire
+    """Whole-solve VMEM-resident CG/PCG for small grids (the entire
     while_loop runs inside one Pallas kernel — see
     `ops/pallas/vmem_small.py`).  Same recursion/breakdown/status semantics
     as :func:`make_cg`.  Returns None when unsupported."""
     from ...ops.pallas.vmem_small import make_cg_vmem_solve
 
     nz, ny, nx = problem.shape
-    if nz != 1 or params.preconditioner == Precond.MULTIGRID:
+    if params.preconditioner == Precond.MULTIGRID:
         return None
     scale = (problem.inv_factor
              if params.preconditioner == Precond.JACOBI else 1.0)
-    fn = make_cg_vmem_solve(ny, nx, problem.inv_dx2, problem.inv_dy2, scale,
+    fn = make_cg_vmem_solve(nz, ny, nx, problem.inv_dx2, problem.inv_dy2,
+                            problem.inv_dz2, scale,
                             params.tolerance, params.absolute_tolerance,
                             params.max_iterations, params.check_interval,
                             dtype=dtype, interpret=interpret)
@@ -245,15 +246,14 @@ def make_cg_vmem(problem: PoissonProblem, params: PoissonParams,
 
 def make_bicgstab_vmem(problem: PoissonProblem, params: PoissonParams,
                        dtype=jnp.float32, interpret: bool = False):
-    """Whole-solve VMEM-resident BiCGSTAB for small 2D grids.  Same
+    """Whole-solve VMEM-resident BiCGSTAB for small grids (2D + 3D).  Same
     recursion, early s-exit, breakdown and status semantics as
     :func:`make_bicgstab`.  Returns None when unsupported."""
     from ...ops.pallas.vmem_small import make_bicgstab_vmem_solve
 
     nz, ny, nx = problem.shape
-    if nz != 1:
-        return None
-    fn = make_bicgstab_vmem_solve(ny, nx, problem.inv_dx2, problem.inv_dy2,
+    fn = make_bicgstab_vmem_solve(nz, ny, nx, problem.inv_dx2,
+                                  problem.inv_dy2, problem.inv_dz2,
                                   params.tolerance,
                                   params.absolute_tolerance,
                                   params.max_iterations,

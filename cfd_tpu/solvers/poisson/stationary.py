@@ -183,7 +183,7 @@ def make_redblack_sor_fused(problem: PoissonProblem, params: PoissonParams,
 
 def make_redblack_sor_vmem(problem: PoissonProblem, params: PoissonParams,
                            dtype=jnp.float32, interpret: bool = False):
-    """Whole-solve VMEM-resident Red-Black SOR for small 2D grids.
+    """Whole-solve VMEM-resident Red-Black SOR for small grids (2D + 3D).
 
     The entire convergence loop runs inside ONE Pallas kernel with the
     iterate held in VMEM — zero HBM traffic and zero launch overhead per
@@ -195,11 +195,10 @@ def make_redblack_sor_vmem(problem: PoissonProblem, params: PoissonParams,
     from ...ops.pallas.vmem_small import make_rbsor_vmem_solve
 
     nz, ny, nx = problem.shape
-    if nz != 1:
-        return None
     omega = problem.resolve_omega(params.omega)
     fn = make_rbsor_vmem_solve(
-        ny, nx, problem.inv_dx2, problem.inv_dy2, problem.inv_factor,
+        nz, ny, nx, problem.inv_dx2, problem.inv_dy2, problem.inv_dz2,
+        problem.inv_factor,
         omega, params.tolerance, params.absolute_tolerance,
         params.max_iterations, params.check_interval,
         dtype=dtype, interpret=interpret)

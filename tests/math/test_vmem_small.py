@@ -29,8 +29,10 @@ def test_supported_shapes():
     from cfd_tpu.ops.pallas.vmem_small import vmem_solve_supported
     assert vmem_solve_supported(1, 100, 100)
     assert vmem_solve_supported(1, 33, 65)
-    assert not vmem_solve_supported(3, 100, 100)      # 2D only
+    assert vmem_solve_supported(64, 64, 64)           # small 3D volumes too
+    assert not vmem_solve_supported(2, 100, 100)      # degenerate nz
     assert not vmem_solve_supported(1, 4096, 4096)    # exceeds VMEM budget
+    assert not vmem_solve_supported(256, 256, 256)
 
 
 @pytest.mark.parametrize("ny,nx,ci", [(100, 100, 1), (100, 100, 10),
@@ -195,3 +197,69 @@ def test_projection_2d_with_vmem_poisson_matches_jnp():
         assert int(rr.status) == int(rf.status), m
         np.testing.assert_allclose(np.asarray(ff.u), np.asarray(fr.u),
                                    atol=1e-4, err_msg=str(m))
+
+
+# ------------------------------------------------------------------- 3D
+
+def _problem3(nz, ny, nx):
+    return PoissonProblem(nx, ny, nz, 1.0 / (nx - 1), 1.0 / (ny - 1),
+                          1.0 / (nz - 1))
+
+
+@pytest.mark.parametrize("nz,ny,nx", [(16, 16, 16), (8, 20, 33)])
+def test_vmem_rbsor_3d_matches_jnp(nz, ny, nx):
+    """3D volume in VMEM (power-of-two pny row layout): identical iteration
+    counts, statuses, and iterates vs the jnp 3D RB-SOR."""
+    prob = _problem3(nz, ny, nx)
+    pp = PoissonParams(tolerance=1e-3, absolute_tolerance=1e-12,
+                       max_iterations=200, check_interval=4)
+    ref = make_redblack_sor(prob, pp)
+    vm = make_redblack_sor_vmem(prob, pp, dtype=jnp.float32, interpret=True)
+    assert vm is not None
+    rng = np.random.default_rng(1)
+    rhs = jnp.asarray(rng.normal(0, 1, (nz, ny, nx)), jnp.float32)
+    x0 = jnp.asarray(rng.normal(0, 0.1, (nz, ny, nx)), jnp.float32)
+    r_ref = ref(x0, rhs)
+    r_vm = jax.jit(vm)(x0, rhs)
+    assert int(r_ref.iterations) == int(r_vm.iterations)
+    assert int(r_ref.status) == int(r_vm.status)
+    np.testing.assert_allclose(np.asarray(r_vm.x), np.asarray(r_ref.x),
+                               rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(float(r_vm.final_residual),
+                               float(r_ref.final_residual), rtol=1e-3)
+
+
+def test_vmem_cg_3d_matches_jnp():
+    from cfd_tpu.solvers.poisson.krylov import make_cg, make_cg_vmem
+
+    prob = _problem3(12, 16, 20)
+    pp = PoissonParams(tolerance=1e-5, max_iterations=500)
+    rng = np.random.default_rng(2)
+    rhs = jnp.asarray(rng.normal(0, 1, (12, 16, 20)), jnp.float32)
+    x0 = jnp.zeros((12, 16, 20), jnp.float32)
+    r_ref = make_cg(prob, pp)(x0, rhs)
+    r_vm = jax.jit(make_cg_vmem(prob, pp, dtype=jnp.float32,
+                                interpret=True))(x0, rhs)
+    assert int(r_ref.status) == int(r_vm.status) == 0
+    assert abs(int(r_ref.iterations) - int(r_vm.iterations)) <= 2
+    np.testing.assert_allclose(np.asarray(r_vm.x), np.asarray(r_ref.x),
+                               atol=1e-4)
+
+
+def test_vmem_bicgstab_3d_converges():
+    from cfd_tpu.solvers.poisson.krylov import (make_bicgstab,
+                                                make_bicgstab_vmem)
+
+    prob = _problem3(12, 16, 20)
+    pp = PoissonParams(tolerance=1e-5, max_iterations=500)
+    rng = np.random.default_rng(4)
+    rhs = jnp.asarray(rng.normal(0, 1, (12, 16, 20)), jnp.float32)
+    x0 = jnp.zeros((12, 16, 20), jnp.float32)
+    r_ref = make_bicgstab(prob, pp)(x0, rhs)
+    r_vm = jax.jit(make_bicgstab_vmem(prob, pp, dtype=jnp.float32,
+                                      interpret=True))(x0, rhs)
+    assert int(r_ref.status) == int(r_vm.status) == 0
+    tol = pp.tolerance * float(r_vm.initial_residual)
+    assert float(r_vm.final_residual) < tol
+    np.testing.assert_allclose(np.asarray(r_vm.x), np.asarray(r_ref.x),
+                               atol=5e-4)

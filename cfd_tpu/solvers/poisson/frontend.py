@@ -160,6 +160,7 @@ class PoissonSolver:
     params: PoissonParams = PoissonParams()
     _solve_fn: Optional[object] = None
     _fused_fn: Optional[object] = None
+    _params_user_set: bool = False
 
     @property
     def name(self) -> str:
@@ -181,7 +182,8 @@ class PoissonSolver:
         self.problem = PoissonProblem(nx, ny, nz, dx, dy, dz)
         if params is not None:
             self.params = params
-        elif self.method == Method.JACOBI:
+            self._params_user_set = True
+        elif self.method == Method.JACOBI and not self._params_user_set:
             # Jacobi needs more iterations when defaulted
             # (`linear_solver.c:276-278`, factory at `linear_solver_jacobi.c:
             # 146-147` also uses check_interval=10).
@@ -244,6 +246,9 @@ def create_solver(method: Method, params: Optional[PoissonParams] = None,
     solver = PoissonSolver(method=method)
     if params is not None:
         solver.params = params
+        # Factory defaults (e.g. Jacobi's larger budget,
+        # `linear_solver_jacobi.c:146-147`) never override user params.
+        solver._params_user_set = True
     return solver
 
 

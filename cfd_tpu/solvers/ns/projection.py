@@ -66,12 +66,17 @@ def make_projection_step(grid: Grid, params: NSParams, dtype=None,
                          spectral_precision=None):
     """Build the jitted projection step: (field, dt, iter) → (field, StepResult).
 
-    ``use_pallas=True`` enables the fused Pallas fast path (float32,
-    aligned grids; falls back to the jnp step when unsupported): streaming
+    ``use_pallas`` enables the fused Pallas fast path (float32, aligned
+    grids; falls back to the jnp step when unsupported): streaming
     predictor/divergence/corrector kernels (rolling-plane in 3D,
-    block-marching in 2D), plus — per ``poisson_method`` — either the
-    two-pass fused Pallas CG or the direct spectral-input kernel.
-    ``use_pallas_cg`` is the original name, kept as an alias.
+    block-marching in 2D), plus — per ``poisson_method`` — the two-pass
+    fused Pallas CG, the VMEM whole-solve (small grids), or the direct
+    spectral-input kernel.  Default ``None`` = auto: on a TPU backend the
+    fast path is on (consistency-tested against the jnp step), elsewhere
+    off.  ``use_pallas_cg`` is the original name, kept as an alias.
+    The sharded wrapper (`parallel.sharded`) passes an explicit ``False``
+    and selects its own shard_map variants — the single-chip manual-DMA
+    kernels never run under GSPMD partitioning.
 
     ``spectral_precision`` overrides the FFT_DIRECT MXU contraction
     precision (default ``lax.Precision.HIGHEST``; ``HIGH`` runs the sine
@@ -79,7 +84,8 @@ def make_projection_step(grid: Grid, params: NSParams, dtype=None,
     2048², 25-40% faster).
     """
     if use_pallas is None:
-        use_pallas = bool(use_pallas_cg)
+        use_pallas = (bool(use_pallas_cg)
+                      or jax.default_backend() == "tpu")
     validate_grid_for_solver(grid, grid.shape)
     if params.energy_enabled:
         validate_thermal_bc(params.thermal_bc, grid)

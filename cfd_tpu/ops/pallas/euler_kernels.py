@@ -1,0 +1,163 @@
+"""Fused explicit-Euler step kernel (3D rolling-plane, single streaming pass).
+
+The jnp Euler step (`solvers/ns/euler.py`, mirroring
+`cpu/solver_explicit_euler.c:337-582`) costs ~25 roll-based sweeps; this
+kernel streams u, v, w, p (±1 halo windows) plus rho, T (plane inputs)
+through HBM exactly once and emits the complete post-step state —
+clamped derivatives, momentum + artificial-pressure updates, per-point
+rho guards, the full periodic boundary dance, and the step's max-reduction
+diagnostics — in ONE pass on the rolling engine.
+
+Boundary semantics reproduced exactly (`solver_explicit_euler.c:546-553`):
+
+* interior update on [1, n-2]³ only;
+* periodic wrap x→y→z sequentially on u, v, w, p, rho, T
+  (`apply_periodic_scalar`: face = opposite interior, later faces own
+  corners);
+* caller VELOCITY shells restored afterwards — net effect: u/v/w shells
+  pass through from the input (engine ``shell_passthrough``), while
+  p/rho/T shells keep the periodic wrap (in-plane wrap computed per
+  plane; z-faces via the engine's ``shell_periodic`` snapshots).
+
+Gating (callers fall back to the jnp step): float32, uniform grid,
+nz ≥ 3, nx % 128 == 0, ny % 8 == 0, default sources only (the decayed
+amplitudes enter as scalars), no buoyancy, energy equation off.
+
+Consistency vs the jnp step is enforced by tests/math/test_euler_fused.py.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from .rolling import make_rolling_stencil, plane_masks, rolling_supported, \
+    shift_x, shift_y
+
+# Reference clamp constants (`solver_explicit_euler.c:24-55`) — duplicated
+# here rather than imported so ops/ stays below solvers/ in the layering.
+_D1_LIMIT = 100.0
+_D2_LIMIT = 1000.0
+_VEL_LIMIT = 100.0
+_DIV_LIMIT = 10.0
+_UPDATE_LIMIT = 1.0
+
+
+def euler_kernel_supported(nz: int, ny: int, nx: int) -> bool:
+    # 4 halo inputs (u, v, w, p), 2 plane inputs (rho, T), 6 outputs
+    # + 3 periodic-shell snapshot buffers.
+    return rolling_supported(nz, ny, nx, 4, 2, 6 + 3)
+
+
+def make_euler_fused(nz, ny, nx, dx, dy, dz, xmin, ymin,
+                     mu: float, pressure_coupling: float,
+                     dtype=jnp.float32, interpret: bool = False):
+    """Build fn(scalars=(cdt, src_u_eff, src_v_eff), u, v, w, p, rho, T) →
+    (u', v', w', p', rho', T', m2max, pmax, pabsmax, tmax), or None."""
+    if not euler_kernel_supported(nz, ny, nx):
+        return None
+    inv_2dx = 1.0 / (2.0 * dx)
+    inv_2dy = 1.0 / (2.0 * dy)
+    inv_dx2 = 1.0 / (dx * dx)
+    inv_dy2 = 1.0 / (dy * dy)
+    inv_2dz = 1.0 / (2.0 * dz)
+    inv_dz2 = 1.0 / (dz * dz)
+
+    def clampv(a, lim):
+        return jnp.clip(a, -dtype(lim), dtype(lim))
+
+    def source_planes():
+        jj = jax.lax.broadcasted_iota(jnp.int32, (ny, nx), 0)
+        ii = jax.lax.broadcasted_iota(jnp.int32, (ny, nx), 1)
+        y = ymin + jj.astype(dtype) * dtype(dy)
+        x = xmin + ii.astype(dtype) * dtype(dx)
+        return (jnp.sin(jnp.asarray(jnp.pi, dtype) * y),
+                jnp.sin(jnp.asarray(2.0 * jnp.pi, dtype) * x))
+
+    def d1x(c):
+        return clampv((shift_x(c, 1) - shift_x(c, -1)) * inv_2dx, _D1_LIMIT)
+
+    def d1y(c):
+        return clampv((shift_y(c, 1, ny) - shift_y(c, -1, ny)) * inv_2dy,
+                      _D1_LIMIT)
+
+    def d1z(m, p):
+        return clampv((p - m) * inv_2dz, _D1_LIMIT)
+
+    def lap_clamped(m, c, p):
+        # the jnp path clamps EACH second-derivative term before summing
+        return (clampv((shift_x(c, 1) - 2.0 * c + shift_x(c, -1)) * inv_dx2,
+                       _D2_LIMIT)
+                + clampv((shift_y(c, 1, ny) - 2.0 * c
+                          + shift_y(c, -1, ny)) * inv_dy2, _D2_LIMIT)
+                + clampv((p - 2.0 * c + m) * inv_dz2, _D2_LIMIT))
+
+    def periodic_wrap(q, jj, ii):
+        # x faces first, then y faces read the x-wrapped values
+        # (`core_impl.h:92-120` sequential order).
+        q = jnp.where(ii == 0, shift_x(q, -2), q)
+        q = jnp.where(ii == nx - 1, shift_x(q, 2), q)
+        q2 = jnp.where(jj == 0, shift_y(q, -2, ny), q)
+        q2 = jnp.where(jj == ny - 1, shift_y(q, 2, ny), q2)
+        return q2
+
+    def compute(k, scalars, halos, planes):
+        cdt, src_u_eff, src_v_eff = scalars
+        (um, uc, up) = halos[0]
+        (vm, vc, vp) = halos[1]
+        (wm, wc, wp) = halos[2]
+        (pm, pc, pp) = halos[3]
+        rho, T = planes
+        mask, jj, ii = plane_masks(ny, nx, dtype)
+        maskb = mask > 0
+
+        du_dx, du_dy, du_dz = d1x(uc), d1y(uc), d1z(um, up)
+        dv_dx, dv_dy, dv_dz = d1x(vc), d1y(vc), d1z(vm, vp)
+        dw_dx, dw_dy, dw_dz = d1x(wc), d1y(wc), d1z(wm, wp)
+        dp_dx, dp_dy, dp_dz = d1x(pc), d1y(pc), d1z(pm, pp)
+
+        nu = jnp.minimum(dtype(mu) / jnp.maximum(rho, dtype(1e-10)),
+                         dtype(1.0))
+        sy, sx2 = source_planes()
+        su = src_u_eff * sy
+        sv = src_v_eff * sx2
+
+        du = cdt * (-uc * du_dx - vc * du_dy - wc * du_dz - dp_dx / rho
+                    + nu * lap_clamped(um, uc, up) + su)
+        dv = cdt * (-uc * dv_dx - vc * dv_dy - wc * dv_dz - dp_dy / rho
+                    + nu * lap_clamped(vm, vc, vp) + sv)
+        dw = cdt * (-uc * dw_dx - vc * dw_dy - wc * dw_dz - dp_dz / rho
+                    + nu * lap_clamped(wm, wc, wp))
+
+        u_new = clampv(uc + clampv(du, _UPDATE_LIMIT), _VEL_LIMIT)
+        v_new = clampv(vc + clampv(dv, _UPDATE_LIMIT), _VEL_LIMIT)
+        w_new = clampv(wc + clampv(dw, _UPDATE_LIMIT), _VEL_LIMIT)
+
+        divergence = clampv(du_dx + dv_dy + dw_dz, _DIV_LIMIT)
+        dp = clampv(-dtype(pressure_coupling) * cdt * rho * divergence,
+                    _UPDATE_LIMIT)
+        p_new = pc + dp
+
+        ok = rho > dtype(1e-10)
+        u_out = jnp.where(maskb & ok, u_new, uc)
+        v_out = jnp.where(maskb & ok, v_new, vc)
+        w_out = jnp.where(maskb & ok, w_new, wc)
+        p_upd = jnp.where(maskb & ok, p_new, pc)
+
+        # p / rho / T take the in-plane periodic wrap; velocities keep
+        # their input edges (wrap-then-restore ≡ passthrough).
+        p_out = periodic_wrap(p_upd, jj, ii)
+        rho_out = periodic_wrap(rho, jj, ii)
+        T_out = periodic_wrap(T, jj, ii)
+
+        m2 = jnp.max(u_out * u_out + v_out * v_out + w_out * w_out)
+        return ([u_out, v_out, w_out, p_out, rho_out, T_out],
+                (m2, jnp.max(p_out), jnp.max(jnp.abs(p_out)),
+                 jnp.max(T_out)))
+
+    return make_rolling_stencil(
+        nz, ny, nx, 4, 2, 6, compute, dtype, n_scalars=3,
+        reductions=("max", "max", "max", "max"),
+        shell_passthrough=[0, 1, 2, None, None, None],
+        shell_periodic=[3, 4, 5],
+        interpret=interpret)

@@ -58,6 +58,7 @@ def make_rolling_stencil(nz: int, ny: int, nx: int,
                          with_reduction: bool = False,
                          reductions: Optional[Sequence[str]] = None,
                          shell_passthrough: Optional[Sequence] = None,
+                         shell_periodic: Optional[Sequence[int]] = None,
                          halo_window: int = 1,
                          interpret: bool = False):
     """Build the rolling kernel.
@@ -76,6 +77,10 @@ def make_rolling_stencil(nz: int, ny: int, nx: int,
     ``shell_passthrough[o]`` names an input index, that input's shell planes
     are copied through instead (used by the projection kernels to preserve
     caller-set boundary values, the reference's save/restore idiom).
+    ``shell_periodic`` lists output indices whose z-shells take the
+    PERIODIC wrap of the computed output: out[0] = out[nz−2],
+    out[nz−1] = out[1] (the euler kernel's `apply_periodic_scalar` z-faces;
+    snapshotted during the sweep since the ring slots recycle).
 
     ``with_reduction=True`` is the legacy spelling of
     ``reductions=("sum",)`` with the partial returned as a bare scalar.
@@ -87,8 +92,10 @@ def make_rolling_stencil(nz: int, ny: int, nx: int,
         reductions = ("sum",)
     reductions = tuple(reductions or ())
     n_red = len(reductions)
-    if not rolling_supported(nz, ny, nx, n_halo, n_plane, n_out,
-                             halo_window):
+    sp_list = tuple(shell_periodic or ())
+    # each periodic output carries a 2-plane snapshot buffer
+    if not rolling_supported(nz, ny, nx, n_halo, n_plane,
+                             n_out + len(sp_list), halo_window):
         return None
     rows = nz * ny
     n_in = n_halo + n_plane
@@ -127,6 +134,7 @@ def make_rolling_stencil(nz: int, ny: int, nx: int,
         rings = refs[idx:idx + n_halo]; idx += n_halo
         stages = refs[idx:idx + n_plane]; idx += n_plane
         obufs = refs[idx:idx + n_out]; idx += n_out
+        sbufs = refs[idx:idx + len(sp_list)]; idx += len(sp_list)
         in_sems = refs[idx]; idx += 1
         out_sems = refs[idx]; idx += 1
 
@@ -206,6 +214,14 @@ def make_rolling_stencil(nz: int, ny: int, nx: int,
                     out_dma(c - 2, o, s_out).wait()
                 obufs[o][pl.ds(s_out, 1)] = outs[o][None]
                 out_dma(c, o, s_out).start()
+            for si, o in enumerate(sp_list):
+                @pl.when(c == 1)
+                def _(si=si, o=o):
+                    sbufs[si][pl.ds(0, 1)] = outs[o][None]
+
+                @pl.when(c == nz - 2)
+                def _(si=si, o=o):
+                    sbufs[si][pl.ds(1, 1)] = outs[o][None]
             if n_red:
                 if with_reduction:
                     partials = (partials,)
@@ -221,7 +237,16 @@ def make_rolling_stencil(nz: int, ny: int, nx: int,
             if nz >= 4:
                 out_dma(nz - 3, o, (nz - 3) % 2).wait()
             src_idx = shell_passthrough[o] if shell_passthrough else None
-            if src_idx is None:
+            if o in sp_list:
+                si = sp_list.index(o)
+                # periodic z-wrap: out[0] ← out plane nz−2, out[nz−1] ← 1
+                obufs[o][pl.ds(0, 1)] = sbufs[si][pl.ds(1, 1)]
+                out_dma(0, o, 0).start()
+                out_dma(0, o, 0).wait()
+                obufs[o][pl.ds(1, 1)] = sbufs[si][pl.ds(0, 1)]
+                out_dma(nz - 1, o, 1).start()
+                out_dma(nz - 1, o, 1).wait()
+            elif src_idx is None:
                 obufs[o][pl.ds(0, 1)] = jnp.zeros((1, ny, nx), dtype)
                 out_dma(0, o, 0).start()
                 out_dma(0, o, 0).wait()
@@ -257,6 +282,7 @@ def make_rolling_stencil(nz: int, ny: int, nx: int,
             [pltpu.VMEM((R, ny, nx), dtype) for _ in range(n_halo)]
             + [pltpu.VMEM((S, ny, nx), dtype) for _ in range(n_plane)]
             + [pltpu.VMEM((2, ny, nx), dtype) for _ in range(n_out)]
+            + [pltpu.VMEM((2, ny, nx), dtype) for _ in sp_list]
             + [pltpu.SemaphoreType.DMA((2, n_in)),
                pltpu.SemaphoreType.DMA((2, n_out))]),
         compiler_params=pltpu.CompilerParams(

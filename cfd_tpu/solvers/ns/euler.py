@@ -37,14 +37,38 @@ from .params import (DT_CONSERVATIVE_LIMIT, MAX_DERIVATIVE_LIMIT,
                      source_terms)
 
 
-def make_euler_step(grid: Grid, params: NSParams, dtype=None):
+def make_euler_step(grid: Grid, params: NSParams, dtype=None,
+                    use_pallas=None, pallas_interpret: bool = False):
     """Build the jitted one-iteration Euler step: (field, dt, iter) → (field,
-    StepResult)."""
+    StepResult).
+
+    ``use_pallas=None`` (auto) enables the fused single-pass rolling kernel
+    on TPU backends for float32 uniform 3D grids with default sources, no
+    buoyancy, and the energy equation off; any other configuration (or an
+    unsupported shape) keeps the jnp step.  The kernel is consistency-tested
+    against the jnp path (tests/math/test_euler_fused.py)."""
     validate_grid_for_solver(grid, grid.shape)
     if params.energy_enabled:
         validate_thermal_bc(params.thermal_bc, grid)
     dtype = dtype or (jnp.float64 if jax.config.jax_enable_x64
                       else jnp.float32)
+
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    if (use_pallas and dtype == jnp.float32 and grid.nz > 2
+            and grid.is_uniform("x") and grid.is_uniform("y")
+            and grid.is_uniform("z")
+            and min(grid.dx0, grid.dy0, grid.dz0) > 1e-10
+            and params.source_func is None
+            and not params.buoyancy_enabled
+            and not params.energy_enabled):
+        from ...ops.pallas.euler_kernels import make_euler_fused
+        fused = make_euler_fused(
+            grid.nz, grid.ny, grid.nx, grid.dx0, grid.dy0, grid.dz0,
+            grid.xmin, grid.ymin, params.mu, params.pressure_coupling,
+            dtype, interpret=pallas_interpret)
+        if fused is not None:
+            return _make_fused_euler_step(fused, params, dtype)
 
     inv_2dx, inv_2dy, inv_dx2, inv_dy2, spacing_ok = spacing_arrays(grid, dtype)
     inv_2dz, inv_dz2 = z_constants(grid)
@@ -144,6 +168,46 @@ def make_euler_step(grid: Grid, params: NSParams, dtype=None):
                                      status=status,
                                      residual=jnp.zeros((), dtype),
                                      max_velocity=vmax, max_pressure=pmax,
+                                     max_temperature=tmax)
+
+    return step
+
+
+def _make_fused_euler_step(fused, params: NSParams, dtype):
+    """Wrap the single-pass fused kernel into the step contract: scalar
+    prep (conservative dt cap, decayed source amplitudes), z-shell
+    diagnostic folding, StepResult assembly — exact parity with the jnp
+    body (the kernel reproduces its math term by term)."""
+
+    def step(field: FlowField, dt, iter_idx):
+        cdt = jnp.minimum(jnp.asarray(dt, dtype),
+                          jnp.asarray(DT_CONSERVATIVE_LIMIT, dtype))
+        t = jnp.asarray(iter_idx, dtype) * cdt
+        decay = jnp.exp(-jnp.asarray(params.source_decay_rate, dtype) * t)
+        scal = jnp.stack([cdt,
+                          jnp.asarray(params.source_amplitude_u, dtype)
+                          * decay,
+                          jnp.asarray(params.source_amplitude_v, dtype)
+                          * decay])
+        (u, v, w, p, rho, T, m2i, pmaxi, pabsi, tmaxi) = fused(
+            scal, field.u, field.v, field.w, field.p, field.rho, field.T)
+        new_field = field.replace(u=u, v=v, w=w, p=p, rho=rho, T=T)
+
+        # Kernel max-reductions cover the computed planes (p/rho/T z-shells
+        # are periodic copies of those planes); fold in the velocity
+        # z-shells, which pass through from the input.
+        def m2_face(k):
+            return jnp.max(u[k] ** 2 + v[k] ** 2 + w[k] ** 2)
+
+        m2 = jnp.maximum(m2i, jnp.maximum(m2_face(0), m2_face(-1)))
+        tmax = jnp.maximum(tmaxi, jnp.maximum(jnp.max(T[0]),
+                                              jnp.max(T[-1])))
+        finite = jnp.isfinite(m2) & jnp.isfinite(pabsi)
+        status = jnp.where(finite, jnp.int32(0), jnp.int32(-6))
+        return new_field, StepResult(iterations=jnp.int32(1), status=status,
+                                     residual=jnp.zeros((), dtype),
+                                     max_velocity=jnp.sqrt(m2),
+                                     max_pressure=pmaxi,
                                      max_temperature=tmax)
 
     return step

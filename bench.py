@@ -128,6 +128,23 @@ def run_smallgrid_ms(nx: int = 100, ny: int = 50, steps: int = 500) -> float:
     return elapsed / steps * 1e3
 
 
+def run_euler_3d(n: int = 256, steps: int = 10) -> float:
+    """Fused single-pass Euler MLUPS at n³ (the integrator's own
+    throughput, no pressure solve — `ops/pallas/euler_kernels.py`)."""
+    import jax.numpy as jnp
+
+    from cfd_tpu import Grid
+    from cfd_tpu.solvers.ns import NSParams
+    from cfd_tpu.solvers.ns.euler import make_euler_step
+
+    grid = Grid.uniform(n, n, n, zmin=0.0, zmax=1.0)
+    params = NSParams(source_amplitude_u=0.0, source_amplitude_v=0.0,
+                      mu=0.01)
+    step = make_euler_step(grid, params, dtype=jnp.float32, use_pallas=True)
+    elapsed = _time_steps(step, _tg_field((n, n, n)), 1e-5, steps)
+    return float(n) ** 3 * steps / elapsed / 1e6
+
+
 def run_euler_ms(nx: int = 100, ny: int = 50, steps: int = 2000) -> float:
     """Explicit-Euler per-step ms at 100×50 (`README.md:225-231`:
     2.6 ms scalar / 0.9 SIMD / 0.8 OMP)."""
@@ -289,6 +306,7 @@ def main():
     mlups2d_fast = run_2d(2048, precision=lax.Precision.HIGH)
     smallgrid_ms = run_smallgrid_ms()
     euler_ms = run_euler_ms()
+    euler3d = run_euler_3d()
     poisson_ips = run_poisson_iters()
     rms_u, rms_v = ghia_gate()
     assert rms_u < 0.10 and rms_v < 0.10, (
@@ -310,6 +328,7 @@ def main():
         "vs_baseline_smallgrid": round(4.2 / smallgrid_ms, 2),
         "euler_ms_100x50": round(euler_ms, 4),
         "vs_baseline_euler": round(0.8 / euler_ms, 2),
+        "euler_mlups_256": round(euler3d, 1),
         "poisson_iters_per_sec_100x100": poisson_ips,
         "poisson_vs_baseline": {
             k: round(v / POISSON_BASELINE_ITERS_PER_SEC[k], 2)

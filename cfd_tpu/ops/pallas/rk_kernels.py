@@ -1,0 +1,198 @@
+"""Fused RK2/RK4 stage kernels (3D rolling-plane, one pass per stage).
+
+The jnp RK path (`solvers/ns/rk.py`, mirroring `cpu/solver_rk{2,4}.c` +
+`momentum_rhs/ns_momentum_rhs_scalar.h`) evaluates the momentum RHS with
+~30 roll-sweeps per stage.  Here each stage is ONE streaming pass that
+reads the stage state (halo windows), the step-start state q0, rho/T, and
+the running k-accumulator, and emits the next stage state plus the updated
+accumulator:
+
+    k      = RHS(stage state)          (periodic-interior stencils)
+    next   = clamp(q0 + factor·(acc_mix·acc + k))   [velocities ±100]
+    acc'   = acc + weight·k
+
+With (factor, acc_mix, weight) scalars this one kernel covers every
+Butcher position: intermediate stages use acc_mix=0, the final stage uses
+acc_mix=1 with factor dt/6 (RK4) or dt/2 (RK2) and emits the FINISHED
+state — including the full periodic boundary wrap (in-plane here, z-faces
+via the engine's ``shell_periodic``), rho/T wrap, and the step's fused
+max-reduction diagnostics.
+
+Periodic-interior stencils (`ns_momentum_rhs_scalar.h:78-90`): at i==1 the
+left neighbor is nx−2 and at i==nx−2 the right is 1 — expressed as masked
+3-lane shifts in-plane; the z wrap neighbors (planes nz−2 and 1 of the
+stage state) ride the engine's pinned inputs since the streaming window
+can't see the far end of the array.
+
+Gating matches the fused Euler kernel: float32, uniform grids, nz ≥ 3,
+aligned dims, default sources, no buoyancy, energy off.  Consistency vs
+the jnp step: tests/math/test_rk_fused.py.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from .rolling import make_rolling_stencil, plane_masks, rolling_supported, \
+    shift_x, shift_y
+
+_D1_LIMIT = 100.0
+_D2_LIMIT = 1000.0
+_VEL_LIMIT = 100.0
+_DIV_LIMIT = 10.0
+
+
+def rk_kernel_supported(nz: int, ny: int, nx: int) -> bool:
+    # worst case (final stage): 4 halos, 10 planes, 6 outs + 6 periodic
+    # snapshots + 4 pinned
+    return rolling_supported(nz, ny, nx, 4, 10, 6 + 6 + 4)
+
+
+def make_rk_stage(nz, ny, nx, dx, dy, dz, xmin, ymin,
+                  mu: float, pressure_coupling: float, final: bool,
+                  dtype=jnp.float32, interpret: bool = False):
+    """Build one RK stage pass.
+
+    final=False: fn(scalars=(factor, acc_mix, weight, su, sv),
+                    u, v, w, p, q0u, q0v, q0w, q0p, rho, T,
+                    accu, accv, accw, accp, pin_u, pin_v, pin_w, pin_p)
+                 → (next_u, next_v, next_w, next_p,
+                    acc_u', acc_v', acc_w', acc_p')
+    final=True:  same inputs → (u, v, w, p, rho, T,
+                                m2max, pmax, pabsmax, tmax)
+    Pinned inputs are (2, ny, nx): [plane nz−2, plane 1] of each stage-
+    state halo field.  Returns None when unsupported.
+    """
+    if not rk_kernel_supported(nz, ny, nx):
+        return None
+    inv_2dx = 1.0 / (2.0 * dx)
+    inv_2dy = 1.0 / (2.0 * dy)
+    inv_dx2 = 1.0 / (dx * dx)
+    inv_dy2 = 1.0 / (dy * dy)
+    inv_2dz = 1.0 / (2.0 * dz)
+    inv_dz2 = 1.0 / (dz * dz)
+
+    def clampv(a, lim):
+        return jnp.clip(a, -dtype(lim), dtype(lim))
+
+    def source_planes():
+        jj = jax.lax.broadcasted_iota(jnp.int32, (ny, nx), 0)
+        ii = jax.lax.broadcasted_iota(jnp.int32, (ny, nx), 1)
+        y = ymin + jj.astype(dtype) * dtype(dy)
+        x = xmin + ii.astype(dtype) * dtype(dx)
+        return (jnp.sin(jnp.asarray(jnp.pi, dtype) * y),
+                jnp.sin(jnp.asarray(2.0 * jnp.pi, dtype) * x))
+
+    def periodic_wrap(q, jj, ii):
+        q = jnp.where(ii == 0, shift_x(q, -2), q)
+        q = jnp.where(ii == nx - 1, shift_x(q, 2), q)
+        q2 = jnp.where(jj == 0, shift_y(q, -2, ny), q)
+        q2 = jnp.where(jj == ny - 1, shift_y(q, 2, ny), q2)
+        return q2
+
+    def compute(k, scalars, halos, planes, pinned):
+        factor, acc_mix, weight, src_u_eff, src_v_eff = scalars
+        mask, jj, ii = plane_masks(ny, nx, dtype)
+        maskb = mask > 0
+        (q0u, q0v, q0w, q0p, rho, T, accu, accv, accw, accp) = planes
+
+        def neighbors(h, pin):
+            """Periodic-interior 6-neighborhood of one stage field."""
+            (zm, c, zp) = h
+            wrap_far, wrap_near = pin   # planes nz−2 and 1
+            xl = jnp.where(ii == 1, shift_x(c, -3), shift_x(c, -1))
+            xr = jnp.where(ii == nx - 2, shift_x(c, 3), shift_x(c, 1))
+            yd = jnp.where(jj == 1, shift_y(c, -3, ny), shift_y(c, -1, ny))
+            yu = jnp.where(jj == ny - 2, shift_y(c, 3, ny),
+                           shift_y(c, 1, ny))
+            zmm = jnp.where(k == 1, wrap_far, zm)
+            zpp = jnp.where(k == nz - 2, wrap_near, zp)
+            return c, xl, xr, yd, yu, zmm, zpp
+
+        u, ul, ur, ud, uu, ub, uf = neighbors(halos[0], pinned[0])
+        v, vl, vr, vd, vu, vb, vf = neighbors(halos[1], pinned[1])
+        w, wl, wr, wd, wu, wb, wf = neighbors(halos[2], pinned[2])
+        p, pl_, pr_, pd_, pu_, pb_, pf_ = neighbors(halos[3], pinned[3])
+
+        def d1(a):
+            return clampv(a, _D1_LIMIT)
+
+        def d2(a):
+            return clampv(a, _D2_LIMIT)
+
+        du_dx = d1((ur - ul) * inv_2dx)
+        du_dy = d1((uu - ud) * inv_2dy)
+        du_dz = d1((uf - ub) * inv_2dz)
+        dv_dx = d1((vr - vl) * inv_2dx)
+        dv_dy = d1((vu - vd) * inv_2dy)
+        dv_dz = d1((vf - vb) * inv_2dz)
+        dw_dx = d1((wr - wl) * inv_2dx)
+        dw_dy = d1((wu - wd) * inv_2dy)
+        dw_dz = d1((wf - wb) * inv_2dz)
+        dp_dx = d1((pr_ - pl_) * inv_2dx)
+        dp_dy = d1((pu_ - pd_) * inv_2dy)
+        dp_dz = d1((pf_ - pb_) * inv_2dz)
+
+        lap_u = (d2((ur - 2 * u + ul) * inv_dx2)
+                 + d2((uu - 2 * u + ud) * inv_dy2)
+                 + d2((uf - 2 * u + ub) * inv_dz2))
+        lap_v = (d2((vr - 2 * v + vl) * inv_dx2)
+                 + d2((vu - 2 * v + vd) * inv_dy2)
+                 + d2((vf - 2 * v + vb) * inv_dz2))
+        lap_w = (d2((wr - 2 * w + wl) * inv_dx2)
+                 + d2((wu - 2 * w + wd) * inv_dy2)
+                 + d2((wf - 2 * w + wb) * inv_dz2))
+
+        nu = jnp.minimum(dtype(mu) / jnp.maximum(rho, dtype(1e-10)),
+                         dtype(1.0))
+        sy, sx2 = source_planes()
+        su = src_u_eff * sy
+        sv = src_v_eff * sx2
+
+        ok = maskb & (rho > dtype(1e-10))
+        okf = ok.astype(dtype)
+        ku = (-u * du_dx - v * du_dy - w * du_dz - dp_dx / rho
+              + nu * lap_u + su) * okf
+        kv = (-u * dv_dx - v * dv_dy - w * dv_dz - dp_dy / rho
+              + nu * lap_v + sv) * okf
+        kw = (-u * dw_dx - v * dw_dy - w * dw_dz - dp_dz / rho
+              + nu * lap_w) * okf
+        div = clampv(du_dx + dv_dy + dw_dz, _DIV_LIMIT)
+        kp = (-dtype(pressure_coupling) * rho * div) * okf
+
+        eu = factor * (acc_mix * accu + ku)
+        ev = factor * (acc_mix * accv + kv)
+        ew = factor * (acc_mix * accw + kw)
+        ep = factor * (acc_mix * accp + kp)
+        next_u = clampv(q0u + eu, _VEL_LIMIT)
+        next_v = clampv(q0v + ev, _VEL_LIMIT)
+        next_w = clampv(q0w + ew, _VEL_LIMIT)
+        next_p = q0p + ep
+
+        if not final:
+            return ([next_u, next_v, next_w, next_p,
+                     accu + weight * ku, accv + weight * kv,
+                     accw + weight * kw, accp + weight * kp], None)
+
+        u_out = periodic_wrap(next_u, jj, ii)
+        v_out = periodic_wrap(next_v, jj, ii)
+        w_out = periodic_wrap(next_w, jj, ii)
+        p_out = periodic_wrap(next_p, jj, ii)
+        rho_out = periodic_wrap(rho, jj, ii)
+        T_out = periodic_wrap(T, jj, ii)
+        m2 = jnp.max(u_out * u_out + v_out * v_out + w_out * w_out)
+        return ([u_out, v_out, w_out, p_out, rho_out, T_out],
+                (m2, jnp.max(p_out), jnp.max(jnp.abs(p_out)),
+                 jnp.max(T_out)))
+
+    if final:
+        return make_rolling_stencil(
+            nz, ny, nx, 4, 10, 6, compute, dtype, n_scalars=5,
+            reductions=("max", "max", "max", "max"),
+            shell_periodic=[0, 1, 2, 3, 4, 5], n_pinned=4,
+            interpret=interpret)
+    return make_rolling_stencil(
+        nz, ny, nx, 4, 10, 8, compute, dtype, n_scalars=5,
+        shell_passthrough=[4, 5, 6, 7, None, None, None, None],
+        n_pinned=4, interpret=interpret)

@@ -59,11 +59,12 @@ def make_rolling_stencil(nz: int, ny: int, nx: int,
                          reductions: Optional[Sequence[str]] = None,
                          shell_passthrough: Optional[Sequence] = None,
                          shell_periodic: Optional[Sequence[int]] = None,
+                         n_pinned: int = 0,
                          halo_window: int = 1,
                          interpret: bool = False):
     """Build the rolling kernel.
 
-    compute(k, scalars, halo_windows, planes) → (outs, partials)
+    compute(k, scalars, halo_windows, planes[, pinned]) → (outs, partials)
       * k: int32 plane index (interior: 1..nz-2)
       * scalars: list of n_scalars float scalars (from the SMEM input)
       * halo_windows: per halo input, a (2W+1)-tuple of (ny, nx) planes
@@ -81,6 +82,10 @@ def make_rolling_stencil(nz: int, ny: int, nx: int,
     PERIODIC wrap of the computed output: out[0] = out[nz−2],
     out[nz−1] = out[1] (the euler kernel's `apply_periodic_scalar` z-faces;
     snapshotted during the sweep since the ring slots recycle).
+    ``n_pinned`` appends that many (2, ny, nx) inputs fetched ONCE into
+    VMEM at the prologue and handed to compute as (plane0, plane1) tuples —
+    used for periodic z-wrap neighbor planes that the streaming window
+    can't see (the RK kernels' f[nz−2] / f[1] substitutes).
 
     ``with_reduction=True`` is the legacy spelling of
     ``reductions=("sum",)`` with the partial returned as a bare scalar.
@@ -93,12 +98,12 @@ def make_rolling_stencil(nz: int, ny: int, nx: int,
     reductions = tuple(reductions or ())
     n_red = len(reductions)
     sp_list = tuple(shell_periodic or ())
-    # each periodic output carries a 2-plane snapshot buffer
+    # periodic outputs and pinned inputs each carry a 2-plane buffer
     if not rolling_supported(nz, ny, nx, n_halo, n_plane,
-                             n_out + len(sp_list), halo_window):
+                             n_out + len(sp_list) + n_pinned, halo_window):
         return None
     rows = nz * ny
-    n_in = n_halo + n_plane
+    n_in = n_halo + n_plane + n_pinned
     W = int(halo_window)
     R = 2 * W + 2  # halo ring slots: 2W+1 live + 1 prefetch target
     S = W + 2      # plane staging: plane k lives from fetch (k−W−1) to read (k)
@@ -135,8 +140,12 @@ def make_rolling_stencil(nz: int, ny: int, nx: int,
         stages = refs[idx:idx + n_plane]; idx += n_plane
         obufs = refs[idx:idx + n_out]; idx += n_out
         sbufs = refs[idx:idx + len(sp_list)]; idx += len(sp_list)
+        pbufs = refs[idx:idx + n_pinned]; idx += n_pinned
         in_sems = refs[idx]; idx += 1
         out_sems = refs[idx]; idx += 1
+        pin_sems = None
+        if n_pinned:
+            pin_sems = refs[idx]; idx += 1
 
         scalars = [scal_ref[0, i] for i in range(n_scalars)]
 
@@ -147,8 +156,8 @@ def make_rolling_stencil(nz: int, ny: int, nx: int,
                                jnp.int32(R))
 
         def in_dma(k, slot):
-            """DMAs for plane k of every input. Halo inputs land in ring
-            slot k%R; plane inputs in stage slot k%3."""
+            """DMAs for plane k of every streamed input. Halo inputs land
+            in ring slot k%R; plane inputs in stage slot k%3."""
             dmas = []
             for a in range(n_halo):
                 dmas.append(pltpu.make_async_copy(
@@ -179,11 +188,20 @@ def make_rolling_stencil(nz: int, ny: int, nx: int,
 
         # Prologue: fetch planes 0..W+1 (the first compute at c=1 reads
         # planes up to 1+W); plane 2+W prefetches inside the first body.
+        # Pinned inputs (each a (2·ny, nx) HBM array) land whole in VMEM.
+        pins = []
+        for q in range(n_pinned):
+            d = pltpu.make_async_copy(
+                in_hbm[n_halo + n_plane + q], pbufs[q], pin_sems.at[q])
+            d.start()
+            pins.append(d)
         first = min(W + 1, nz - 1)
         for k in range(first + 1):
             start_all(in_dma(k, k % 2))
         for k in range(first + 1):
             wait_all(in_dma(k, k % 2))
+        for d in pins:
+            d.wait()
 
         def body(c, acc):
             c = jnp.asarray(c, jnp.int32)
@@ -205,7 +223,13 @@ def make_rolling_stencil(nz: int, ny: int, nx: int,
             planes = [stages[b][jax.lax.rem(c, jnp.int32(S))]
                       for b in range(n_plane)]
 
-            outs, partials = compute(c, scalars, halo_windows, planes)
+            if n_pinned:
+                pinned = [(pbufs[q][0:ny, :], pbufs[q][ny:2 * ny, :])
+                          for q in range(n_pinned)]
+                outs, partials = compute(c, scalars, halo_windows, planes,
+                                         pinned)
+            else:
+                outs, partials = compute(c, scalars, halo_windows, planes)
 
             s_out = jax.lax.rem(c, jnp.int32(2))
             for o in range(n_out):
@@ -283,8 +307,10 @@ def make_rolling_stencil(nz: int, ny: int, nx: int,
             + [pltpu.VMEM((S, ny, nx), dtype) for _ in range(n_plane)]
             + [pltpu.VMEM((2, ny, nx), dtype) for _ in range(n_out)]
             + [pltpu.VMEM((2, ny, nx), dtype) for _ in sp_list]
+            + [pltpu.VMEM((2 * ny, nx), dtype) for _ in range(n_pinned)]
             + [pltpu.SemaphoreType.DMA((2, n_in)),
-               pltpu.SemaphoreType.DMA((2, n_out))]),
+               pltpu.SemaphoreType.DMA((2, n_out))]
+            + ([pltpu.SemaphoreType.DMA((n_pinned,))] if n_pinned else [])),
         compiler_params=pltpu.CompilerParams(
             has_side_effects=True,
             # v5e carries 128 MiB of VMEM; XLA's default scoped limit is
@@ -295,7 +321,10 @@ def make_rolling_stencil(nz: int, ny: int, nx: int,
 
     def run(scalars, *fields):
         scal = jnp.asarray(scalars, dtype).reshape(1, max(1, n_scalars))
-        flat = [f.reshape(rows, nx) for f in fields]
+        # streamed inputs flatten to (nz·ny, nx); pinned to (2·ny, nx)
+        flat = [f.reshape(rows, nx) for f in fields[:n_halo + n_plane]]
+        flat += [f.reshape(2 * ny, nx)
+                 for f in fields[n_halo + n_plane:]]
         results = call(scal, *flat)
         outs = [results[o].reshape(nz, ny, nx) for o in range(n_out)]
         if with_reduction:

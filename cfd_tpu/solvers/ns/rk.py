@@ -118,12 +118,89 @@ def make_momentum_rhs(grid: Grid, params: NSParams, dtype):
     return rhs
 
 
-def _make_rk_step(grid: Grid, params: NSParams, order: int, dtype=None):
+def _make_fused_rk_step(mid, final, params: NSParams, order: int, nz, dtype):
+    """Chain the fused stage kernels into a full RK step (see
+    `ops/pallas/rk_kernels.py`); exact parity with the jnp body."""
+
+    def pins(state):
+        return [jnp.stack([s[nz - 2], s[1]]) for s in state]
+
+    def step(field: FlowField, dt, iter_idx):
+        dtc = jnp.asarray(dt, dtype)
+        t = jnp.asarray(iter_idx, dtype) * dtc
+        decay = jnp.exp(-jnp.asarray(params.source_decay_rate, dtype) * t)
+        su = jnp.asarray(params.source_amplitude_u, dtype) * decay
+        sv = jnp.asarray(params.source_amplitude_v, dtype) * decay
+        zero = jnp.zeros((), dtype)
+        one = jnp.ones((), dtype)
+
+        def scal(factor, acc_mix, weight):
+            return jnp.stack([jnp.asarray(factor, dtype),
+                              jnp.asarray(acc_mix, dtype),
+                              jnp.asarray(weight, dtype), su, sv])
+
+        q0 = (field.u, field.v, field.w, field.p)
+        rho, T = field.rho, field.T
+        acc0 = tuple(jnp.zeros_like(field.u) for _ in range(4))
+
+        def run_mid(state, acc, factor, weight):
+            outs = mid(scal(factor, zero, weight),
+                       *state, *q0, rho, T, *acc, *pins(state))
+            return tuple(outs[:4]), tuple(outs[4:8])
+
+        if order == 2:
+            s1, acc1 = run_mid(q0, acc0, dtc, one)
+            outs = final(scal(0.5 * dtc, one, zero),
+                         *s1, *q0, rho, T, *acc1, *pins(s1))
+        else:
+            s1, acc1 = run_mid(q0, acc0, 0.5 * dtc, one)
+            s2, acc2 = run_mid(s1, acc1, 0.5 * dtc, 2.0 * one)
+            s3, acc3 = run_mid(s2, acc2, dtc, 2.0 * one)
+            outs = final(scal(dtc / 6.0, one, zero),
+                         *s3, *q0, rho, T, *acc3, *pins(s3))
+        u, v, w, p, rho_o, T_o, m2, pmax, pabs, tmax = outs
+        new_field = field.replace(u=u, v=v, w=w, p=p, rho=rho_o, T=T_o)
+        finite = jnp.isfinite(m2) & jnp.isfinite(pabs)
+        status = jnp.where(finite, jnp.int32(0), jnp.int32(-6))
+        return new_field, StepResult(iterations=jnp.int32(1), status=status,
+                                     residual=jnp.zeros((), dtype),
+                                     max_velocity=jnp.sqrt(m2),
+                                     max_pressure=pmax,
+                                     max_temperature=tmax)
+
+    return step
+
+
+def _make_rk_step(grid: Grid, params: NSParams, order: int, dtype=None,
+                  use_pallas=None, pallas_interpret: bool = False):
     validate_grid_for_solver(grid, grid.shape)
     if params.energy_enabled:
         validate_thermal_bc(params.thermal_bc, grid)
     dtype = dtype or (jnp.float64 if jax.config.jax_enable_x64
                       else jnp.float32)
+
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    if (use_pallas and dtype == jnp.float32 and grid.nz > 2
+            and grid.is_uniform("x") and grid.is_uniform("y")
+            and grid.is_uniform("z")
+            and min(grid.dx0, grid.dy0, grid.dz0) > 1e-10
+            and params.source_func is None
+            and not params.buoyancy_enabled
+            and not params.energy_enabled):
+        from ...ops.pallas.rk_kernels import make_rk_stage
+        mid = make_rk_stage(grid.nz, grid.ny, grid.nx, grid.dx0, grid.dy0,
+                            grid.dz0, grid.xmin, grid.ymin, params.mu,
+                            params.pressure_coupling, final=False,
+                            dtype=dtype, interpret=pallas_interpret)
+        fin = make_rk_stage(grid.nz, grid.ny, grid.nx, grid.dx0, grid.dy0,
+                            grid.dz0, grid.xmin, grid.ymin, params.mu,
+                            params.pressure_coupling, final=True,
+                            dtype=dtype, interpret=pallas_interpret)
+        if mid is not None and fin is not None:
+            return _make_fused_rk_step(mid, fin, params, order, grid.nz,
+                                       dtype)
+
     rhs = make_momentum_rhs(grid, params, dtype)
     energy_step = make_energy_step(grid, params.alpha, params.heat_source_func)
 
@@ -183,12 +260,16 @@ def _make_rk_step(grid: Grid, params: NSParams, order: int, dtype=None):
     return step
 
 
-def make_rk2_step(grid: Grid, params: NSParams, dtype=None):
-    return _make_rk_step(grid, params, 2, dtype)
+def make_rk2_step(grid: Grid, params: NSParams, dtype=None,
+                  use_pallas=None, pallas_interpret: bool = False):
+    return _make_rk_step(grid, params, 2, dtype, use_pallas,
+                         pallas_interpret)
 
 
-def make_rk4_step(grid: Grid, params: NSParams, dtype=None):
-    return _make_rk_step(grid, params, 4, dtype)
+def make_rk4_step(grid: Grid, params: NSParams, dtype=None,
+                  use_pallas=None, pallas_interpret: bool = False):
+    return _make_rk_step(grid, params, 4, dtype, use_pallas,
+                         pallas_interpret)
 
 
 def make_rk2_solve(grid: Grid, params: NSParams, dtype=None):

@@ -73,11 +73,10 @@ def make_sharded_step(grid: Grid, params: NSParams, mesh: Mesh,
                 return step, lambda field: shard_field(field, mesh)
             warning("parallel", "use_pallas: %s; falling back to the "
                     "GSPMD jnp path", reason)
-    if method == "projection":
-        # Explicit off: the single-chip kernels' auto-on-TPU default must
-        # never engage under GSPMD partitioning (shard-boundary shell
-        # passthrough would be silently wrong).
-        kw.setdefault("use_pallas", False)
+    # Explicit off for every builder: the single-chip kernels' auto-on-TPU
+    # default must never engage under GSPMD partitioning (shard-boundary
+    # shell passthrough / periodic wraps would be silently wrong).
+    kw.setdefault("use_pallas", False)
     raw_step = _BUILDERS[method](grid, params, **kw)
     sharding = field_sharding(mesh, grid.nz > 1)
     out_field = FlowField(u=sharding, v=sharding, w=sharding, p=sharding,

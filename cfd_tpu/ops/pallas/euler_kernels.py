@@ -19,9 +19,15 @@ Boundary semantics reproduced exactly (`solver_explicit_euler.c:546-553`):
   p/rho/T shells keep the periodic wrap (in-plane wrap computed per
   plane; z-faces via the engine's ``shell_periodic`` snapshots).
 
+The energy equation and Boussinesq buoyancy fuse into the same pass
+(`energy_solver.c` semantics: T advected by the UPDATED velocities,
+interior-only, then the thermal per-face BCs applied after the wrap —
+in-plane faces in-compute, z-faces via the engine's generalized
+``shell_sources``).
+
 Gating (callers fall back to the jnp step): float32, uniform grid,
 nz ≥ 3, nx % 128 == 0, ny % 8 == 0, default sources only (the decayed
-amplitudes enter as scalars), no buoyancy, energy equation off.
+amplitudes enter as scalars), no custom heat-source callable.
 
 Consistency vs the jnp step is enforced by tests/math/test_euler_fused.py.
 """
@@ -44,18 +50,28 @@ _UPDATE_LIMIT = 1.0
 
 
 def euler_kernel_supported(nz: int, ny: int, nx: int) -> bool:
-    # 4 halo inputs (u, v, w, p), 2 plane inputs (rho, T), 6 outputs
-    # + 3 periodic-shell snapshot buffers.
-    return rolling_supported(nz, ny, nx, 4, 2, 6 + 3)
+    # 5 halo inputs (u, v, w, p, T), 1 plane input (rho), 6 outputs
+    # + 3 shell snapshot buffers.
+    return rolling_supported(nz, ny, nx, 5, 1, 6 + 3)
 
 
 def make_euler_fused(nz, ny, nx, dx, dy, dz, xmin, ymin,
                      mu: float, pressure_coupling: float,
+                     alpha: float = 0.0, beta: float = 0.0,
+                     T_ref: float = 0.0, gravity=(0.0, 0.0, 0.0),
+                     thermal_bc=None,
                      dtype=jnp.float32, interpret: bool = False):
-    """Build fn(scalars=(cdt, src_u_eff, src_v_eff), u, v, w, p, rho, T) →
-    (u', v', w', p', rho', T', m2max, pmax, pabsmax, tmax), or None."""
+    """Build fn(scalars=(cdt, src_u_eff, src_v_eff, time),
+    u, v, w, p, T, rho) →
+    (u', v', w', p', rho', T', m2max, pmax, pabsmax, tmax), or None.
+
+    ``alpha > 0`` fuses the energy update; ``beta != 0`` the Boussinesq
+    sources; ``thermal_bc`` (a ThermalBCConfig) the per-face T BCs —
+    required when alpha > 0, ignored otherwise (T then keeps the plain
+    periodic wrap, matching the jnp boundary dance)."""
     if not euler_kernel_supported(nz, ny, nx):
         return None
+    from ...boundary.types import BCType
     inv_2dx = 1.0 / (2.0 * dx)
     inv_2dy = 1.0 / (2.0 * dy)
     inv_dx2 = 1.0 / (dx * dx)
@@ -101,13 +117,40 @@ def make_euler_fused(nz, ny, nx, dx, dy, dz, xmin, ymin,
         q2 = jnp.where(jj == ny - 1, shift_y(q, 2, ny), q2)
         return q2
 
+    energy_on = alpha > 0.0
+    buoy_on = beta != 0.0
+
+    def thermal_faces(q, jj, ii):
+        """In-plane thermal BCs applied after the wrap, reference order
+        L, R, B, T (`energy_solver.c:246-331`); PERIODIC faces are no-ops
+        on a wrapped field."""
+        v = thermal_bc.dirichlet_values
+        faces = [
+            (thermal_bc.left, ii == 0, shift_x(q, 1), v.left),
+            (thermal_bc.right, ii == nx - 1, shift_x(q, -1), v.right),
+            (thermal_bc.bottom, jj == 0, None, v.bottom),
+            (thermal_bc.top, jj == ny - 1, None, v.top),
+        ]
+        for i, (bc, where_mask, neumann_src, value) in enumerate(faces):
+            bc = BCType(bc)
+            if bc == BCType.PERIODIC:
+                continue
+            if neumann_src is None:   # y faces read the current q
+                neumann_src = shift_y(q, 1 if i == 2 else -1, ny)
+            src = (jnp.full((ny, nx), dtype(value), dtype)
+                   if bc == BCType.DIRICHLET else neumann_src)
+            q = jnp.where(where_mask, src, q)
+        return q
+
     def compute(k, scalars, halos, planes):
-        cdt, src_u_eff, src_v_eff = scalars
+        cdt, src_u_eff, src_v_eff, _time = scalars
         (um, uc, up) = halos[0]
         (vm, vc, vp) = halos[1]
         (wm, wc, wp) = halos[2]
         (pm, pc, pp) = halos[3]
-        rho, T = planes
+        (Tm, Tc, Tp) = halos[4]
+        (rho,) = planes
+        T = Tc
         mask, jj, ii = plane_masks(ny, nx, dtype)
         maskb = mask > 0
 
@@ -121,13 +164,19 @@ def make_euler_fused(nz, ny, nx, dx, dy, dz, xmin, ymin,
         sy, sx2 = source_planes()
         su = src_u_eff * sy
         sv = src_v_eff * sx2
+        sw = jnp.zeros((), dtype)
+        if buoy_on:
+            dT = Tc - dtype(T_ref)
+            su = su + (-dtype(beta) * dtype(gravity[0])) * dT
+            sv = sv + (-dtype(beta) * dtype(gravity[1])) * dT
+            sw = sw + (-dtype(beta) * dtype(gravity[2])) * dT
 
         du = cdt * (-uc * du_dx - vc * du_dy - wc * du_dz - dp_dx / rho
                     + nu * lap_clamped(um, uc, up) + su)
         dv = cdt * (-uc * dv_dx - vc * dv_dy - wc * dv_dz - dp_dy / rho
                     + nu * lap_clamped(vm, vc, vp) + sv)
         dw = cdt * (-uc * dw_dx - vc * dw_dy - wc * dw_dz - dp_dz / rho
-                    + nu * lap_clamped(wm, wc, wp))
+                    + nu * lap_clamped(wm, wc, wp) + sw)
 
         u_new = clampv(uc + clampv(du, _UPDATE_LIMIT), _VEL_LIMIT)
         v_new = clampv(vc + clampv(dv, _UPDATE_LIMIT), _VEL_LIMIT)
@@ -144,20 +193,54 @@ def make_euler_fused(nz, ny, nx, dx, dy, dz, xmin, ymin,
         w_out = jnp.where(maskb & ok, w_new, wc)
         p_upd = jnp.where(maskb & ok, p_new, pc)
 
+        # Energy: T advected by the UPDATED velocities, diffused by
+        # alpha, interior-only and unguarded (`energy_solver.c:120-160`).
+        if energy_on:
+            dT_dx = (shift_x(Tc, 1) - shift_x(Tc, -1)) * inv_2dx
+            dT_dy = (shift_y(Tc, 1, ny) - shift_y(Tc, -1, ny)) * inv_2dy
+            dT_dz = (Tp - Tm) * inv_2dz
+            lapT = ((shift_x(Tc, 1) - 2.0 * Tc + shift_x(Tc, -1)) * inv_dx2
+                    + (shift_y(Tc, 1, ny) - 2.0 * Tc
+                       + shift_y(Tc, -1, ny)) * inv_dy2
+                    + (Tp - 2.0 * Tc + Tm) * inv_dz2)
+            adv = u_out * dT_dx + v_out * dT_dy + w_out * dT_dz
+            T_upd = jnp.where(maskb,
+                              Tc + cdt * (-adv + dtype(alpha) * lapT), Tc)
+        else:
+            T_upd = Tc
+
         # p / rho / T take the in-plane periodic wrap; velocities keep
         # their input edges (wrap-then-restore ≡ passthrough).
         p_out = periodic_wrap(p_upd, jj, ii)
         rho_out = periodic_wrap(rho, jj, ii)
-        T_out = periodic_wrap(T, jj, ii)
+        T_out = periodic_wrap(T_upd, jj, ii)
+        if energy_on:
+            T_out = thermal_faces(T_out, jj, ii)
 
         m2 = jnp.max(u_out * u_out + v_out * v_out + w_out * w_out)
         return ([u_out, v_out, w_out, p_out, rho_out, T_out],
                 (m2, jnp.max(p_out), jnp.max(jnp.abs(p_out)),
                  jnp.max(T_out)))
 
+    # z-shell sources: p/rho always periodic; T per thermal config when
+    # the energy equation is on (z faces own the corners, reference order)
+    t_src = ("pN2", "p1")
+    if energy_on:
+        def zspec(bc, value, low):
+            bc = BCType(bc)
+            if bc == BCType.DIRICHLET:
+                return float(value)
+            if bc == BCType.NEUMANN:
+                return "p1" if low else "pN2"
+            return "pN2" if low else "p1"   # PERIODIC
+        t_src = (zspec(thermal_bc.back, thermal_bc.dirichlet_values.back,
+                       True),
+                 zspec(thermal_bc.front, thermal_bc.dirichlet_values.front,
+                       False))
+
     return make_rolling_stencil(
-        nz, ny, nx, 4, 2, 6, compute, dtype, n_scalars=3,
+        nz, ny, nx, 5, 1, 6, compute, dtype, n_scalars=4,
         reductions=("max", "max", "max", "max"),
         shell_passthrough=[0, 1, 2, None, None, None],
-        shell_periodic=[3, 4, 5],
+        shell_sources={3: ("pN2", "p1"), 4: ("pN2", "p1"), 5: t_src},
         interpret=interpret)

@@ -59,6 +59,7 @@ def make_rolling_stencil(nz: int, ny: int, nx: int,
                          reductions: Optional[Sequence[str]] = None,
                          shell_passthrough: Optional[Sequence] = None,
                          shell_periodic: Optional[Sequence[int]] = None,
+                         shell_sources: Optional[dict] = None,
                          n_pinned: int = 0,
                          halo_window: int = 1,
                          interpret: bool = False):
@@ -82,6 +83,12 @@ def make_rolling_stencil(nz: int, ny: int, nx: int,
     PERIODIC wrap of the computed output: out[0] = out[nz−2],
     out[nz−1] = out[1] (the euler kernel's `apply_periodic_scalar` z-faces;
     snapshotted during the sweep since the ring slots recycle).
+    ``shell_sources`` generalizes shell_periodic: a dict mapping an output
+    index to a (low, high) pair describing its z-shell planes, each
+    ``"p1"`` (computed plane 1), ``"pN2"`` (computed plane nz−2), or a
+    float constant — periodic ≡ ("pN2", "p1"), Neumann-mirror ≡
+    ("p1", "pN2"), Dirichlet ≡ (c, c).  Used by the fused euler kernel's
+    thermal z-faces.
     ``n_pinned`` appends that many (2, ny, nx) inputs fetched ONCE into
     VMEM at the prologue and handed to compute as (plane0, plane1) tuples —
     used for periodic z-wrap neighbor planes that the streaming window
@@ -97,8 +104,13 @@ def make_rolling_stencil(nz: int, ny: int, nx: int,
         reductions = ("sum",)
     reductions = tuple(reductions or ())
     n_red = len(reductions)
-    sp_list = tuple(shell_periodic or ())
-    # periodic outputs and pinned inputs each carry a 2-plane buffer
+    shell_src = dict(shell_sources or {})
+    for o in (shell_periodic or ()):
+        shell_src[o] = ("pN2", "p1")
+    # snapshot buffers: one per output needing a computed shell plane
+    snap_outs = tuple(o for o, (lo, hi) in sorted(shell_src.items())
+                      if isinstance(lo, str) or isinstance(hi, str))
+    sp_list = snap_outs  # retains the old name used below
     if not rolling_supported(nz, ny, nx, n_halo, n_plane,
                              n_out + len(sp_list) + n_pinned, halo_window):
         return None
@@ -261,13 +273,21 @@ def make_rolling_stencil(nz: int, ny: int, nx: int,
             if nz >= 4:
                 out_dma(nz - 3, o, (nz - 3) % 2).wait()
             src_idx = shell_passthrough[o] if shell_passthrough else None
-            if o in sp_list:
-                si = sp_list.index(o)
-                # periodic z-wrap: out[0] ← out plane nz−2, out[nz−1] ← 1
-                obufs[o][pl.ds(0, 1)] = sbufs[si][pl.ds(1, 1)]
+            if o in shell_src:
+                lo, hi = shell_src[o]
+                si = sp_list.index(o) if o in sp_list else None
+
+                def shell_plane(spec):
+                    if spec == "p1":
+                        return sbufs[si][pl.ds(0, 1)]
+                    if spec == "pN2":
+                        return sbufs[si][pl.ds(1, 1)]
+                    return jnp.full((1, ny, nx), dtype(spec), dtype)
+
+                obufs[o][pl.ds(0, 1)] = shell_plane(lo)
                 out_dma(0, o, 0).start()
                 out_dma(0, o, 0).wait()
-                obufs[o][pl.ds(1, 1)] = sbufs[si][pl.ds(0, 1)]
+                obufs[o][pl.ds(1, 1)] = shell_plane(hi)
                 out_dma(nz - 1, o, 1).start()
                 out_dma(nz - 1, o, 1).wait()
             elif src_idx is None:

@@ -60,13 +60,14 @@ def make_euler_step(grid: Grid, params: NSParams, dtype=None,
             and grid.is_uniform("z")
             and min(grid.dx0, grid.dy0, grid.dz0) > 1e-10
             and params.source_func is None
-            and not params.buoyancy_enabled
-            and not params.energy_enabled):
+            and params.heat_source_func is None):
         from ...ops.pallas.euler_kernels import make_euler_fused
         fused = make_euler_fused(
             grid.nz, grid.ny, grid.nx, grid.dx0, grid.dy0, grid.dz0,
             grid.xmin, grid.ymin, params.mu, params.pressure_coupling,
-            dtype, interpret=pallas_interpret)
+            alpha=params.alpha, beta=params.beta, T_ref=params.T_ref,
+            gravity=params.gravity, thermal_bc=params.thermal_bc,
+            dtype=dtype, interpret=pallas_interpret)
         if fused is not None:
             return _make_fused_euler_step(fused, params, dtype)
 
@@ -188,9 +189,9 @@ def _make_fused_euler_step(fused, params: NSParams, dtype):
                           jnp.asarray(params.source_amplitude_u, dtype)
                           * decay,
                           jnp.asarray(params.source_amplitude_v, dtype)
-                          * decay])
+                          * decay, t])
         (u, v, w, p, rho, T, m2i, pmaxi, pabsi, tmaxi) = fused(
-            scal, field.u, field.v, field.w, field.p, field.rho, field.T)
+            scal, field.u, field.v, field.w, field.p, field.T, field.rho)
         new_field = field.replace(u=u, v=v, w=w, p=p, rho=rho, T=T)
 
         # Kernel max-reductions cover the computed planes (p/rho/T z-shells

@@ -102,7 +102,8 @@ def test_fused_euler_divergence_detection():
 
 
 def test_fused_euler_gating():
-    """Unsupported configs silently keep the jnp step."""
+    """Unsupported configs (2D, custom callables) silently keep the jnp
+    step."""
     g2 = Grid.uniform(64, 64)                       # 2D
     s = make_euler_step(g2, NSParams(), dtype=jnp.float32, use_pallas=True,
                         pallas_interpret=True)
@@ -110,10 +111,52 @@ def test_fused_euler_gating():
     out, res = jax.jit(s)(f2, 1e-4, 0)
     assert int(res.status) == 0
 
-    boussinesq = NSParams(alpha=1e-3, beta=0.1, gravity=(0.0, -9.81, 0.0))
-    s3 = make_euler_step(_grid(), boussinesq, dtype=jnp.float32,
+    custom = NSParams(source_func=lambda X, Y, Z, t: (X, Y, 0.0))
+    s3 = make_euler_step(_grid(), custom, dtype=jnp.float32,
                          use_pallas=True, pallas_interpret=True)
-    f3 = _field(seed=5)
-    out3, res3 = jax.jit(s3)(f3, 1e-4, 0)
+    out3, res3 = jax.jit(s3)(_field(seed=5), 1e-4, 0)
     assert int(res3.status) == 0
-    assert float(jnp.max(jnp.abs(out3.T - f3.T))) >= 0.0  # energy ran
+
+
+def test_fused_euler_energy_and_buoyancy_matches_jnp():
+    """Natural-convection configuration: fused energy advection-diffusion,
+    Boussinesq sources, and mixed thermal faces agree with the jnp step."""
+    from cfd_tpu.boundary.types import BCType, DirichletValues, \
+        ThermalBCConfig
+
+    thermal = ThermalBCConfig(
+        left=BCType.DIRICHLET, right=BCType.DIRICHLET,
+        bottom=BCType.NEUMANN, top=BCType.NEUMANN,
+        back=BCType.NEUMANN, front=BCType.DIRICHLET,
+        dirichlet_values=DirichletValues(left=305.0, right=295.0,
+                                         front=300.0))
+    params = NSParams(source_amplitude_u=0.0, source_amplitude_v=0.0,
+                      alpha=1e-3, beta=0.05, T_ref=300.0,
+                      gravity=(0.0, -9.81, 0.0), thermal_bc=thermal)
+    ref, fus = _steps(params)
+    fr = ff = _field(seed=7, amp=0.1)
+    for i in range(3):
+        fr, rr = ref(fr, 1e-4, i)
+        ff, rf = fus(ff, 1e-4, i)
+    assert int(rr.status) == int(rf.status) == 0
+    for name in ("u", "v", "w", "p", "T"):
+        np.testing.assert_allclose(np.asarray(getattr(ff, name)),
+                                   np.asarray(getattr(fr, name)),
+                                   atol=5e-5, err_msg=name)
+    np.testing.assert_allclose(float(rf.max_temperature),
+                               float(rr.max_temperature), rtol=1e-6)
+
+
+def test_fused_euler_all_periodic_thermal():
+    """Default thermal config (all PERIODIC) with energy on."""
+    params = NSParams(source_amplitude_u=0.0, source_amplitude_v=0.0,
+                      alpha=2e-3)
+    ref, fus = _steps(params)
+    f = _field(seed=8, amp=0.1)
+    fr, rr = ref(f, 1e-4, 0)
+    ff, rf = fus(f, 1e-4, 0)
+    assert int(rr.status) == int(rf.status) == 0
+    np.testing.assert_allclose(np.asarray(ff.T), np.asarray(fr.T),
+                               atol=2e-5)
+    np.testing.assert_allclose(np.asarray(ff.u), np.asarray(fr.u),
+                               atol=2e-6)

@@ -24,8 +24,13 @@ left neighbor is nx−2 and at i==nx−2 the right is 1 — expressed as masked
 stage state) ride the engine's pinned inputs since the streaming window
 can't see the far end of the array.
 
+Boussinesq buoyancy enters every stage's sources; the energy equation
+(T advected by the FINAL velocities, `solver_rk*.c` post-step order) and
+the per-face thermal BCs fuse into the final-stage pass, exactly as in
+the fused Euler kernel.
+
 Gating matches the fused Euler kernel: float32, uniform grids, nz ≥ 3,
-aligned dims, default sources, no buoyancy, energy off.  Consistency vs
+aligned dims, default sources, no custom heat source.  Consistency vs
 the jnp step: tests/math/test_rk_fused.py.
 """
 
@@ -44,18 +49,21 @@ _DIV_LIMIT = 10.0
 
 
 def rk_kernel_supported(nz: int, ny: int, nx: int) -> bool:
-    # worst case (final stage): 4 halos, 10 planes, 6 outs + 6 periodic
+    # worst case (final stage): 5 halos, 9 planes, 6 outs + 6 shell
     # snapshots + 4 pinned
-    return rolling_supported(nz, ny, nx, 4, 10, 6 + 6 + 4)
+    return rolling_supported(nz, ny, nx, 5, 9, 6 + 6 + 4)
 
 
 def make_rk_stage(nz, ny, nx, dx, dy, dz, xmin, ymin,
                   mu: float, pressure_coupling: float, final: bool,
+                  alpha: float = 0.0, beta: float = 0.0,
+                  T_ref: float = 0.0, gravity=(0.0, 0.0, 0.0),
+                  thermal_bc=None,
                   dtype=jnp.float32, interpret: bool = False):
     """Build one RK stage pass.
 
-    final=False: fn(scalars=(factor, acc_mix, weight, su, sv),
-                    u, v, w, p, q0u, q0v, q0w, q0p, rho, T,
+    final=False: fn(scalars=(factor, acc_mix, weight, su, sv, cdt),
+                    u, v, w, p, T, q0u, q0v, q0w, q0p, rho,
                     accu, accv, accw, accp, pin_u, pin_v, pin_w, pin_p)
                  → (next_u, next_v, next_w, next_p,
                     acc_u', acc_v', acc_w', acc_p')
@@ -66,6 +74,7 @@ def make_rk_stage(nz, ny, nx, dx, dy, dz, xmin, ymin,
     """
     if not rk_kernel_supported(nz, ny, nx):
         return None
+    from ...boundary.types import BCType
     inv_2dx = 1.0 / (2.0 * dx)
     inv_2dy = 1.0 / (2.0 * dy)
     inv_dx2 = 1.0 / (dx * dx)
@@ -91,11 +100,35 @@ def make_rk_stage(nz, ny, nx, dx, dy, dz, xmin, ymin,
         q2 = jnp.where(jj == ny - 1, shift_y(q, 2, ny), q2)
         return q2
 
+    energy_on = final and alpha > 0.0
+    buoy_on = beta != 0.0
+
+    def thermal_faces(q, jj, ii):
+        v = thermal_bc.dirichlet_values
+        faces = [
+            (thermal_bc.left, ii == 0, shift_x(q, 1), v.left),
+            (thermal_bc.right, ii == nx - 1, shift_x(q, -1), v.right),
+            (thermal_bc.bottom, jj == 0, None, v.bottom),
+            (thermal_bc.top, jj == ny - 1, None, v.top),
+        ]
+        for i, (bc, where_mask, neumann_src, value) in enumerate(faces):
+            bc = BCType(bc)
+            if bc == BCType.PERIODIC:
+                continue
+            if neumann_src is None:
+                neumann_src = shift_y(q, 1 if i == 2 else -1, ny)
+            src = (jnp.full((ny, nx), dtype(value), dtype)
+                   if bc == BCType.DIRICHLET else neumann_src)
+            q = jnp.where(where_mask, src, q)
+        return q
+
     def compute(k, scalars, halos, planes, pinned):
-        factor, acc_mix, weight, src_u_eff, src_v_eff = scalars
+        factor, acc_mix, weight, src_u_eff, src_v_eff, cdt = scalars
         mask, jj, ii = plane_masks(ny, nx, dtype)
         maskb = mask > 0
-        (q0u, q0v, q0w, q0p, rho, T, accu, accv, accw, accp) = planes
+        (q0u, q0v, q0w, q0p, rho, accu, accv, accw, accp) = planes
+        (Tm, Tc, Tp) = halos[4]
+        T = Tc
 
         def neighbors(h, pin):
             """Periodic-interior 6-neighborhood of one stage field."""
@@ -149,6 +182,12 @@ def make_rk_stage(nz, ny, nx, dx, dy, dz, xmin, ymin,
         sy, sx2 = source_planes()
         su = src_u_eff * sy
         sv = src_v_eff * sx2
+        sw = jnp.zeros((), dtype)
+        if buoy_on:
+            dT = Tc - dtype(T_ref)
+            su = su + (-dtype(beta) * dtype(gravity[0])) * dT
+            sv = sv + (-dtype(beta) * dtype(gravity[1])) * dT
+            sw = sw + (-dtype(beta) * dtype(gravity[2])) * dT
 
         ok = maskb & (rho > dtype(1e-10))
         okf = ok.astype(dtype)
@@ -157,7 +196,7 @@ def make_rk_stage(nz, ny, nx, dx, dy, dz, xmin, ymin,
         kv = (-u * dv_dx - v * dv_dy - w * dv_dz - dp_dy / rho
               + nu * lap_v + sv) * okf
         kw = (-u * dw_dx - v * dw_dy - w * dw_dz - dp_dz / rho
-              + nu * lap_w) * okf
+              + nu * lap_w + sw) * okf
         div = clampv(du_dx + dv_dy + dw_dz, _DIV_LIMIT)
         kp = (-dtype(pressure_coupling) * rho * div) * okf
 
@@ -175,24 +214,57 @@ def make_rk_stage(nz, ny, nx, dx, dy, dz, xmin, ymin,
                      accu + weight * ku, accv + weight * kv,
                      accw + weight * kw, accp + weight * kp], None)
 
+        # Energy (final stage only): T advected by the FINAL velocities,
+        # interior-only (`solver_rk2.c` post-step order).
+        if energy_on:
+            dT_dx = (shift_x(Tc, 1) - shift_x(Tc, -1)) * inv_2dx
+            dT_dy = (shift_y(Tc, 1, ny) - shift_y(Tc, -1, ny)) * inv_2dy
+            dT_dz = (Tp - Tm) * inv_2dz
+            lapT = ((shift_x(Tc, 1) - 2.0 * Tc + shift_x(Tc, -1)) * inv_dx2
+                    + (shift_y(Tc, 1, ny) - 2.0 * Tc
+                       + shift_y(Tc, -1, ny)) * inv_dy2
+                    + (Tp - 2.0 * Tc + Tm) * inv_dz2)
+            adv = next_u * dT_dx + next_v * dT_dy + next_w * dT_dz
+            T_upd = jnp.where(maskb,
+                              Tc + cdt * (-adv + dtype(alpha) * lapT), Tc)
+        else:
+            T_upd = Tc
+
         u_out = periodic_wrap(next_u, jj, ii)
         v_out = periodic_wrap(next_v, jj, ii)
         w_out = periodic_wrap(next_w, jj, ii)
         p_out = periodic_wrap(next_p, jj, ii)
         rho_out = periodic_wrap(rho, jj, ii)
-        T_out = periodic_wrap(T, jj, ii)
+        T_out = periodic_wrap(T_upd, jj, ii)
+        if energy_on:
+            T_out = thermal_faces(T_out, jj, ii)
         m2 = jnp.max(u_out * u_out + v_out * v_out + w_out * w_out)
         return ([u_out, v_out, w_out, p_out, rho_out, T_out],
                 (m2, jnp.max(p_out), jnp.max(jnp.abs(p_out)),
                  jnp.max(T_out)))
 
     if final:
+        t_src = ("pN2", "p1")
+        if energy_on:
+            def zspec(bc, value, low):
+                bc = BCType(bc)
+                if bc == BCType.DIRICHLET:
+                    return float(value)
+                if bc == BCType.NEUMANN:
+                    return "p1" if low else "pN2"
+                return "pN2" if low else "p1"
+            t_src = (zspec(thermal_bc.back,
+                           thermal_bc.dirichlet_values.back, True),
+                     zspec(thermal_bc.front,
+                           thermal_bc.dirichlet_values.front, False))
         return make_rolling_stencil(
-            nz, ny, nx, 4, 10, 6, compute, dtype, n_scalars=5,
+            nz, ny, nx, 5, 9, 6, compute, dtype, n_scalars=6,
             reductions=("max", "max", "max", "max"),
-            shell_periodic=[0, 1, 2, 3, 4, 5], n_pinned=4,
-            interpret=interpret)
+            shell_sources={0: ("pN2", "p1"), 1: ("pN2", "p1"),
+                           2: ("pN2", "p1"), 3: ("pN2", "p1"),
+                           4: ("pN2", "p1"), 5: t_src},
+            n_pinned=4, interpret=interpret)
     return make_rolling_stencil(
-        nz, ny, nx, 4, 10, 8, compute, dtype, n_scalars=5,
-        shell_passthrough=[4, 5, 6, 7, None, None, None, None],
+        nz, ny, nx, 5, 9, 8, compute, dtype, n_scalars=6,
+        shell_passthrough=[5, 6, 7, 8, None, None, None, None],
         n_pinned=4, interpret=interpret)

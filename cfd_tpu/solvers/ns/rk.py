@@ -137,7 +137,7 @@ def _make_fused_rk_step(mid, final, params: NSParams, order: int, nz, dtype):
         def scal(factor, acc_mix, weight):
             return jnp.stack([jnp.asarray(factor, dtype),
                               jnp.asarray(acc_mix, dtype),
-                              jnp.asarray(weight, dtype), su, sv])
+                              jnp.asarray(weight, dtype), su, sv, dtc])
 
         q0 = (field.u, field.v, field.w, field.p)
         rho, T = field.rho, field.T
@@ -145,19 +145,19 @@ def _make_fused_rk_step(mid, final, params: NSParams, order: int, nz, dtype):
 
         def run_mid(state, acc, factor, weight):
             outs = mid(scal(factor, zero, weight),
-                       *state, *q0, rho, T, *acc, *pins(state))
+                       *state, T, *q0, rho, *acc, *pins(state))
             return tuple(outs[:4]), tuple(outs[4:8])
 
         if order == 2:
             s1, acc1 = run_mid(q0, acc0, dtc, one)
             outs = final(scal(0.5 * dtc, one, zero),
-                         *s1, *q0, rho, T, *acc1, *pins(s1))
+                         *s1, T, *q0, rho, *acc1, *pins(s1))
         else:
             s1, acc1 = run_mid(q0, acc0, 0.5 * dtc, one)
             s2, acc2 = run_mid(s1, acc1, 0.5 * dtc, 2.0 * one)
             s3, acc3 = run_mid(s2, acc2, dtc, 2.0 * one)
             outs = final(scal(dtc / 6.0, one, zero),
-                         *s3, *q0, rho, T, *acc3, *pins(s3))
+                         *s3, T, *q0, rho, *acc3, *pins(s3))
         u, v, w, p, rho_o, T_o, m2, pmax, pabs, tmax = outs
         new_field = field.replace(u=u, v=v, w=w, p=p, rho=rho_o, T=T_o)
         finite = jnp.isfinite(m2) & jnp.isfinite(pabs)
@@ -186,17 +186,17 @@ def _make_rk_step(grid: Grid, params: NSParams, order: int, dtype=None,
             and grid.is_uniform("z")
             and min(grid.dx0, grid.dy0, grid.dz0) > 1e-10
             and params.source_func is None
-            and not params.buoyancy_enabled
-            and not params.energy_enabled):
+            and params.heat_source_func is None):
         from ...ops.pallas.rk_kernels import make_rk_stage
+        kw = dict(alpha=params.alpha, beta=params.beta, T_ref=params.T_ref,
+                  gravity=params.gravity, thermal_bc=params.thermal_bc,
+                  dtype=dtype, interpret=pallas_interpret)
         mid = make_rk_stage(grid.nz, grid.ny, grid.nx, grid.dx0, grid.dy0,
                             grid.dz0, grid.xmin, grid.ymin, params.mu,
-                            params.pressure_coupling, final=False,
-                            dtype=dtype, interpret=pallas_interpret)
+                            params.pressure_coupling, final=False, **kw)
         fin = make_rk_stage(grid.nz, grid.ny, grid.nx, grid.dx0, grid.dy0,
                             grid.dz0, grid.xmin, grid.ymin, params.mu,
-                            params.pressure_coupling, final=True,
-                            dtype=dtype, interpret=pallas_interpret)
+                            params.pressure_coupling, final=True, **kw)
         if mid is not None and fin is not None:
             return _make_fused_rk_step(mid, fin, params, order, grid.nz,
                                        dtype)

@@ -82,7 +82,7 @@ def test_fused_rk_divergence_detection():
 
 
 def test_fused_rk_gating_falls_back():
-    """2D and buoyancy configs keep the jnp step silently."""
+    """2D and custom-callable configs keep the jnp step silently."""
     g2 = Grid.uniform(64, 64)
     s = make_rk2_step(g2, NSParams(), dtype=jnp.float32, use_pallas=True,
                       pallas_interpret=True)
@@ -90,8 +90,38 @@ def test_fused_rk_gating_falls_back():
     _, res = jax.jit(s)(f2, 1e-4, 0)
     assert int(res.status) == 0
 
-    boussinesq = NSParams(alpha=1e-3, beta=0.1, gravity=(0.0, -9.81, 0.0))
-    s3 = make_rk4_step(_grid(), boussinesq, dtype=jnp.float32,
+    custom = NSParams(source_func=lambda X, Y, Z, t: (X, Y, 0.0))
+    s3 = make_rk4_step(_grid(), custom, dtype=jnp.float32,
                        use_pallas=True, pallas_interpret=True)
     _, res3 = jax.jit(s3)(_field(seed=4), 1e-4, 0)
     assert int(res3.status) == 0
+
+
+def test_fused_rk_energy_and_buoyancy_matches_jnp():
+    """Buoyant stages + final-stage fused energy/thermal BCs agree with
+    the jnp RK4 step (the natural-convection configuration)."""
+    from cfd_tpu.boundary.types import BCType, DirichletValues, \
+        ThermalBCConfig
+
+    thermal = ThermalBCConfig(
+        left=BCType.DIRICHLET, right=BCType.DIRICHLET,
+        bottom=BCType.NEUMANN, top=BCType.NEUMANN,
+        back=BCType.NEUMANN, front=BCType.DIRICHLET,
+        dirichlet_values=DirichletValues(left=305.0, right=295.0,
+                                         front=300.0))
+    params = NSParams(source_amplitude_u=0.0, source_amplitude_v=0.0,
+                      alpha=1e-3, beta=0.05, T_ref=300.0,
+                      gravity=(0.0, -9.81, 0.0), thermal_bc=thermal)
+    g = _grid()
+    ref = jax.jit(make_rk4_step(g, params, dtype=jnp.float32,
+                                use_pallas=False))
+    fus = jax.jit(make_rk4_step(g, params, dtype=jnp.float32,
+                                use_pallas=True, pallas_interpret=True))
+    f = _field(seed=6, amp=0.1)
+    fr, rr = ref(f, 1e-4, 0)
+    ff, rf = fus(f, 1e-4, 0)
+    assert int(rr.status) == int(rf.status) == 0
+    for name in ("u", "v", "w", "p", "T"):
+        np.testing.assert_allclose(np.asarray(getattr(ff, name)),
+                                   np.asarray(getattr(fr, name)),
+                                   atol=5e-5, err_msg=name)

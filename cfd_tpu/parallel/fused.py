@@ -205,3 +205,139 @@ def make_fused_sharded_projection_step(grid: Grid, params: NSParams,
             max_velocity=vmax, max_pressure=pmax, max_temperature=tmax)
 
     return step
+
+
+def fused_sharded_euler_unsupported_reason(grid: Grid, params: NSParams,
+                                           mesh: Mesh, dtype) -> str | None:
+    """None when the fused shard_map Euler path applies, else a reason."""
+    from ..ops.pallas.euler_kernels import euler_kernel_supported
+
+    n = _mesh_z_size(mesh)
+    if n is None:
+        return ("fused sharded euler needs a z-only mesh "
+                f"(got axes {dict(mesh.shape)})")
+    if dtype != jnp.float32:
+        return f"fused kernels are float32-only (got {dtype})"
+    if grid.nz <= 2:
+        return "fused sharded euler is 3D-only"
+    if grid.nz % n != 0 or grid.nz // n < 3:
+        return (f"nz={grid.nz} must be divisible by {n} shards with >= 3 "
+                "planes per shard")
+    if not euler_kernel_supported(grid.nz // n + 2, grid.ny, grid.nx):
+        return (f"local block ({grid.nz // n}+2, {grid.ny}, {grid.nx}) "
+                "outside rolling-kernel support (nx%128, ny%8, VMEM)")
+    if not (grid.is_uniform("x") and grid.is_uniform("y")
+            and grid.is_uniform("z")):
+        return "fused euler needs uniform spacing"
+    if (params.source_func is not None or params.heat_source_func is not None
+            or params.buoyancy_enabled or params.energy_enabled):
+        return "custom sources / thermal coupling use the jnp path"
+    return None
+
+
+def make_fused_sharded_euler_step(grid: Grid, params: NSParams, mesh: Mesh,
+                                  dtype=jnp.float32,
+                                  interpret: bool = None):
+    """Z-sharded fused Euler step: each shard runs the single-pass rolling
+    kernel on its halo-padded block (ring `ppermute` halos), then the
+    GLOBAL boundary dance is restored across shards — velocity shells from
+    the input (save/restore idiom), p/rho/T shells from the periodic wrap,
+    whose source planes live on the OPPOSITE edge shard and ride one more
+    ppermute each.  The multi-chip replacement for the reference's missing
+    MPI layer, extended from the projection path to the Euler integrator.
+    """
+    reason = fused_sharded_euler_unsupported_reason(grid, params, mesh,
+                                                    dtype)
+    if reason is not None:
+        raise ValueError(f"fused sharded euler unsupported: {reason}")
+    validate_grid_for_solver(grid, grid.shape)
+    if interpret is None:
+        interpret = mesh.devices.flat[0].platform != "tpu"
+
+    nz, ny, nx = grid.nz, grid.ny, grid.nx
+    n_shards = _mesh_z_size(mesh)
+    nzl = nz // n_shards
+
+    from ..ops.pallas.euler_kernels import make_euler_fused
+    kernel = make_euler_fused(
+        nzl + 2, ny, nx, grid.dx0, grid.dy0, grid.dz0,
+        grid.xmin, grid.ymin, params.mu, params.pressure_coupling,
+        dtype=dtype, interpret=interpret)
+    if kernel is None:
+        raise ValueError("fused sharded euler: kernel build failed")
+
+    fwd = [(i, i + 1) for i in range(n_shards - 1)]
+    bwd = [(i + 1, i) for i in range(n_shards - 1)]
+
+    def hpad(x):
+        if n_shards == 1:
+            return jnp.pad(x, ((1, 1), (0, 0), (0, 0)))
+        lo = lax.ppermute(x[-1:], "z", fwd)
+        hi = lax.ppermute(x[:1], "z", bwd)
+        return jnp.concatenate([lo, x, hi], axis=0)
+
+    def fix_vel_shell(out, src, first, last):
+        """Global velocity shells restore the caller's input planes."""
+        out = out.at[0].set(jnp.where(first, src[0], out[0]))
+        out = out.at[-1].set(jnp.where(last, src[-1], out[-1]))
+        return out
+
+    def wrap_z_shell(out, first, last):
+        """Global periodic z-wrap: plane 0 ← plane nz−2 (last shard),
+        plane nz−1 ← plane 1 (first shard)."""
+        if n_shards == 1:
+            src_lo, src_hi = out[nzl - 2:nzl - 1], out[1:2]
+        else:
+            src_lo = lax.ppermute(out[nzl - 2:nzl - 1], "z",
+                                  [(n_shards - 1, 0)])
+            src_hi = lax.ppermute(out[1:2], "z", [(0, n_shards - 1)])
+        out = out.at[0:1].set(jnp.where(first, src_lo, out[0:1]))
+        out = out.at[nzl - 1:nzl].set(jnp.where(last, src_hi,
+                                                out[nzl - 1:nzl]))
+        return out
+
+    def local_step(u, v, w, p, rho, T, cdt, su, sv, t):
+        idx = lax.axis_index("z")
+        first = idx == 0
+        last = idx == n_shards - 1
+
+        scal = jnp.stack([cdt, su, sv, t])
+        outs = kernel(scal, hpad(u), hpad(v), hpad(w), hpad(p), hpad(T),
+                      jnp.pad(rho, ((1, 1), (0, 0), (0, 0))))
+        un, vn, wn, pn, rn, Tn = (o[1:-1] for o in outs[:6])
+        un = fix_vel_shell(un, u, first, last)
+        vn = fix_vel_shell(vn, v, first, last)
+        wn = fix_vel_shell(wn, w, first, last)
+        pn = wrap_z_shell(pn, first, last)
+        rn = wrap_z_shell(rn, first, last)
+        Tn = wrap_z_shell(Tn, first, last)
+        return un, vn, wn, pn, rn, Tn
+
+    spec = P("z", None, None)
+    smapped = jax.shard_map(
+        local_step, mesh=mesh,
+        in_specs=(spec,) * 6 + (P(), P(), P(), P()),
+        out_specs=(spec,) * 6,
+        check_vma=False)
+
+    from ..solvers.ns.params import DT_CONSERVATIVE_LIMIT
+
+    def step(field: FlowField, dt, iter_idx):
+        cdt = jnp.minimum(jnp.asarray(dt, dtype),
+                          jnp.asarray(DT_CONSERVATIVE_LIMIT, dtype))
+        t = jnp.asarray(iter_idx, dtype) * cdt
+        decay = jnp.exp(-jnp.asarray(params.source_decay_rate, dtype) * t)
+        su = jnp.asarray(params.source_amplitude_u, dtype) * decay
+        sv = jnp.asarray(params.source_amplitude_v, dtype) * decay
+
+        u, v, w, p, rho, T = smapped(field.u, field.v, field.w, field.p,
+                                     field.rho, field.T, cdt, su, sv, t)
+        new_field = field.replace(u=u, v=v, w=w, p=p, rho=rho, T=T)
+        finite, vmax, pmax, tmax = field_status_and_diagnostics(new_field)
+        status = jnp.where(~finite, jnp.int32(-6), jnp.int32(0))
+        return new_field, StepResult(
+            iterations=jnp.int32(1), status=status,
+            residual=jnp.zeros((), dtype),
+            max_velocity=vmax, max_pressure=pmax, max_temperature=tmax)
+
+    return step

@@ -58,11 +58,18 @@ def make_rk_stage(nz, ny, nx, dx, dy, dz, xmin, ymin,
                   mu: float, pressure_coupling: float, final: bool,
                   alpha: float = 0.0, beta: float = 0.0,
                   T_ref: float = 0.0, gravity=(0.0, 0.0, 0.0),
-                  thermal_bc=None,
+                  thermal_bc=None, global_nz=None,
                   dtype=jnp.float32, interpret: bool = False):
     """Build one RK stage pass.
 
-    final=False: fn(scalars=(factor, acc_mix, weight, su, sv, cdt),
+    ``global_nz``: sharded mode — the kernel operates on a halo-padded
+    local block; scalar 7 (z_offset) is the global plane index of padded
+    plane 0, so the periodic-interior z-wrap substitutions land on the
+    GLOBAL k = 1 and k = global_nz − 2 planes.  Single-chip: omit (the
+    wrapper passes z_offset = −1 so global k == local k).
+
+    final=False: fn(scalars=(factor, acc_mix, weight, su, sv, cdt,
+                    z_offset),
                     u, v, w, p, T, q0u, q0v, q0w, q0p, rho,
                     accu, accv, accw, accp, pin_u, pin_v, pin_w, pin_p)
                  → (next_u, next_v, next_w, next_p,
@@ -122,8 +129,12 @@ def make_rk_stage(nz, ny, nx, dx, dy, dz, xmin, ymin,
             q = jnp.where(where_mask, src, q)
         return q
 
+    gnz = nz if global_nz is None else global_nz
+
     def compute(k, scalars, halos, planes, pinned):
-        factor, acc_mix, weight, src_u_eff, src_v_eff, cdt = scalars
+        (factor, acc_mix, weight, src_u_eff, src_v_eff, cdt,
+         z_off) = scalars
+        gk = k + z_off.astype(jnp.int32)   # global plane index
         mask, jj, ii = plane_masks(ny, nx, dtype)
         maskb = mask > 0
         (q0u, q0v, q0w, q0p, rho, accu, accv, accw, accp) = planes
@@ -139,8 +150,8 @@ def make_rk_stage(nz, ny, nx, dx, dy, dz, xmin, ymin,
             yd = jnp.where(jj == 1, shift_y(c, -3, ny), shift_y(c, -1, ny))
             yu = jnp.where(jj == ny - 2, shift_y(c, 3, ny),
                            shift_y(c, 1, ny))
-            zmm = jnp.where(k == 1, wrap_far, zm)
-            zpp = jnp.where(k == nz - 2, wrap_near, zp)
+            zmm = jnp.where(gk == 1, wrap_far, zm)
+            zpp = jnp.where(gk == gnz - 2, wrap_near, zp)
             return c, xl, xr, yd, yu, zmm, zpp
 
         u, ul, ur, ud, uu, ub, uf = neighbors(halos[0], pinned[0])
@@ -258,13 +269,13 @@ def make_rk_stage(nz, ny, nx, dx, dy, dz, xmin, ymin,
                      zspec(thermal_bc.front,
                            thermal_bc.dirichlet_values.front, False))
         return make_rolling_stencil(
-            nz, ny, nx, 5, 9, 6, compute, dtype, n_scalars=6,
+            nz, ny, nx, 5, 9, 6, compute, dtype, n_scalars=7,
             reductions=("max", "max", "max", "max"),
             shell_sources={0: ("pN2", "p1"), 1: ("pN2", "p1"),
                            2: ("pN2", "p1"), 3: ("pN2", "p1"),
                            4: ("pN2", "p1"), 5: t_src},
             n_pinned=4, interpret=interpret)
     return make_rolling_stencil(
-        nz, ny, nx, 5, 9, 8, compute, dtype, n_scalars=6,
+        nz, ny, nx, 5, 9, 8, compute, dtype, n_scalars=7,
         shell_passthrough=[5, 6, 7, 8, None, None, None, None],
         n_pinned=4, interpret=interpret)

@@ -341,3 +341,189 @@ def make_fused_sharded_euler_step(grid: Grid, params: NSParams, mesh: Mesh,
             max_velocity=vmax, max_pressure=pmax, max_temperature=tmax)
 
     return step
+
+
+def fused_sharded_rk_unsupported_reason(grid: Grid, params: NSParams,
+                                        mesh: Mesh, dtype) -> str | None:
+    """None when the fused shard_map RK path applies, else a reason."""
+    from ..ops.pallas.rk_kernels import rk_kernel_supported
+
+    n = _mesh_z_size(mesh)
+    if n is None:
+        return ("fused sharded rk needs a z-only mesh "
+                f"(got axes {dict(mesh.shape)})")
+    if dtype != jnp.float32:
+        return f"fused kernels are float32-only (got {dtype})"
+    if grid.nz <= 2:
+        return "fused sharded rk is 3D-only"
+    if grid.nz % n != 0 or grid.nz // n < 3:
+        return (f"nz={grid.nz} must be divisible by {n} shards with >= 3 "
+                "planes per shard")
+    if not rk_kernel_supported(grid.nz // n + 2, grid.ny, grid.nx):
+        return (f"local block ({grid.nz // n}+2, {grid.ny}, {grid.nx}) "
+                "outside rolling-kernel support (nx%128, ny%8, VMEM)")
+    if not (grid.is_uniform("x") and grid.is_uniform("y")
+            and grid.is_uniform("z")):
+        return "fused rk needs uniform spacing"
+    if (params.source_func is not None or params.heat_source_func is not None
+            or params.buoyancy_enabled or params.energy_enabled):
+        return "custom sources / thermal coupling use the jnp path"
+    return None
+
+
+def make_fused_sharded_rk_step(grid: Grid, params: NSParams, mesh: Mesh,
+                               order: int, dtype=jnp.float32,
+                               interpret: bool = None):
+    """Z-sharded fused RK2/RK4: one shard_map stage-kernel pass per Butcher
+    stage.  Halo planes ride ring ppermutes; the periodic-interior z-wrap
+    pins (global planes nz−2 and 1 of each stage state) ride edge-to-edge
+    ppermutes; the final stage's global periodic shells are restored the
+    same way as the fused sharded Euler."""
+    reason = fused_sharded_rk_unsupported_reason(grid, params, mesh, dtype)
+    if reason is not None:
+        raise ValueError(f"fused sharded rk unsupported: {reason}")
+    validate_grid_for_solver(grid, grid.shape)
+    if interpret is None:
+        interpret = mesh.devices.flat[0].platform != "tpu"
+
+    nz, ny, nx = grid.nz, grid.ny, grid.nx
+    n_shards = _mesh_z_size(mesh)
+    nzl = nz // n_shards
+
+    from ..ops.pallas.rk_kernels import make_rk_stage
+    mid = make_rk_stage(nzl + 2, ny, nx, grid.dx0, grid.dy0, grid.dz0,
+                        grid.xmin, grid.ymin, params.mu,
+                        params.pressure_coupling, final=False,
+                        global_nz=nz, dtype=dtype, interpret=interpret)
+    fin = make_rk_stage(nzl + 2, ny, nx, grid.dx0, grid.dy0, grid.dz0,
+                        grid.xmin, grid.ymin, params.mu,
+                        params.pressure_coupling, final=True,
+                        global_nz=nz, dtype=dtype, interpret=interpret)
+    if mid is None or fin is None:
+        raise ValueError("fused sharded rk: kernel build failed")
+
+    fwd = [(i, i + 1) for i in range(n_shards - 1)]
+    bwd = [(i + 1, i) for i in range(n_shards - 1)]
+
+    def hpad(x):
+        if n_shards == 1:
+            return jnp.pad(x, ((1, 1), (0, 0), (0, 0)))
+        lo = lax.ppermute(x[-1:], "z", fwd)
+        hi = lax.ppermute(x[:1], "z", bwd)
+        return jnp.concatenate([lo, x, hi], axis=0)
+
+    def zpad(x):
+        return jnp.pad(x, ((1, 1), (0, 0), (0, 0)))
+
+    def pins(state):
+        """(2, ny, nx) per field: [global plane nz−2, global plane 1],
+        broadcast to every shard via edge-to-all ppermutes."""
+        out = []
+        for s in state:
+            if n_shards == 1:
+                far, near = s[nzl - 2:nzl - 1], s[1:2]
+            else:
+                # every shard needs both planes: all-gather the two edge
+                # planes with a psum of masked contributions (cheap: 2
+                # planes over ICI)
+                idx = lax.axis_index("z")
+                contrib_far = jnp.where(idx == n_shards - 1,
+                                        s[nzl - 2:nzl - 1], 0.0)
+                contrib_near = jnp.where(idx == 0, s[1:2], 0.0)
+                far = lax.psum(contrib_far, "z")
+                near = lax.psum(contrib_near, "z")
+            out.append(jnp.concatenate([far, near], axis=0))
+        return out
+
+    def fix_vel_shell(out, src, first, last):
+        out = out.at[0].set(jnp.where(first, src[0], out[0]))
+        out = out.at[-1].set(jnp.where(last, src[-1], out[-1]))
+        return out
+
+    def wrap_z_shell(out, first, last):
+        if n_shards == 1:
+            src_lo, src_hi = out[nzl - 2:nzl - 1], out[1:2]
+        else:
+            src_lo = lax.ppermute(out[nzl - 2:nzl - 1], "z",
+                                  [(n_shards - 1, 0)])
+            src_hi = lax.ppermute(out[1:2], "z", [(0, n_shards - 1)])
+        out = out.at[0:1].set(jnp.where(first, src_lo, out[0:1]))
+        out = out.at[nzl - 1:nzl].set(jnp.where(last, src_hi,
+                                                out[nzl - 1:nzl]))
+        return out
+
+    def local_step(u, v, w, p, rho, T, dtc, su, sv):
+        idx = lax.axis_index("z")
+        first = idx == 0
+        last = idx == n_shards - 1
+        zero = jnp.zeros((), dtype)
+        one = jnp.ones((), dtype)
+        # padded plane k is global plane idx·nzl + (k − 1)
+        z_off = (idx * nzl - 1).astype(dtype)
+
+        def scal(factor, acc_mix, weight):
+            return jnp.stack([factor, acc_mix, weight, su, sv, dtc,
+                              z_off])
+
+        q0 = (u, v, w, p)
+        q0p = tuple(zpad(q) for q in q0)
+        rhop = zpad(rho)
+        Tp_ = hpad(T)
+        acc = tuple(jnp.zeros_like(zpad(u)) for _ in range(4))
+
+        def run_mid(state, acc, factor, weight):
+            outs = mid(scal(factor, zero, weight),
+                       *(hpad(s) for s in state), Tp_, *q0p, rhop,
+                       *acc, *pins(state))
+            # next-state slices return to local (nzl) layout; acc stays
+            # padded (its pad planes are zero and never read as data)
+            return (tuple(o[1:-1] for o in outs[:4]),
+                    tuple(zpad(o[1:-1]) for o in outs[4:8]))
+
+        if order == 2:
+            s1, a1 = run_mid(q0, acc, dtc, one)
+            outs = fin(scal(0.5 * dtc, one, zero),
+                       *(hpad(s) for s in s1), Tp_, *q0p, rhop,
+                       *a1, *pins(s1))
+        else:
+            s1, a1 = run_mid(q0, acc, 0.5 * dtc, one)
+            s2, a2 = run_mid(s1, a1, 0.5 * dtc, 2.0 * one)
+            s3, a3 = run_mid(s2, a2, dtc, 2.0 * one)
+            outs = fin(scal(dtc / 6.0, one, zero),
+                       *(hpad(s) for s in s3), Tp_, *q0p, rhop,
+                       *a3, *pins(s3))
+        un, vn, wn, pn, rn, Tn = (o[1:-1] for o in outs[:6])
+        # RK wraps ALL variables periodically (no velocity restore)
+        un = wrap_z_shell(un, first, last)
+        vn = wrap_z_shell(vn, first, last)
+        wn = wrap_z_shell(wn, first, last)
+        pn = wrap_z_shell(pn, first, last)
+        rn = wrap_z_shell(rn, first, last)
+        Tn = wrap_z_shell(Tn, first, last)
+        return un, vn, wn, pn, rn, Tn
+
+    spec = P("z", None, None)
+    smapped = jax.shard_map(
+        local_step, mesh=mesh,
+        in_specs=(spec,) * 6 + (P(), P(), P()),
+        out_specs=(spec,) * 6,
+        check_vma=False)
+
+    def step(field: FlowField, dt, iter_idx):
+        dtc = jnp.asarray(dt, dtype)
+        t = jnp.asarray(iter_idx, dtype) * dtc
+        decay = jnp.exp(-jnp.asarray(params.source_decay_rate, dtype) * t)
+        su = jnp.asarray(params.source_amplitude_u, dtype) * decay
+        sv = jnp.asarray(params.source_amplitude_v, dtype) * decay
+
+        u, v, w, p, rho, T = smapped(field.u, field.v, field.w, field.p,
+                                     field.rho, field.T, dtc, su, sv)
+        new_field = field.replace(u=u, v=v, w=w, p=p, rho=rho, T=T)
+        finite, vmax, pmax, tmax = field_status_and_diagnostics(new_field)
+        status = jnp.where(~finite, jnp.int32(-6), jnp.int32(0))
+        return new_field, StepResult(
+            iterations=jnp.int32(1), status=status,
+            residual=jnp.zeros((), dtype),
+            max_velocity=vmax, max_pressure=pmax, max_temperature=tmax)
+
+    return step

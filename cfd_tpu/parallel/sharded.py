@@ -71,6 +71,22 @@ def make_sharded_step(grid: Grid, params: NSParams, mesh: Mesh,
                 return step, lambda field: shard_field(field, mesh)
             warning("parallel", "use_pallas: %s; falling back to the "
                     "GSPMD jnp path", reason)
+        elif method in ("rk2", "rk4"):
+            from .fused import (fused_sharded_rk_unsupported_reason,
+                                make_fused_sharded_rk_step)
+            reason = fused_sharded_rk_unsupported_reason(grid, params,
+                                                         mesh, dtype)
+            if reason is None:
+                raw = make_fused_sharded_rk_step(
+                    grid, params, mesh, order=2 if method == "rk2" else 4,
+                    dtype=dtype, interpret=kw.get("pallas_interpret"))
+                sharding = field_sharding(mesh, grid.nz > 1)
+                out_field = FlowField(u=sharding, v=sharding, w=sharding,
+                                      p=sharding, rho=sharding, T=sharding)
+                step = jax.jit(raw, out_shardings=(out_field, None))
+                return step, lambda field: shard_field(field, mesh)
+            warning("parallel", "use_pallas: %s; falling back to the "
+                    "GSPMD jnp path", reason)
         elif method != "projection":
             warning("parallel", "use_pallas: no fused sharded %s step; "
                     "falling back to the GSPMD jnp path", method)

@@ -137,7 +137,8 @@ def _make_fused_rk_step(mid, final, params: NSParams, order: int, nz, dtype):
         def scal(factor, acc_mix, weight):
             return jnp.stack([jnp.asarray(factor, dtype),
                               jnp.asarray(acc_mix, dtype),
-                              jnp.asarray(weight, dtype), su, sv, dtc])
+                              jnp.asarray(weight, dtype), su, sv, dtc,
+                              jnp.zeros((), dtype)])
 
         q0 = (field.u, field.v, field.w, field.p)
         rho, T = field.rho, field.T

@@ -247,3 +247,41 @@ def test_fused_sharded_euler_multi_step():
                                atol=1e-5)
     np.testing.assert_allclose(np.asarray(fs.p), np.asarray(fr.p),
                                atol=1e-5)
+
+
+def test_fused_sharded_rk4_matches_jnp_single_device():
+    """Fused shard_map RK4: per-stage ring halos, cross-shard periodic-
+    interior pins (global z-offset), and final periodic shells match the
+    single-device jnp step."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from cfd_tpu import FlowField, Grid
+    from cfd_tpu.parallel import make_mesh, make_sharded_step
+    from cfd_tpu.solvers.ns import NSParams
+    from cfd_tpu.solvers.ns.rk import make_rk4_step
+
+    g = Grid.uniform(128, 16, 24, zmin=0.0, zmax=1.0)
+    params = NSParams()
+    rng = np.random.default_rng(13)
+    f = FlowField.initialize(g, dtype=jnp.float32)
+    f = f.replace(u=jnp.asarray(rng.normal(0, 0.2, g.shape), jnp.float32),
+                  v=jnp.asarray(rng.normal(0, 0.2, g.shape), jnp.float32),
+                  w=jnp.asarray(rng.normal(0, 0.2, g.shape), jnp.float32),
+                  p=jnp.asarray(rng.normal(0, 0.2, g.shape), jnp.float32))
+
+    ref = jax.jit(make_rk4_step(g, params, dtype=jnp.float32,
+                                use_pallas=False))
+    fr, rr = ref(f, 1e-4, 1)
+
+    mesh = make_mesh(axes=("z",))
+    step, place = make_sharded_step(g, params, mesh, "rk4",
+                                    use_pallas=True, dtype=jnp.float32)
+    ff, rf = step(place(f), 1e-4, 1)
+    assert int(rr.status) == int(rf.status) == 0
+    for name in ("u", "v", "w", "p"):
+        np.testing.assert_allclose(np.asarray(getattr(ff, name)),
+                                   np.asarray(getattr(fr, name)),
+                                   atol=1e-5, err_msg=name)
+    assert len(ff.u.sharding.device_set) == 8

@@ -229,9 +229,8 @@ def fused_sharded_euler_unsupported_reason(grid: Grid, params: NSParams,
     if not (grid.is_uniform("x") and grid.is_uniform("y")
             and grid.is_uniform("z")):
         return "fused euler needs uniform spacing"
-    if (params.source_func is not None or params.heat_source_func is not None
-            or params.buoyancy_enabled or params.energy_enabled):
-        return "custom sources / thermal coupling use the jnp path"
+    if params.source_func is not None or params.heat_source_func is not None:
+        return "custom source callables use the jnp path"
     return None
 
 
@@ -262,6 +261,8 @@ def make_fused_sharded_euler_step(grid: Grid, params: NSParams, mesh: Mesh,
     kernel = make_euler_fused(
         nzl + 2, ny, nx, grid.dx0, grid.dy0, grid.dz0,
         grid.xmin, grid.ymin, params.mu, params.pressure_coupling,
+        alpha=params.alpha, beta=params.beta, T_ref=params.T_ref,
+        gravity=params.gravity, thermal_bc=params.thermal_bc,
         dtype=dtype, interpret=interpret)
     if kernel is None:
         raise ValueError("fused sharded euler: kernel build failed")
@@ -282,19 +283,50 @@ def make_fused_sharded_euler_step(grid: Grid, params: NSParams, mesh: Mesh,
         out = out.at[-1].set(jnp.where(last, src[-1], out[-1]))
         return out
 
-    def wrap_z_shell(out, first, last):
-        """Global periodic z-wrap: plane 0 ← plane nz−2 (last shard),
-        plane nz−1 ← plane 1 (first shard)."""
-        if n_shards == 1:
-            src_lo, src_hi = out[nzl - 2:nzl - 1], out[1:2]
+    def wrap_z_shell(out, first, last, zspec=("periodic", "periodic")):
+        """Global z-shell restore per face: "periodic" (cross-shard wrap),
+        "neumann" (adjacent interior plane, local to the edge shard), or a
+        float Dirichlet constant — the thermal z-face semantics."""
+        lo_spec, hi_spec = zspec
+        if lo_spec == "periodic":
+            if n_shards == 1:
+                src_lo = out[nzl - 2:nzl - 1]
+            else:
+                src_lo = lax.ppermute(out[nzl - 2:nzl - 1], "z",
+                                      [(n_shards - 1, 0)])
+        elif lo_spec == "neumann":
+            src_lo = out[1:2]
         else:
-            src_lo = lax.ppermute(out[nzl - 2:nzl - 1], "z",
-                                  [(n_shards - 1, 0)])
-            src_hi = lax.ppermute(out[1:2], "z", [(0, n_shards - 1)])
+            src_lo = jnp.full_like(out[0:1], lo_spec)
+        if hi_spec == "periodic":
+            if n_shards == 1:
+                src_hi = out[1:2]
+            else:
+                src_hi = lax.ppermute(out[1:2], "z", [(0, n_shards - 1)])
+        elif hi_spec == "neumann":
+            src_hi = out[nzl - 2:nzl - 1]
+        else:
+            src_hi = jnp.full_like(out[0:1], hi_spec)
         out = out.at[0:1].set(jnp.where(first, src_lo, out[0:1]))
         out = out.at[nzl - 1:nzl].set(jnp.where(last, src_hi,
                                                 out[nzl - 1:nzl]))
         return out
+
+    t_zspec = ("periodic", "periodic")
+    if params.energy_enabled:
+        from ..boundary.types import BCType
+
+        def zspec_of(bc, value):
+            bc = BCType(bc)
+            if bc == BCType.DIRICHLET:
+                return float(value)
+            if bc == BCType.NEUMANN:
+                return "neumann"
+            return "periodic"
+        t_zspec = (zspec_of(params.thermal_bc.back,
+                            params.thermal_bc.dirichlet_values.back),
+                   zspec_of(params.thermal_bc.front,
+                            params.thermal_bc.dirichlet_values.front))
 
     def local_step(u, v, w, p, rho, T, cdt, su, sv, t):
         idx = lax.axis_index("z")
@@ -310,7 +342,7 @@ def make_fused_sharded_euler_step(grid: Grid, params: NSParams, mesh: Mesh,
         wn = fix_vel_shell(wn, w, first, last)
         pn = wrap_z_shell(pn, first, last)
         rn = wrap_z_shell(rn, first, last)
-        Tn = wrap_z_shell(Tn, first, last)
+        Tn = wrap_z_shell(Tn, first, last, t_zspec)
         return un, vn, wn, pn, rn, Tn
 
     spec = P("z", None, None)

@@ -285,3 +285,49 @@ def test_fused_sharded_rk4_matches_jnp_single_device():
                                    np.asarray(getattr(fr, name)),
                                    atol=1e-5, err_msg=name)
     assert len(ff.u.sharding.device_set) == 8
+
+
+def test_fused_sharded_euler_convection_matches_jnp():
+    """Energy + Boussinesq + mixed thermal faces through the fused sharded
+    Euler: thermal z-shells resolve per face type (Neumann local to the
+    edge shard, Dirichlet constant, periodic cross-shard)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from cfd_tpu import FlowField, Grid
+    from cfd_tpu.boundary.types import (BCType, DirichletValues,
+                                        ThermalBCConfig)
+    from cfd_tpu.parallel import make_mesh, make_sharded_step
+    from cfd_tpu.solvers.ns import NSParams
+    from cfd_tpu.solvers.ns.euler import make_euler_step
+
+    thermal = ThermalBCConfig(
+        left=BCType.DIRICHLET, right=BCType.DIRICHLET,
+        bottom=BCType.NEUMANN, top=BCType.NEUMANN,
+        back=BCType.NEUMANN, front=BCType.DIRICHLET,
+        dirichlet_values=DirichletValues(left=305.0, right=295.0,
+                                         front=300.0))
+    g = Grid.uniform(128, 16, 24, zmin=0.0, zmax=1.0)
+    params = NSParams(source_amplitude_u=0.0, source_amplitude_v=0.0,
+                      alpha=1e-3, beta=0.05, T_ref=300.0,
+                      gravity=(0.0, -9.81, 0.0), thermal_bc=thermal)
+    rng = np.random.default_rng(17)
+    f = FlowField.initialize(g, dtype=jnp.float32)
+    f = f.replace(u=jnp.asarray(rng.normal(0, 0.1, g.shape), jnp.float32),
+                  T=jnp.asarray(300.0 + rng.normal(0, 1.0, g.shape),
+                                jnp.float32))
+
+    ref = jax.jit(make_euler_step(g, params, dtype=jnp.float32,
+                                  use_pallas=False))
+    fr, rr = ref(f, 1e-4, 0)
+
+    mesh = make_mesh(axes=("z",))
+    step, place = make_sharded_step(g, params, mesh, "explicit_euler",
+                                    use_pallas=True, dtype=jnp.float32)
+    ff, rf = step(place(f), 1e-4, 0)
+    assert int(rr.status) == int(rf.status) == 0
+    for name in ("u", "v", "w", "p", "T"):
+        np.testing.assert_allclose(np.asarray(getattr(ff, name)),
+                                   np.asarray(getattr(fr, name)),
+                                   atol=1e-5, err_msg=name)

@@ -425,3 +425,77 @@ def make_bicgstab_vmem_solve(nz: int, ny: int, nx: int,
                 stats[0, 2].astype(jnp.int32), stats[0, 3] > 0)
 
     return solve
+
+
+def make_jacobi_vmem_solve(nz: int, ny: int, nx: int,
+                           inv_dx2: float, inv_dy2: float, inv_dz2: float,
+                           inv_factor: float,
+                           tolerance: float, abs_tol: float,
+                           max_iterations: int, check_interval: int,
+                           dtype=jnp.float32, interpret: bool = False):
+    """Whole Jacobi solve in one kernel (double-buffered full sweep,
+    `cpu/linear_solver_jacobi.c:76-129` semantics via the same
+    check-interval chunking as `stationary.make_jacobi`).
+
+    Returns fn(x, rhs) -> (x_new, initial_res, final_res, iterations,
+    converged), or None if unsupported."""
+    if not vmem_solve_supported(nz, ny, nx, jnp.dtype(dtype).itemsize):
+        return None
+    ci = max(1, int(check_interval))
+    max_iter = int(max_iterations)
+
+    def kernel(x_ref, rhs_ref, out_ref, stats_ref):
+        h = _volume_helpers(nz, ny, nx, inv_dx2, inv_dy2, inv_dz2, dtype)
+        interior, zero = h["interior"], h["zero"]
+        rhsv = rhs_ref[:, :]
+
+        def sweep(p):
+            new = -(rhsv - h["neighbors"](p)) * inv_factor
+            return h["mirror"](jnp.where(interior, new, p))
+
+        def residual(p):
+            return jnp.max(jnp.where(interior,
+                                     jnp.abs(h["laplacian"](p) - rhsv),
+                                     zero))
+
+        out_ref[:, :] = x_ref[:, :]
+        r0 = residual(out_ref[:, :])
+        tol = jnp.maximum(jnp.asarray(tolerance, dtype) * r0,
+                          jnp.asarray(abs_tol, dtype))
+        already = r0 < jnp.asarray(abs_tol, dtype)
+
+        def cond(carry):
+            it, _, converged = carry
+            return (it < max_iter) & (~converged)
+
+        def body(carry):
+            it, _, _ = carry
+            n_sweeps = jnp.minimum(jnp.int32(ci), max_iter - it)
+
+            def one(_, token):
+                out_ref[:, :] = sweep(out_ref[:, :])
+                return token
+
+            lax.fori_loop(0, n_sweeps, one, jnp.int32(0))
+            res = residual(out_ref[:, :])
+            return (it + n_sweeps, res,
+                    (res < tol) | (res < jnp.asarray(abs_tol, dtype)))
+
+        it_f, res_f, conv_f = lax.while_loop(
+            cond, body, (jnp.int32(0), r0, already))
+
+        stats_ref[0, 0] = r0
+        stats_ref[0, 1] = jnp.where(already, r0, res_f)
+        stats_ref[0, 2] = jnp.where(already, zero, it_f.astype(dtype))
+        stats_ref[0, 3] = (conv_f | already).astype(dtype)
+
+    pny, px, rows = _padded_dims(nz, ny, nx)
+    base = _wrap(_make_call(kernel, rows, px, dtype, interpret),
+                 nz, ny, nx, pny, px, dtype)
+
+    def solve(x, rhs):
+        vol, stats = base(x, rhs)
+        return (vol, stats[0, 0], stats[0, 1],
+                stats[0, 2].astype(jnp.int32), stats[0, 3] > 0)
+
+    return solve

@@ -30,7 +30,7 @@ from .krylov import (make_bicgstab, make_bicgstab_fused, make_bicgstab_vmem,
                      make_cg, make_cg_fused, make_cg_vmem)
 from .multigrid import make_mg_cg, make_multigrid
 from .spectral import make_fft_direct, spectral_supported
-from .stationary import (make_jacobi, make_redblack_sor,
+from .stationary import (make_jacobi, make_jacobi_vmem, make_redblack_sor,
                          make_redblack_sor_fused, make_redblack_sor_vmem,
                          make_sor)
 
@@ -86,6 +86,8 @@ def _fused_maker(method: Method, problem: PoissonProblem,
     fn = None
     if method == Method.REDBLACK_SOR:
         fn = make_redblack_sor_vmem(problem, params, interpret=interpret)
+    elif method == Method.JACOBI:
+        fn = make_jacobi_vmem(problem, params, interpret=interpret)
     elif method == Method.CG:
         fn = make_cg_vmem(problem, params, interpret=interpret)
     elif method == Method.BICGSTAB:

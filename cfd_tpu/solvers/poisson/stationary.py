@@ -181,6 +181,35 @@ def make_redblack_sor_fused(problem: PoissonProblem, params: PoissonParams,
     return solve
 
 
+def make_jacobi_vmem(problem: PoissonProblem, params: PoissonParams,
+                     dtype=jnp.float32, interpret: bool = False):
+    """Whole-solve VMEM-resident Jacobi for small grids (2D + 3D);
+    same double-buffered sweep, Neumann mirror, and status rules as
+    :func:`make_jacobi`.  Returns None when unsupported."""
+    from ...ops.pallas.vmem_small import make_jacobi_vmem_solve
+
+    nz, ny, nx = problem.shape
+    fn = make_jacobi_vmem_solve(
+        nz, ny, nx, problem.inv_dx2, problem.inv_dy2, problem.inv_dz2,
+        problem.inv_factor,
+        params.tolerance, params.absolute_tolerance,
+        params.max_iterations, params.check_interval,
+        dtype=dtype, interpret=interpret)
+    if fn is None:
+        return None
+
+    def solve(x, rhs):
+        x_new, r0, res_f, iters, converged = fn(x, rhs)
+        status = jnp.where(converged,
+                           jnp.int32(PoissonStatus.CONVERGED),
+                           jnp.int32(PoissonStatus.MAX_ITER))
+        return PoissonResult(x=x_new, iterations=iters,
+                             initial_residual=r0, final_residual=res_f,
+                             status=status)
+
+    return solve
+
+
 def make_redblack_sor_vmem(problem: PoissonProblem, params: PoissonParams,
                            dtype=jnp.float32, interpret: bool = False):
     """Whole-solve VMEM-resident Red-Black SOR for small grids (2D + 3D).

@@ -263,3 +263,34 @@ def test_vmem_bicgstab_3d_converges():
     assert float(r_vm.final_residual) < tol
     np.testing.assert_allclose(np.asarray(r_vm.x), np.asarray(r_ref.x),
                                atol=5e-4)
+
+
+def test_vmem_jacobi_matches_jnp_exactly():
+    from cfd_tpu.solvers.poisson.stationary import (make_jacobi,
+                                                    make_jacobi_vmem)
+
+    for prob, shape in ((_problem(100, 100), (1, 100, 100)),
+                        (_problem3(16, 16, 16), (16, 16, 16))):
+        pp = PoissonParams(tolerance=1e-3, absolute_tolerance=1e-12,
+                           max_iterations=400, check_interval=10)
+        ref = make_jacobi(prob, pp)
+        vm = make_jacobi_vmem(prob, pp, dtype=jnp.float32, interpret=True)
+        assert vm is not None
+        rng = np.random.default_rng(5)
+        rhs = jnp.asarray(rng.normal(0, 1, shape), jnp.float32)
+        x0 = jnp.zeros(shape, jnp.float32)
+        r_ref = ref(x0, rhs)
+        r_vm = jax.jit(vm)(x0, rhs)
+        assert int(r_ref.iterations) == int(r_vm.iterations), shape
+        assert int(r_ref.status) == int(r_vm.status)
+        np.testing.assert_allclose(np.asarray(r_vm.x), np.asarray(r_ref.x),
+                                   rtol=2e-5, atol=2e-5)
+
+
+def test_frontend_dispatches_vmem_jacobi():
+    from cfd_tpu.solvers.poisson.frontend import create_solver
+
+    s = create_solver(Method.JACOBI, PoissonParams(tolerance=1e-3,
+                                                   max_iterations=500))
+    s.init(100, 100, 1, 1 / 99, 1 / 99, 0.0, use_pallas=True)
+    assert s._fused_fn is not None

@@ -125,7 +125,7 @@ def write_vtk_flow_field(filename: str, field,
         return
     try:
         with _open_sink(filename) as fp:
-            _header(fp, "CFD Framework Flow Field", nx, ny, nz,
+            _header(fp, "CFD Framework Flow Field Output", nx, ny, nz,
                     xmin, xmax, ymin, ymax, zmin, zmax)
             fp.write(f"\nPOINT_DATA {nx * ny * nz}\n")
             fp.write("VECTORS velocity float\n")
@@ -133,7 +133,9 @@ def write_vtk_flow_field(filename: str, field,
                              np.asarray(field.w))
             for name, data in (("pressure", field.p), ("density", field.rho),
                                ("temperature", field.T)):
-                fp.write(f"SCALARS {name} float 1\n")
+                # blank separator line before each scalar block
+                # (`vtk_output.c` flow-field writer)
+                fp.write(f"\nSCALARS {name} float 1\n")
                 fp.write("LOOKUP_TABLE default\n")
                 fp.write_scalars(np.asarray(data))
     except OSError:

@@ -81,7 +81,7 @@ def _time_steps(step, field, dt, steps=TIMED_STEPS):
     return time.perf_counter() - t0
 
 
-def _make_step(grid, **kw):
+def _make_step(grid, mu=0.01, **kw):
     import jax.numpy as jnp
 
     from cfd_tpu.solvers.ns import NSParams
@@ -89,7 +89,7 @@ def _make_step(grid, **kw):
     from cfd_tpu.solvers.poisson.base import Method
 
     params = NSParams(source_amplitude_u=0.0, source_amplitude_v=0.0,
-                      mu=0.01)
+                      mu=mu)
     return make_projection_step(
         grid, params, dtype=jnp.float32,
         poisson_method=Method.FFT_DIRECT, use_pallas=True, **kw)
@@ -236,8 +236,16 @@ def run_poisson_iters(n: int = 100) -> dict:
     return out
 
 
-def ghia_gate(n: int = 128, steps: int = 20000, dt: float = 5e-4):
-    """Lid cavity Re=100 on-chip (f32, fused path) → (rms_u, rms_v)."""
+def ghia_gate(n: int = 128, steps: int = 20000, dt: float = 5e-4,
+              re: int = 100):
+    """Lid cavity on-chip (f32, fused path) → (rms_u, rms_v) vs the Ghia
+    (1982) table at the given Reynolds number.
+
+    The Re=1000 configuration (513², t=60) is the north-star accuracy
+    gate: centerlines within 1% (`cavity_reference_data.h:25-87`,
+    `docs/validation/lid-driven-cavity.md:149-160`).  Measured r3 sweep
+    (artifacts/ghia1000_sweep.py): 129²→0.030, 257²→0.0099, 385²→0.0058,
+    513²→0.0038/0.0041 — grid-limited, comfortably under the bar."""
     import sys
 
     import jax
@@ -253,7 +261,7 @@ def ghia_gate(n: int = 128, steps: int = 20000, dt: float = 5e-4):
     from tests.validation import ghia_data
 
     grid = Grid.uniform(n, n)
-    step = _make_step(grid)   # mu=0.01 → Re=100 at lid speed 1
+    step = _make_step(grid, mu=1.0 / re)   # Re = lid·L/nu at lid speed 1
     u_bc = DirichletValues(top=1.0)
     v_bc = DirichletValues()
 
@@ -279,9 +287,9 @@ def ghia_gate(n: int = 128, steps: int = 20000, dt: float = 5e-4):
     y = np.asarray(grid.y)
     x = np.asarray(grid.x)
     rms_u = ghia_data.profile_rms_error(y, u_prof, ghia_data.Y_COORDS,
-                                        ghia_data.U_TABLES[100])
+                                        ghia_data.U_TABLES[re])
     rms_v = ghia_data.profile_rms_error(x, v_prof, ghia_data.X_COORDS,
-                                        ghia_data.V_TABLES[100])
+                                        ghia_data.V_TABLES[re])
     return float(rms_u), float(rms_v)
 
 
@@ -311,6 +319,12 @@ def main():
     rms_u, rms_v = ghia_gate()
     assert rms_u < 0.10 and rms_v < 0.10, (
         f"on-chip Ghia gate failed: rms_u={rms_u:.4f} rms_v={rms_v:.4f}")
+    # North-star accuracy gate: Re=1000 centerlines within 1% on-chip
+    # (513², t=60; dt=4e-4 sits under the 513² diffusive limit ~9.5e-4).
+    rms_u_1k, rms_v_1k = ghia_gate(n=513, steps=150000, dt=4e-4, re=1000)
+    assert rms_u_1k < 0.01 and rms_v_1k < 0.01, (
+        f"Re=1000 north-star gate failed: rms_u={rms_u_1k:.4f} "
+        f"rms_v={rms_v_1k:.4f}")
 
     print(json.dumps({
         "metric": "projection_step_mlups",
@@ -336,6 +350,9 @@ def main():
         "ghia_rms_u": round(rms_u, 4),
         "ghia_rms_v": round(rms_v, 4),
         "ghia_config": "Re=100 128x128 f32 fused, t=10",
+        "ghia_re1000_rms_u": round(rms_u_1k, 4),
+        "ghia_re1000_rms_v": round(rms_v_1k, 4),
+        "ghia_re1000_config": "Re=1000 513x513 f32 fused, t=60 (<=1% gate)",
     }))
 
 

@@ -70,7 +70,11 @@ def test_ghia_re1000_projection_full(full_validation):
         pytest.skip("full-validation tier (--full-validation)")
     # Re=1000 needs t≈30 to reach steady state (t=10 leaves RMS≈0.14);
     # dt=5e-4 is comfortably inside both the CFL (0.064) and diffusive
-    # (dx²/4ν≈0.015) limits at 129². Measured: rms_u=0.036 at t=30.
+    # (dx²/4ν≈0.015) limits at 129². Measured: rms_u=0.036 at t=30 —
+    # grid-limited (129² discretization error).  The 1% north-star bar is
+    # demonstrated on-chip at finer grids by bench.py's ghia_re1000 gate
+    # (513², t=60 → RMS 0.0038/0.0041; artifacts/ghia1000_sweep.py sweep:
+    # 257²→0.0099, 385²→0.0058); this CPU-tier test pins the 129² level.
     rms_u, rms_v, _ = cavity_rms("projection", 129, 60000, 5e-4, 1000)
-    assert rms_u < 0.10
-    assert rms_v < 0.10
+    assert rms_u < 0.05
+    assert rms_v < 0.05

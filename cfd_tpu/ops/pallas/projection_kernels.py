@@ -16,8 +16,9 @@ Semantics match `cfd_tpu.solvers.ns.projection` (and therefore
   scalars (`solver_explicit_euler.c:317-333`).
 
 The fused path is gated to: float32, 3D, nx % 128 == 0, ny % 8 == 0, no
-custom source callables, no Boussinesq coupling.  Everything else falls back
-to the jnp step.
+custom source callables.  Boussinesq buoyancy (``beta != 0``) fuses into the
+predictor passes — T rides along as one extra streamed input.  Everything
+else falls back to the jnp step.
 """
 
 from __future__ import annotations
@@ -42,7 +43,8 @@ class ProjectionKernels:
 
     def __init__(self, nz, ny, nx, dx, dy, dz, xmin, ymin,
                  dtype=jnp.float32, interpret=False, global_nz=None,
-                 emit="btilde", with_sources=True):
+                 emit="btilde", with_sources=True,
+                 beta=0.0, T_ref=0.0, gravity=(0.0, 0.0, 0.0)):
         """``global_nz``: sharded (z-decomposed) mode — the kernels operate
         on a halo-padded local block of ``nz`` planes belonging to a global
         ``global_nz``-plane domain; the btilde kernel then takes the shard's
@@ -51,6 +53,8 @@ class ProjectionKernels:
         planes.  Used by ``cfd_tpu.parallel.fused`` inside ``shard_map``."""
         self.shape = (nz, ny, nx)
         self.global_nz = global_nz
+        buoy = beta != 0.0
+        self.buoyant = buoy
         inv_2dx = 1.0 / (2.0 * dx)
         inv_2dy = 1.0 / (2.0 * dy)
         inv_dx2 = 1.0 / (dx * dx)
@@ -89,14 +93,16 @@ class ProjectionKernels:
             return out
 
         def make_predictor(component):
-            """component 0: halo=u, planes=(v,w), source amp_u·sin(πy)
-               component 1: halo=v, planes=(u,w), source amp_v·sin(2πx)
-               component 2: halo=w, planes=(u,v), source 0."""
+            """component 0: halo=u, planes=(v,w[,T]), source amp_u·sin(πy)
+               component 1: halo=v, planes=(u,w[,T]), source amp_v·sin(2πx)
+               component 2: halo=w, planes=(u,v[,T]), source 0.
+               With buoyancy on, T rides as the last plane input and
+               −β·g[component]·(T−T_ref) joins the source."""
 
             def compute(k, scalars, halos, planes):
                 dt, nu, src_u, src_v = scalars
                 fm, fc, fp = halos[0]
-                a, b = planes
+                a, b = planes[:2]
                 mask = interior_mask()
                 if component == 0:
                     uc, vc, wc = fc, a, b
@@ -107,6 +113,9 @@ class ProjectionKernels:
                 else:
                     uc, vc, wc = a, b, fc
                     src = 0.0
+                if buoy and gravity[component] != 0.0:
+                    src = src + ((-dtype(beta) * dtype(gravity[component]))
+                                 * (planes[2] - dtype(T_ref)))
                 conv = (uc * d1x(fc) + vc * d1y(fc)
                         + wc * ((fp - fm) * inv_2dz))
                 star = fc + dt * (-conv + nu * lap(fm, fc, fp) + src)
@@ -115,8 +124,8 @@ class ProjectionKernels:
                 return [out], None
 
             return make_rolling_stencil(
-                nz, ny, nx, 1, 2, 1, compute, dtype, n_scalars=4,
-                shell_passthrough=[0], interpret=interpret)
+                nz, ny, nx, 1, 3 if buoy else 2, 1, compute, dtype,
+                n_scalars=4, shell_passthrough=[0], interpret=interpret)
 
         self.pred_u = make_predictor(0)
         self.pred_v = make_predictor(1)
@@ -209,7 +218,8 @@ class ProjectionKernels:
 
         def pred_bt_compute(k, scalars, halos, planes):
             dt_, nu_, su_amp, sv_amp, rod = scalars[:5]
-            uw, vw, ww = halos      # 5-plane windows (k−2 … k+2)
+            uw, vw, ww = halos[:3]  # 5-plane windows (k−2 … k+2)
+            Tw = halos[3] if buoy else None
             (pc,) = planes
             mask, jj, ii = plane_masks(ny, nx, dtype)
             maskb = mask > 0
@@ -219,6 +229,13 @@ class ProjectionKernels:
                 src_v = sv_amp * source_plane(1)
             else:
                 src_u = src_v = 0.0
+
+            def bsrc(component, wslot):
+                """−β·g[c]·(T−T_ref) at window slot ``wslot`` (2 ≡ plane k)."""
+                if not (buoy and gravity[component] != 0.0):
+                    return 0.0
+                return ((-dtype(beta) * dtype(gravity[component]))
+                        * (Tw[wslot] - dtype(T_ref)))
 
             def star(f3, uc_, vc_, wc_, src, kq):
                 fm, fc, fp = f3
@@ -233,11 +250,11 @@ class ProjectionKernels:
                 interior_z = (kq > 0) & (kq < nz - 1)
                 return jnp.where(interior_z, s, fc)
 
-            us = star(uw[1:4], uw[2], vw[2], ww[2], src_u, k)
-            vs = star(vw[1:4], uw[2], vw[2], ww[2], src_v, k)
-            ws = star(ww[1:4], uw[2], vw[2], ww[2], 0.0, k)
-            ws_m = star(ww[0:3], uw[1], vw[1], ww[1], 0.0, k - 1)
-            ws_p = star(ww[2:5], uw[3], vw[3], ww[3], 0.0, k + 1)
+            us = star(uw[1:4], uw[2], vw[2], ww[2], src_u + bsrc(0, 2), k)
+            vs = star(vw[1:4], uw[2], vw[2], ww[2], src_v + bsrc(1, 2), k)
+            ws = star(ww[1:4], uw[2], vw[2], ww[2], bsrc(2, 2), k)
+            ws_m = star(ww[0:3], uw[1], vw[1], ww[1], bsrc(2, 1), k - 1)
+            ws_p = star(ww[2:5], uw[3], vw[3], ww[3], bsrc(2, 3), k + 1)
 
             div = d1x(us) + d1y(vs) + (ws_p - ws_m) * inv_2dz
             if emit == "btilde":
@@ -257,7 +274,8 @@ class ProjectionKernels:
         self.pred_bt = None
         if global_nz is None:
             self.pred_bt = make_rolling_stencil(
-                nz, ny, nx, 3, 1, 4, pred_bt_compute, dtype, n_scalars=5,
+                nz, ny, nx, 4 if buoy else 3, 1, 4, pred_bt_compute,
+                dtype, n_scalars=5,
                 shell_passthrough=[0, 1, 2, None], halo_window=2,
                 interpret=interpret)
 
@@ -290,11 +308,14 @@ class ProjectionKernels:
     # ---- step pieces -------------------------------------------------------
 
     def predictor_poisson_input(self, u, v, w, p, dt, nu,
-                                src_u_amp, src_v_amp, rho_over_dt):
-        """Mega path: (u*, v*, w*, b̃-or-rhs) in ONE sweep."""
+                                src_u_amp, src_v_amp, rho_over_dt, T=None):
+        """Mega path: (u*, v*, w*, b̃-or-rhs) in ONE sweep.  With buoyancy
+        compiled in, pass the step-start temperature ``T``."""
         s = jnp.stack([jnp.asarray(dt), jnp.asarray(nu),
                        jnp.asarray(src_u_amp), jnp.asarray(src_v_amp),
                        jnp.asarray(rho_over_dt)])
+        if self.buoyant:
+            return self.pred_bt(s, u, v, w, T, p)
         return self.pred_bt(s, u, v, w, p)
 
     def corrector_diag(self, us, vs, ws, p, dt_over_rho):
@@ -305,13 +326,15 @@ class ProjectionKernels:
         s = jnp.asarray(dt_over_rho)[None]
         return self.corr_all(s, p, us, vs, ws)
 
-    def predictor(self, u, v, w, dt, nu, src_u_amp, src_v_amp):
-        """(u*, v*, w*) with caller shells preserved."""
+    def predictor(self, u, v, w, dt, nu, src_u_amp, src_v_amp, T=None):
+        """(u*, v*, w*) with caller shells preserved.  With buoyancy
+        compiled in, pass the step-start temperature ``T``."""
         s = jnp.stack([jnp.asarray(dt), jnp.asarray(nu),
                        jnp.asarray(src_u_amp), jnp.asarray(src_v_amp)])
-        (us,) = self.pred_u(s, u, v, w)
-        (vs,) = self.pred_v(s, v, u, w)
-        (ws,) = self.pred_w(s, w, u, v)
+        extra = (T,) if self.buoyant else ()
+        (us,) = self.pred_u(s, u, v, w, *extra)
+        (vs,) = self.pred_v(s, v, u, w, *extra)
+        (ws,) = self.pred_w(s, w, u, v, *extra)
         return us, vs, ws
 
     def rhs(self, us, vs, ws, rho_over_dt):

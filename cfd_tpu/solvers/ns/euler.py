@@ -43,10 +43,12 @@ def make_euler_step(grid: Grid, params: NSParams, dtype=None,
     StepResult).
 
     ``use_pallas=None`` (auto) enables the fused single-pass rolling kernel
-    on TPU backends for float32 uniform 3D grids with default sources, no
-    buoyancy, and the energy equation off; any other configuration (or an
-    unsupported shape) keeps the jnp step.  The kernel is consistency-tested
-    against the jnp path (tests/math/test_euler_fused.py)."""
+    on TPU backends for float32 uniform 3D grids with the built-in
+    (amplitude/decay) sources — including Boussinesq buoyancy, the energy
+    equation, and thermal BCs, which are fused into the same pass; only
+    custom ``source_func``/``heat_source_func`` callbacks (or an unsupported
+    shape) keep the jnp step.  The kernel is consistency-tested against the
+    jnp path (tests/math/test_euler_fused.py)."""
     validate_grid_for_solver(grid, grid.shape)
     if params.energy_enabled:
         validate_thermal_bc(params.thermal_bc, grid)

@@ -160,12 +160,13 @@ def make_projection_step(grid: Grid, params: NSParams, dtype=None,
                            else {"precision": spectral_precision}))
 
     # Fully fused predictor/divergence/corrector (float32 3D, no custom
-    # sources / buoyancy / energy coupling in the kernels — those variants
-    # use the jnp path below).
+    # source callables in the kernels — those variants use the jnp path
+    # below; Boussinesq buoyancy fuses into the predictor sweep, the energy
+    # equation runs as a jnp post-step either way).
     proj_kernels = None
     btilde_pipeline = None
     if (use_pallas and dtype == jnp.float32 and grid.nz > 2
-            and params.source_func is None and not params.buoyancy_enabled):
+            and params.source_func is None):
         from ...ops.pallas.projection_kernels import (
             ProjectionKernels, projection_kernels_supported)
         from ..poisson.spectral import spectral_supported
@@ -179,6 +180,8 @@ def make_projection_step(grid: Grid, params: NSParams, dtype=None,
                                                  != 0.0
                                                  or params.source_amplitude_v
                                                  != 0.0),
+                                   beta=params.beta, T_ref=params.T_ref,
+                                   gravity=params.gravity,
                                    interpret=pallas_interpret)
             if pk.ok:
                 proj_kernels = pk
@@ -207,10 +210,11 @@ def make_projection_step(grid: Grid, params: NSParams, dtype=None,
         if mega:
             us, vs, ws, pin = proj_kernels.predictor_poisson_input(
                 field.u, field.v, field.w, field.p, dt, params.mu,
-                su, sv, rho0 / dt)
+                su, sv, rho0 / dt, T=field.T)
         else:
             us, vs, ws = proj_kernels.predictor(
-                field.u, field.v, field.w, dt, params.mu, su, sv)
+                field.u, field.v, field.w, dt, params.mu, su, sv,
+                T=field.T)
             pin = None
 
         if btilde_pipeline is not None:

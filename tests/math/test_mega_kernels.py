@@ -94,3 +94,38 @@ def test_mega_divergence_detection():
         f = f.replace(u=f.u.at[where].set(jnp.nan))
         ff, rf = fus(f, 0.001, 0)
         assert int(rf.status) == -6, where  # DIVERGED
+
+
+def test_mega_buoyant_matches_jnp():
+    """Boussinesq buoyancy fused into the predictor sweep (T rides as a
+    4th halo window in the mega kernel) matches the jnp projection step
+    with the same natural-convection parameters."""
+    from cfd_tpu.boundary.types import (BCType, DirichletValues,
+                                        ThermalBCConfig)
+
+    thermal = ThermalBCConfig(
+        left=BCType.DIRICHLET, right=BCType.DIRICHLET,
+        bottom=BCType.NEUMANN, top=BCType.NEUMANN,
+        dirichlet_values=DirichletValues(left=305.0, right=295.0))
+    g = Grid.uniform(128, 16, 8, zmin=0.0, zmax=1.0)
+    params = NSParams(source_amplitude_u=0.0, source_amplitude_v=0.0,
+                      alpha=1e-3, beta=0.05, T_ref=300.0,
+                      gravity=(0.0, -9.81, 0.05), thermal_bc=thermal)
+    rng = np.random.default_rng(23)
+    f = _random_field(g, seed=5)
+    f = f.replace(T=jnp.asarray(300.0 + rng.normal(0, 1.0, g.shape),
+                                jnp.float32))
+
+    ref = jax.jit(make_projection_step(g, params, dtype=jnp.float32,
+                                       poisson_method=Method.FFT_DIRECT))
+    fus = jax.jit(make_projection_step(g, params, dtype=jnp.float32,
+                                       poisson_method=Method.FFT_DIRECT,
+                                       use_pallas=True,
+                                       pallas_interpret=True))
+    fr, rr = ref(f, 0.001, 0)
+    ff, rf = fus(f, 0.001, 0)
+    assert int(rf.status) == int(rr.status) == 0
+    for name in ("u", "v", "w", "p", "T"):
+        np.testing.assert_allclose(np.asarray(getattr(ff, name)),
+                                   np.asarray(getattr(fr, name)),
+                                   atol=2e-5, err_msg=name)

@@ -432,3 +432,57 @@ def make_cg_update(nz: int, ny: int, nx: int, dtype=jnp.float32,
         return (x2.reshape(nz, ny, nx), r2.reshape(nz, ny, nx), rr[0, 0])
 
     return update
+
+
+def make_lap_dot_sharded(nz: int, ny: int, nx: int,
+                         inv_dx2: float, inv_dy2: float, inv_dz2: float,
+                         scale: float, global_nz: int, dtype=jnp.float32,
+                         interpret: bool = False):
+    """Shard-local fused (r, p, beta, z_off) → (p', Ap', ⟨p', Ap'⟩) pass.
+
+    The shard_map twin of :func:`make_lap_dot_fused` for a z-decomposed
+    field: operates on a halo-padded local block of ``nz = nz_local + 2``
+    planes (halo planes arrive via ring ``ppermute``s, zero on the edge
+    shards), built on the rolling-plane engine so every plane is fetched
+    from HBM exactly once.  p' = scale·r + β·p is computed in-kernel for
+    the full window — including the halo planes, so the 7-point apply sees
+    the *neighbor shard's* correction values — and masked to the GLOBAL
+    Dirichlet-0 correction space: scalar 1 (z_off) is the global plane
+    index of padded plane 0, and p' is zeroed at global planes 0 and
+    global_nz−1 plus the in-plane shell (the same space the single-chip
+    kernel and `linear_solver_cg.c:103-123` use).  The dot contribution
+    covers the shard's real planes; callers ``lax.psum`` it over the mesh
+    axis.  Returns None when unsupported.
+
+    TPU equivalent of the reference's device-resident CG core
+    (`lib/src/solvers/linear/gpu/poisson_cg_gpu_solve.cuh`) stretched over
+    ICI instead of one device.
+    """
+    from .rolling import make_rolling_stencil, plane_masks, shift_x, shift_y
+
+    def compute(k, scalars, halos, planes):
+        beta, z_off = scalars
+        (rm, rc, rp) = halos[0]
+        (pm, pc, pp) = halos[1]
+        mask, _, _ = plane_masks(ny, nx, dtype)
+        gk = k + z_off.astype(jnp.int32)   # global plane of padded plane k
+
+        def pprime(rq, pq, gq):
+            zin = ((gq > 0) & (gq < global_nz - 1)).astype(dtype)
+            return (scale * rq + beta * pq) * mask * zin
+
+        pn_m = pprime(rm, pm, gk - 1)
+        pn_c = pprime(rc, pc, gk)
+        pn_p = pprime(rp, pp, gk + 1)
+
+        lap = ((shift_x(pn_c, 1) - 2.0 * pn_c + shift_x(pn_c, -1)) * inv_dx2
+               + (shift_y(pn_c, 1, ny) - 2.0 * pn_c
+                  + shift_y(pn_c, -1, ny)) * inv_dy2
+               + (pn_p - 2.0 * pn_c + pn_m) * inv_dz2)
+        zin_c = ((gk > 0) & (gk < global_nz - 1)).astype(dtype)
+        ap = -lap * mask * zin_c
+        return [pn_c, ap], (jnp.sum(ap * pn_c),)
+
+    return make_rolling_stencil(
+        nz, ny, nx, 2, 0, 2, compute, dtype, n_scalars=2,
+        reductions=("sum",), interpret=interpret)

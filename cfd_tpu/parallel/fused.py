@@ -71,22 +71,27 @@ def fused_sharded_unsupported_reason(grid: Grid, params: NSParams,
     if not projection_kernels_supported(grid.nz // n + 2, grid.ny, grid.nx):
         return (f"local block ({grid.nz // n}+2, {grid.ny}, {grid.nx}) "
                 "outside rolling-kernel support (nx%128, ny%8, VMEM)")
-    if params.source_func is not None or params.buoyancy_enabled:
-        return "custom sources / Boussinesq coupling use the jnp path"
+    if params.source_func is not None:
+        return "custom source callables use the jnp path"
     return None
 
 
 def make_fused_sharded_projection_step(grid: Grid, params: NSParams,
                                        mesh: Mesh, dtype=jnp.float32,
                                        poisson_params=None,
+                                       poisson_method=None,
                                        interpret: bool = None):
     """Build (field, dt, iter) → (field, StepResult), z-sharded over mesh.
 
-    The pressure solve is the exact distributed DST (FFT_DIRECT semantics);
-    ``poisson_params`` is accepted for signature parity but a direct method
-    has no iteration knobs.  ``interpret`` defaults to True off-TPU so the
-    same program runs on virtual CPU meshes (tests, driver dryrun).
+    ``poisson_method`` (default FFT_DIRECT) picks the distributed pressure
+    solve: the exact pencil-transpose DST, or ``Method.CG`` — the fused
+    shard_map CG (`.fused_cg`: ring-halo rolling lap+dot kernel, psum
+    dots), honoring ``poisson_params``, for cases that must iterate.
+    ``interpret`` defaults to True off-TPU so the same program runs on
+    virtual CPU meshes (tests, driver dryrun).
     """
+    from ..solvers.poisson.base import Method, PoissonParams
+
     reason = fused_sharded_unsupported_reason(grid, params, mesh, dtype)
     if reason is not None:
         raise ValueError(f"fused sharded projection unsupported: {reason}")
@@ -95,6 +100,11 @@ def make_fused_sharded_projection_step(grid: Grid, params: NSParams,
         validate_thermal_bc(params.thermal_bc, grid)
     if interpret is None:
         interpret = mesh.devices.flat[0].platform != "tpu"
+    poisson_method = (Method.FFT_DIRECT if poisson_method is None
+                      else Method(poisson_method))
+    if poisson_method not in (Method.FFT_DIRECT, Method.CG):
+        raise ValueError("fused sharded projection supports FFT_DIRECT "
+                         f"and CG pressure solves (got {poisson_method})")
 
     nz, ny, nx = grid.nz, grid.ny, grid.nx
     n_shards = _mesh_z_size(mesh)
@@ -103,12 +113,24 @@ def make_fused_sharded_projection_step(grid: Grid, params: NSParams,
     from ..ops.pallas.projection_kernels import ProjectionKernels
     pk = ProjectionKernels(nzl + 2, ny, nx, grid.dx0, grid.dy0, grid.dz0,
                            grid.xmin, grid.ymin, dtype,
+                           beta=params.beta, T_ref=params.T_ref,
+                           gravity=params.gravity,
                            interpret=interpret, global_nz=nz)
     if not (pk.ok and pk.btilde_k is not None):
         raise ValueError("fused sharded projection: kernel build failed")
 
     problem = PoissonProblem(nx, ny, nz, grid.dx0, grid.dy0, grid.dz0)
-    pencil = make_btilde_pipeline_sharded(problem, "z", n_shards, dtype)
+    pencil = cg_local = None
+    if poisson_method == Method.CG:
+        from .fused_cg import make_cg_fused_sharded_local
+        cg_local = make_cg_fused_sharded_local(
+            problem, poisson_params or PoissonParams(), n_shards,
+            dtype=dtype, interpret=interpret)
+        if cg_local is None:
+            raise ValueError("fused sharded projection: CG kernel build "
+                             "failed")
+    else:
+        pencil = make_btilde_pipeline_sharded(problem, "z", n_shards, dtype)
     energy_step = make_energy_step(grid, params.alpha,
                                    params.heat_source_func)
 
@@ -137,26 +159,42 @@ def make_fused_sharded_projection_step(grid: Grid, params: NSParams,
         out = out.at[-1].set(jnp.where(last, shell_src[-1], out[-1]))
         return out
 
-    def local_step(u, v, w, p, dt, rho0, su_amp, sv_amp):
+    def local_step(u, v, w, p, T, dt, rho0, su_amp, sv_amp):
         idx = lax.axis_index("z")
         first = idx == 0
         last = idx == n_shards - 1
 
         s_pred = jnp.stack([dt, jnp.asarray(params.mu, dtype),
                             su_amp, sv_amp])
-        us = pk.pred_u(s_pred, hpad(u), zpad(v), zpad(w))[0][1:-1]
-        vs = pk.pred_v(s_pred, hpad(v), zpad(u), zpad(w))[0][1:-1]
-        ws = pk.pred_w(s_pred, hpad(w), zpad(u), zpad(v))[0][1:-1]
+        # Buoyancy (when compiled in): step-start T rides as one extra
+        # plane-only input (pad planes never read).
+        eT = (zpad(T.astype(dtype)),) if pk.buoyant else ()
+        us = pk.pred_u(s_pred, hpad(u), zpad(v), zpad(w), *eT)[0][1:-1]
+        vs = pk.pred_v(s_pred, hpad(v), zpad(u), zpad(w), *eT)[0][1:-1]
+        ws = pk.pred_w(s_pred, hpad(w), zpad(u), zpad(v), *eT)[0][1:-1]
         us = fix_shell(us, u, first, last)
         vs = fix_shell(vs, v, first, last)
         ws = fix_shell(ws, w, first, last)
 
-        bt = pk.btilde(zpad(us), zpad(vs), hpad(ws), zpad(p),
-                       rho0 / dt, z_offset=idx * nzl)[1:-1]
-        zero = jnp.zeros_like(bt[0])
-        bt = fix_shell(bt, jnp.stack([zero, zero]), first, last)
-
-        p_new = pencil(bt)
+        if cg_local is not None:
+            (rhs_loc,) = pk.divergence((rho0 / dt)[None], hpad(ws),
+                                       zpad(us), zpad(vs))
+            rhs_loc = rhs_loc[1:-1]
+            zero = jnp.zeros_like(rhs_loc[0])
+            rhs_loc = fix_shell(rhs_loc, jnp.stack([zero, zero]),
+                                first, last)
+            pres = cg_local(p, rhs_loc)
+            p_new = pres.x
+            p_res = pres.final_residual
+            p_ok = pres.status == 0
+        else:
+            bt = pk.btilde(zpad(us), zpad(vs), hpad(ws), zpad(p),
+                           rho0 / dt, z_offset=idx * nzl)[1:-1]
+            zero = jnp.zeros_like(bt[0])
+            bt = fix_shell(bt, jnp.stack([zero, zero]), first, last)
+            p_new = pencil(bt)
+            p_res = jnp.zeros((), dtype)
+            p_ok = jnp.bool_(True)
 
         s_corr = (dt / rho0)[None]
         un = pk.corr_u(s_corr, zpad(us), zpad(p_new))[0][1:-1]
@@ -165,13 +203,13 @@ def make_fused_sharded_projection_step(grid: Grid, params: NSParams,
         un = fix_shell(un, us, first, last)
         vn = fix_shell(vn, vs, first, last)
         wn = fix_shell(wn, ws, first, last)
-        return un, vn, wn, p_new
+        return un, vn, wn, p_new, p_res, p_ok
 
     spec = P("z", None, None)
     smapped = jax.shard_map(
         local_step, mesh=mesh,
-        in_specs=(spec, spec, spec, spec, P(), P(), P(), P()),
-        out_specs=(spec, spec, spec, spec),
+        in_specs=(spec, spec, spec, spec, spec, P(), P(), P(), P()),
+        out_specs=(spec, spec, spec, spec, P(), P()),
         check_vma=False)
 
     def step(field: FlowField, dt, iter_idx):
@@ -183,8 +221,9 @@ def make_fused_sharded_projection_step(grid: Grid, params: NSParams,
         su = jnp.asarray(params.source_amplitude_u, dtype) * decay
         sv = jnp.asarray(params.source_amplitude_v, dtype) * decay
 
-        u, v, w, p = smapped(field.u, field.v, field.w, field.p,
-                             dt, rho0, su, sv)
+        u, v, w, p, p_res, p_ok = smapped(field.u, field.v, field.w,
+                                          field.p, field.T,
+                                          dt, rho0, su, sv)
         new_field = field.replace(u=u, v=v, w=w, p=p)
 
         # Energy + thermal BCs run as plain sharded jnp (GSPMD partitions
@@ -198,10 +237,11 @@ def make_fused_sharded_projection_step(grid: Grid, params: NSParams,
                 T=apply_thermal_bcs(new_field.T, params.thermal_bc))
 
         finite, vmax, pmax, tmax = field_status_and_diagnostics(new_field)
-        status = jnp.where(~finite, jnp.int32(-6), jnp.int32(0))
+        status = jnp.where(~finite, jnp.int32(-6),
+                           jnp.where(p_ok, jnp.int32(0), jnp.int32(-7)))
         return new_field, StepResult(
             iterations=jnp.int32(1), status=status,
-            residual=jnp.zeros((), dtype),
+            residual=p_res,
             max_velocity=vmax, max_pressure=pmax, max_temperature=tmax)
 
     return step
@@ -397,9 +437,8 @@ def fused_sharded_rk_unsupported_reason(grid: Grid, params: NSParams,
     if not (grid.is_uniform("x") and grid.is_uniform("y")
             and grid.is_uniform("z")):
         return "fused rk needs uniform spacing"
-    if (params.source_func is not None or params.heat_source_func is not None
-            or params.buoyancy_enabled or params.energy_enabled):
-        return "custom sources / thermal coupling use the jnp path"
+    if params.source_func is not None or params.heat_source_func is not None:
+        return "custom source callables use the jnp path"
     return None
 
 
@@ -415,6 +454,8 @@ def make_fused_sharded_rk_step(grid: Grid, params: NSParams, mesh: Mesh,
     if reason is not None:
         raise ValueError(f"fused sharded rk unsupported: {reason}")
     validate_grid_for_solver(grid, grid.shape)
+    if params.energy_enabled:
+        validate_thermal_bc(params.thermal_bc, grid)
     if interpret is None:
         interpret = mesh.devices.flat[0].platform != "tpu"
 
@@ -423,14 +464,19 @@ def make_fused_sharded_rk_step(grid: Grid, params: NSParams, mesh: Mesh,
     nzl = nz // n_shards
 
     from ..ops.pallas.rk_kernels import make_rk_stage
+    thermal_kw = dict(alpha=params.alpha, beta=params.beta,
+                      T_ref=params.T_ref, gravity=params.gravity,
+                      thermal_bc=params.thermal_bc)
     mid = make_rk_stage(nzl + 2, ny, nx, grid.dx0, grid.dy0, grid.dz0,
                         grid.xmin, grid.ymin, params.mu,
                         params.pressure_coupling, final=False,
-                        global_nz=nz, dtype=dtype, interpret=interpret)
+                        global_nz=nz, dtype=dtype, interpret=interpret,
+                        **thermal_kw)
     fin = make_rk_stage(nzl + 2, ny, nx, grid.dx0, grid.dy0, grid.dz0,
                         grid.xmin, grid.ymin, params.mu,
                         params.pressure_coupling, final=True,
-                        global_nz=nz, dtype=dtype, interpret=interpret)
+                        global_nz=nz, dtype=dtype, interpret=interpret,
+                        **thermal_kw)
     if mid is None or fin is None:
         raise ValueError("fused sharded rk: kernel build failed")
 
@@ -472,17 +518,50 @@ def make_fused_sharded_rk_step(grid: Grid, params: NSParams, mesh: Mesh,
         out = out.at[-1].set(jnp.where(last, src[-1], out[-1]))
         return out
 
-    def wrap_z_shell(out, first, last):
-        if n_shards == 1:
-            src_lo, src_hi = out[nzl - 2:nzl - 1], out[1:2]
+    def wrap_z_shell(out, first, last, zspec=("periodic", "periodic")):
+        """Global z-shell restore per face: "periodic" (cross-shard wrap),
+        "neumann" (adjacent interior plane, local to the edge shard), or a
+        float Dirichlet constant — the thermal z-face semantics."""
+        lo_spec, hi_spec = zspec
+        if lo_spec == "periodic":
+            if n_shards == 1:
+                src_lo = out[nzl - 2:nzl - 1]
+            else:
+                src_lo = lax.ppermute(out[nzl - 2:nzl - 1], "z",
+                                      [(n_shards - 1, 0)])
+        elif lo_spec == "neumann":
+            src_lo = out[1:2]
         else:
-            src_lo = lax.ppermute(out[nzl - 2:nzl - 1], "z",
-                                  [(n_shards - 1, 0)])
-            src_hi = lax.ppermute(out[1:2], "z", [(0, n_shards - 1)])
+            src_lo = jnp.full_like(out[0:1], lo_spec)
+        if hi_spec == "periodic":
+            if n_shards == 1:
+                src_hi = out[1:2]
+            else:
+                src_hi = lax.ppermute(out[1:2], "z", [(0, n_shards - 1)])
+        elif hi_spec == "neumann":
+            src_hi = out[nzl - 2:nzl - 1]
+        else:
+            src_hi = jnp.full_like(out[0:1], hi_spec)
         out = out.at[0:1].set(jnp.where(first, src_lo, out[0:1]))
         out = out.at[nzl - 1:nzl].set(jnp.where(last, src_hi,
                                                 out[nzl - 1:nzl]))
         return out
+
+    t_zspec = ("periodic", "periodic")
+    if params.energy_enabled:
+        from ..boundary.types import BCType
+
+        def zspec_of(bc, value):
+            bc = BCType(bc)
+            if bc == BCType.DIRICHLET:
+                return float(value)
+            if bc == BCType.NEUMANN:
+                return "neumann"
+            return "periodic"
+        t_zspec = (zspec_of(params.thermal_bc.back,
+                            params.thermal_bc.dirichlet_values.back),
+                   zspec_of(params.thermal_bc.front,
+                            params.thermal_bc.dirichlet_values.front))
 
     def local_step(u, v, w, p, rho, T, dtc, su, sv):
         idx = lax.axis_index("z")
@@ -525,13 +604,14 @@ def make_fused_sharded_rk_step(grid: Grid, params: NSParams, mesh: Mesh,
                        *(hpad(s) for s in s3), Tp_, *q0p, rhop,
                        *a3, *pins(s3))
         un, vn, wn, pn, rn, Tn = (o[1:-1] for o in outs[:6])
-        # RK wraps ALL variables periodically (no velocity restore)
+        # RK wraps ALL variables periodically (no velocity restore); T's
+        # z-faces honor the thermal BC config when the energy eq is on.
         un = wrap_z_shell(un, first, last)
         vn = wrap_z_shell(vn, first, last)
         wn = wrap_z_shell(wn, first, last)
         pn = wrap_z_shell(pn, first, last)
         rn = wrap_z_shell(rn, first, last)
-        Tn = wrap_z_shell(Tn, first, last)
+        Tn = wrap_z_shell(Tn, first, last, t_zspec)
         return un, vn, wn, pn, rn, Tn
 
     spec = P("z", None, None)

@@ -44,6 +44,8 @@ def make_sharded_step(grid: Grid, params: NSParams, mesh: Mesh,
     back to the GSPMD jnp step with a logged warning — the single-chip
     manual-DMA kernels are never run under GSPMD partitioning, where their
     shell passthrough would be silently wrong at shard boundaries.
+    ``strict=True`` turns that silent fallback into a ValueError carrying
+    the disqualifying reason, for callers who *require* kernel speed.
     """
     import jax.numpy as jnp
 
@@ -53,6 +55,23 @@ def make_sharded_step(grid: Grid, params: NSParams, mesh: Mesh,
 
     use_pallas = bool(kw.pop("use_pallas", False)
                       or kw.pop("use_pallas_cg", False))
+    strict = bool(kw.pop("strict", False))
+
+    def fallback(reason):
+        if strict:
+            raise ValueError(
+                f"use_pallas strict: fused sharded {method} unavailable: "
+                f"{reason}")
+        warning("parallel", "use_pallas: %s; falling back to the "
+                "GSPMD jnp path", reason)
+
+    def finish(raw):
+        sharding = field_sharding(mesh, grid.nz > 1)
+        out_field = FlowField(u=sharding, v=sharding, w=sharding,
+                              p=sharding, rho=sharding, T=sharding)
+        step = jax.jit(raw, out_shardings=(out_field, None))
+        return step, lambda field: shard_field(field, mesh)
+
     if use_pallas:
         dtype = kw.get("dtype") or jnp.float32
         if method == "explicit_euler":
@@ -61,50 +80,38 @@ def make_sharded_step(grid: Grid, params: NSParams, mesh: Mesh,
             reason = fused_sharded_euler_unsupported_reason(grid, params,
                                                             mesh, dtype)
             if reason is None:
-                raw = make_fused_sharded_euler_step(
+                return finish(make_fused_sharded_euler_step(
                     grid, params, mesh, dtype=dtype,
-                    interpret=kw.get("pallas_interpret"))
-                sharding = field_sharding(mesh, grid.nz > 1)
-                out_field = FlowField(u=sharding, v=sharding, w=sharding,
-                                      p=sharding, rho=sharding, T=sharding)
-                step = jax.jit(raw, out_shardings=(out_field, None))
-                return step, lambda field: shard_field(field, mesh)
-            warning("parallel", "use_pallas: %s; falling back to the "
-                    "GSPMD jnp path", reason)
+                    interpret=kw.get("pallas_interpret")))
+            fallback(reason)
         elif method in ("rk2", "rk4"):
             from .fused import (fused_sharded_rk_unsupported_reason,
                                 make_fused_sharded_rk_step)
             reason = fused_sharded_rk_unsupported_reason(grid, params,
                                                          mesh, dtype)
             if reason is None:
-                raw = make_fused_sharded_rk_step(
+                return finish(make_fused_sharded_rk_step(
                     grid, params, mesh, order=2 if method == "rk2" else 4,
-                    dtype=dtype, interpret=kw.get("pallas_interpret"))
-                sharding = field_sharding(mesh, grid.nz > 1)
-                out_field = FlowField(u=sharding, v=sharding, w=sharding,
-                                      p=sharding, rho=sharding, T=sharding)
-                step = jax.jit(raw, out_shardings=(out_field, None))
-                return step, lambda field: shard_field(field, mesh)
-            warning("parallel", "use_pallas: %s; falling back to the "
-                    "GSPMD jnp path", reason)
+                    dtype=dtype, interpret=kw.get("pallas_interpret")))
+            fallback(reason)
         elif method != "projection":
-            warning("parallel", "use_pallas: no fused sharded %s step; "
-                    "falling back to the GSPMD jnp path", method)
+            fallback(f"no fused sharded {method} step")
         else:
             reason = fused_sharded_unsupported_reason(grid, params, mesh,
                                                       dtype)
+            pm = kw.get("poisson_method")
+            from ..solvers.poisson.base import Method
+            if pm is not None and Method(pm) not in (Method.FFT_DIRECT,
+                                                     Method.CG):
+                reason = reason or (f"no fused sharded {Method(pm).name} "
+                                    "pressure solve (FFT_DIRECT/CG only)")
             if reason is None:
-                raw = make_fused_sharded_projection_step(
+                return finish(make_fused_sharded_projection_step(
                     grid, params, mesh, dtype=dtype,
                     poisson_params=kw.get("poisson_params"),
-                    interpret=kw.get("pallas_interpret"))
-                sharding = field_sharding(mesh, grid.nz > 1)
-                out_field = FlowField(u=sharding, v=sharding, w=sharding,
-                                      p=sharding, rho=sharding, T=sharding)
-                step = jax.jit(raw, out_shardings=(out_field, None))
-                return step, lambda field: shard_field(field, mesh)
-            warning("parallel", "use_pallas: %s; falling back to the "
-                    "GSPMD jnp path", reason)
+                    poisson_method=pm,
+                    interpret=kw.get("pallas_interpret")))
+            fallback(reason)
     # Explicit off for every builder: the single-chip kernels' auto-on-TPU
     # default must never engage under GSPMD partitioning (shard-boundary
     # shell passthrough / periodic wraps would be silently wrong).

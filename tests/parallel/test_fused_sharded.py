@@ -331,3 +331,105 @@ def test_fused_sharded_euler_convection_matches_jnp():
         np.testing.assert_allclose(np.asarray(getattr(ff, name)),
                                    np.asarray(getattr(fr, name)),
                                    atol=1e-5, err_msg=name)
+
+
+def test_fused_sharded_projection_convection_matches_jnp(grid, zmesh):
+    """Natural-convection configuration (energy + Boussinesq + mixed
+    thermal faces) through the fused sharded projection: buoyant predictor
+    kernels (T rides as an extra plane input), pencil DST, GSPMD energy
+    step — matches the single-device jnp step (the de Vahl Davis coupling,
+    `energy_solver.h:43-87` called from `solver_projection.c:256-268`)."""
+    from cfd_tpu.boundary.types import (BCType, DirichletValues,
+                                        ThermalBCConfig)
+
+    thermal = ThermalBCConfig(
+        left=BCType.DIRICHLET, right=BCType.DIRICHLET,
+        bottom=BCType.NEUMANN, top=BCType.NEUMANN,
+        dirichlet_values=DirichletValues(left=305.0, right=295.0))
+    params = NSParams(source_amplitude_u=0.0, source_amplitude_v=0.0,
+                      alpha=1e-3, beta=0.05, T_ref=300.0,
+                      gravity=(0.0, -9.81, 0.05), thermal_bc=thermal)
+    rng = np.random.default_rng(29)
+    f = _random_field(grid, seed=19)
+    f = f.replace(T=jnp.asarray(300.0 + rng.normal(0, 1.0, grid.shape),
+                                jnp.float32))
+
+    from cfd_tpu.parallel.fused import fused_sharded_unsupported_reason
+    assert fused_sharded_unsupported_reason(
+        grid, params, zmesh, jnp.float32) is None
+
+    ref_step = jax.jit(make_projection_step(
+        grid, params, dtype=jnp.float32,
+        poisson_method=Method.FFT_DIRECT))
+    f_ref, rr = ref_step(f, 0.001, 0)
+
+    step, place = make_sharded_step(grid, params, zmesh, "projection",
+                                    use_pallas=True, dtype=jnp.float32)
+    f_out, rf = step(place(f), 0.001, 0)
+    assert int(rr.status) == int(rf.status) == 0
+    for name in ("u", "v", "w", "T"):
+        np.testing.assert_allclose(np.asarray(getattr(f_out, name)),
+                                   np.asarray(getattr(f_ref, name)),
+                                   atol=5e-6, err_msg=name)
+    np.testing.assert_allclose(np.asarray(f_out.p), np.asarray(f_ref.p),
+                               atol=5e-5)
+
+
+def test_fused_sharded_rk4_convection_matches_jnp():
+    """Energy + Boussinesq + thermal faces through the fused sharded RK4:
+    buoyancy in every stage's sources, T advected by the final velocities,
+    thermal z-shells resolved per face type across shards."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from cfd_tpu import FlowField, Grid
+    from cfd_tpu.boundary.types import (BCType, DirichletValues,
+                                        ThermalBCConfig)
+    from cfd_tpu.parallel import make_mesh, make_sharded_step
+    from cfd_tpu.parallel.fused import fused_sharded_rk_unsupported_reason
+    from cfd_tpu.solvers.ns import NSParams
+    from cfd_tpu.solvers.ns.rk import make_rk4_step
+
+    thermal = ThermalBCConfig(
+        left=BCType.DIRICHLET, right=BCType.DIRICHLET,
+        bottom=BCType.NEUMANN, top=BCType.NEUMANN,
+        back=BCType.NEUMANN, front=BCType.DIRICHLET,
+        dirichlet_values=DirichletValues(left=305.0, right=295.0,
+                                         front=300.0))
+    g = Grid.uniform(128, 16, 24, zmin=0.0, zmax=1.0)
+    params = NSParams(source_amplitude_u=0.0, source_amplitude_v=0.0,
+                      alpha=1e-3, beta=0.05, T_ref=300.0,
+                      gravity=(0.0, -9.81, 0.0), thermal_bc=thermal)
+    mesh = make_mesh(axes=("z",))
+    assert fused_sharded_rk_unsupported_reason(
+        g, params, mesh, jnp.float32) is None
+
+    rng = np.random.default_rng(31)
+    f = FlowField.initialize(g, dtype=jnp.float32)
+    f = f.replace(u=jnp.asarray(rng.normal(0, 0.1, g.shape), jnp.float32),
+                  T=jnp.asarray(300.0 + rng.normal(0, 1.0, g.shape),
+                                jnp.float32))
+
+    ref = jax.jit(make_rk4_step(g, params, dtype=jnp.float32,
+                                use_pallas=False))
+    fr, rr = ref(f, 1e-4, 0)
+
+    step, place = make_sharded_step(g, params, mesh, "rk4",
+                                    use_pallas=True, dtype=jnp.float32)
+    ff, rf = step(place(f), 1e-4, 0)
+    assert int(rr.status) == int(rf.status) == 0
+    for name in ("u", "v", "w", "p", "T"):
+        np.testing.assert_allclose(np.asarray(getattr(ff, name)),
+                                   np.asarray(getattr(fr, name)),
+                                   atol=1e-5, err_msg=name)
+
+
+def test_strict_fallback_raises(grid):
+    """use_pallas + strict=True surfaces the disqualifying reason instead
+    of silently running the 15x-slower GSPMD jnp path."""
+    params = NSParams()
+    mesh2d = make_mesh(axes=("z", "y"))   # y>1 -> fused path must refuse
+    with pytest.raises(ValueError, match="z-only mesh"):
+        make_sharded_step(grid, params, mesh2d, "projection",
+                          use_pallas=True, strict=True, dtype=jnp.float32)

@@ -1,0 +1,277 @@
+"""Fused Pallas kernels for the multigrid V-cycle smoother.
+
+The multigrid solver (`solvers/poisson/multigrid.py`) smooths with
+red-black Gauss-Seidel in the Dirichlet-0 correction space.  The jnp
+sweep costs ~4 roll-limited HBM passes per color (~60 GB/s effective);
+this module supplies the same one-pass wavefront trick as the RB-SOR
+kernel (`rbsor_kernels.py`): red and black half-sweeps in a single
+streaming pass (red[k+1] is produced one plane ahead of black[k] from a
+VMEM ring), optionally emitting the post-sweep residual FIELD
+r = b − A·x_new one more plane behind — the input the restriction needs,
+for free.
+
+Multigrid grids are vertex-centered 2^k+1 (513, 257, …), which breaks the
+rolling engine's lane/sublane alignment (nx % 128, ny % 8).  The kernels
+therefore operate on LANE-PADDED arrays: logical (nz, ny, nx) data stored
+as (nz, nyp, nxp) with zero padding, masks keyed on the logical dims.
+The padding rows/lanes are never updated (masked) and never read by an
+unmasked stencil, so they stay zero — callers pad once per V-cycle level
+and slice back at level exit (`multigrid._v_cycle` fast path).
+
+Semantics are identical to `multigrid._rb_sweep` (red-then-black order,
+gs = (b + nb)·inv_factor, zero shells), so the fused V-cycle converges
+iteration-for-iteration with the jnp path.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .rolling import _VMEM_BUDGET, shift_x, shift_y
+
+
+def pad_dims(ny: int, nx: int) -> tuple:
+    """Smallest (nyp, nxp) satisfying the TPU tiling constraints."""
+    nyp = ((ny + 7) // 8) * 8
+    nxp = ((nx + 127) // 128) * 128
+    return nyp, nxp
+
+
+def mg_sweep_supported(nz: int, ny: int, nx: int) -> bool:
+    if nz < 3:
+        return False
+    nyp, nxp = pad_dims(ny, nx)
+    return 23 * nyp * nxp * 4 <= _VMEM_BUDGET
+
+
+def make_mg_rb_sweep(nz: int, ny: int, nx: int,
+                     inv_dx2: float, inv_dy2: float, inv_dz2: float,
+                     inv_factor: float, emit_residual: bool,
+                     dtype=jnp.float32, interpret: bool = False):
+    """Build fn(x_pad, b_pad) → x_new_pad [, residual_pad], or None.
+
+    One full red-black Gauss-Seidel sweep of A x = b (A = −∇² on the
+    Dirichlet-0 interior) on (nz, nyp, nxp) lane-padded arrays; with
+    ``emit_residual`` the post-sweep r = b − A·x_new rides out of the same
+    pass (zero shell, zero padding).
+    """
+    if not mg_sweep_supported(nz, ny, nx):
+        return None
+    nyp, nxp = pad_dims(ny, nx)
+    rows = nz * nyp
+
+    def kernel(*refs):
+        if emit_residual:
+            (x_hbm, b_hbm, out_hbm, res_hbm,
+             xring, bring, redring, newring, resbuf,
+             in_sems, out_sems, res_sems) = refs
+        else:
+            (x_hbm, b_hbm, out_hbm,
+             xring, bring, redring, newring,
+             in_sems, out_sems) = refs
+            res_hbm = resbuf = res_sems = None
+
+        jj = jax.lax.broadcasted_iota(jnp.int32, (nyp, nxp), 0)
+        ii = jax.lax.broadcasted_iota(jnp.int32, (nyp, nxp), 1)
+        row_interior = (jj > 0) & (jj < ny - 1) & (ii > 0) & (ii < nx - 1)
+        parity_ij = jnp.bitwise_and(ii + jj, 1)
+
+        def in_dma(k, slot):
+            return (pltpu.make_async_copy(
+                        x_hbm.at[pl.ds(k * nyp, nyp), :],
+                        xring.at[jax.lax.rem(jnp.asarray(k, jnp.int32),
+                                             jnp.int32(4))],
+                        in_sems.at[slot, 0]),
+                    pltpu.make_async_copy(
+                        b_hbm.at[pl.ds(k * nyp, nyp), :],
+                        bring.at[jax.lax.rem(jnp.asarray(k, jnp.int32),
+                                             jnp.int32(5))],
+                        in_sems.at[slot, 1]))
+
+        def out_dma(k, slot):
+            return pltpu.make_async_copy(
+                newring.at[slot], out_hbm.at[pl.ds(k * nyp, nyp), :],
+                out_sems.at[slot])
+
+        def res_dma(k, slot):
+            return pltpu.make_async_copy(
+                resbuf.at[slot], res_hbm.at[pl.ds(k * nyp, nyp), :],
+                res_sems.at[slot])
+
+        def slot4(k):
+            return jax.lax.rem(jnp.asarray(k, jnp.int32) + jnp.int32(4),
+                               jnp.int32(4))
+
+        def slot5(k):
+            return jax.lax.rem(jnp.asarray(k, jnp.int32), jnp.int32(5))
+
+        def nb_sum(xm, xc, xp):
+            nb = ((shift_x(xc, 1) + shift_x(xc, -1)) * inv_dx2
+                  + (shift_y(xc, 1, nyp) + shift_y(xc, -1, nyp)) * inv_dy2)
+            if inv_dz2:
+                nb = nb + (xp + xm) * inv_dz2
+            return nb
+
+        def color_update(k, color, xm, xc, xp, b_plane):
+            """gs = (b + nb)·inv_factor at one color; other cells keep xc
+            (zeros stay zero on shells and padding)."""
+            k = jnp.asarray(k, jnp.int32)
+            kpar = jax.lax.rem(k, jnp.int32(2))
+            color_mask = (parity_ij == kpar) if color == 0 \
+                else (parity_ij != kpar)
+            mask = row_interior & color_mask
+            interior_k = (k > 0) & (k < nz - 1)
+            gs = (b_plane + nb_sum(xm, xc, xp)) * inv_factor
+            return jnp.where(mask & interior_k, gs, xc)
+
+        # ---- prologue: planes 0..2, red[0] (copy) and red[1] -------------
+        d = in_dma(0, 0)
+        d[0].start(); d[1].start()
+        d = in_dma(1, 1)
+        d[0].start(); d[1].start()
+        d = in_dma(0, 0)
+        d[0].wait(); d[1].wait()
+        d = in_dma(2, 0)
+        d[0].start(); d[1].start()
+        d = in_dma(1, 1)
+        d[0].wait(); d[1].wait()
+        d = in_dma(2, 0)
+        d[0].wait(); d[1].wait()
+        redring[pl.ds(0, 1)] = xring[pl.ds(0, 1)]
+        red1 = color_update(1, 0, xring[0], xring[1], xring[2], bring[1])
+        redring[pl.ds(1, 1)] = red1[None]
+        if nz >= 4:
+            d = in_dma(3, 1)
+            d[0].start(); d[1].start()
+
+        # ---- main loop: c = 1..nz−1 --------------------------------------
+        def body(c, _):
+            c = jnp.asarray(c, jnp.int32)
+
+            @pl.when(c + 2 <= nz - 1)
+            def _():
+                dx_, db_ = in_dma(c + 2, jax.lax.rem(c + 2, jnp.int32(2)))
+                dx_.wait(); db_.wait()
+
+            @pl.when(c + 3 <= nz - 1)
+            def _():
+                dx_, db_ = in_dma(c + 3, jax.lax.rem(c + 3, jnp.int32(2)))
+                dx_.start(); db_.start()
+
+            @pl.when(c + 1 <= nz - 1)
+            def _():
+                k1 = c + 1
+                red = color_update(k1, 0, xring[slot4(k1 - 1)],
+                                   xring[slot4(k1)], xring[slot4(k1 + 1)],
+                                   bring[slot5(k1)])
+                redring[pl.ds(slot4(k1), 1)] = red[None]
+
+            @pl.when(c <= nz - 2)
+            def _():
+                blk = color_update(c, 1, redring[slot4(c - 1)],
+                                   redring[slot4(c)], redring[slot4(c + 1)],
+                                   bring[slot5(c)])
+                s = slot4(c)
+
+                @pl.when(c >= 5)
+                def _():
+                    out_dma(c - 4, s).wait()
+
+                newring[pl.ds(s, 1)] = blk[None]
+                out_dma(c, s).start()
+
+            if emit_residual:
+                # residual[c−1] = b + ∇²x_new (interior; Dirichlet-0 z
+                # neighbors at the first/last interior planes are zero)
+                k = c - 1
+                nm = newring[slot4(k - 1)]
+                nc = newring[slot4(k)]
+                npl = newring[slot4(k + 1)]
+                zero = jnp.zeros_like(nc)
+                zm = jnp.where(k == 1, zero, nm)
+                zp = jnp.where(k == nz - 2, zero, npl)
+                lap = ((shift_x(nc, 1) - 2.0 * nc + shift_x(nc, -1))
+                       * inv_dx2
+                       + (shift_y(nc, 1, nyp) - 2.0 * nc
+                          + shift_y(nc, -1, nyp)) * inv_dy2)
+                if inv_dz2:
+                    lap = lap + (zp - 2.0 * nc + zm) * inv_dz2
+                r = jnp.where(row_interior, bring[slot5(k)] + lap, 0.0)
+                sres = jax.lax.rem(k, jnp.int32(2))
+
+                @pl.when(c >= 4)
+                def _():
+                    res_dma(k - 2, sres).wait()
+
+                @pl.when(c >= 2)
+                def _():
+                    resbuf[pl.ds(sres, 1)] = r[None]
+                    res_dma(k, sres).start()
+            return 0
+
+        jax.lax.fori_loop(1, nz, body, 0)
+
+        # ---- epilogue: drain writes, zero shells --------------------------
+        for k in range(max(1, nz - 5), nz - 1):
+            out_dma(k, k % 4).wait()
+        newring[pl.ds(0, 1)] = jnp.zeros((1, nyp, nxp), dtype)
+        out_dma(0, 0).start()
+        out_dma(0, 0).wait()
+        out_hbm_last = pltpu.make_async_copy(
+            newring.at[0], out_hbm.at[pl.ds((nz - 1) * nyp, nyp), :],
+            out_sems.at[1])
+        out_hbm_last.start()
+        out_hbm_last.wait()
+        if emit_residual:
+            # in-loop waits covered planes 1..nz−4; nz−3 and nz−2 remain
+            for k in range(max(1, nz - 3), nz - 1):
+                res_dma(k, k % 2).wait()
+            resbuf[pl.ds(0, 1)] = jnp.zeros((1, nyp, nxp), dtype)
+            res_dma(0, 0).start()
+            res_dma(0, 0).wait()
+            last = pltpu.make_async_copy(
+                resbuf.at[0], res_hbm.at[pl.ds((nz - 1) * nyp, nyp), :],
+                res_sems.at[1])
+            last.start()
+            last.wait()
+
+    n_out = 2 if emit_residual else 1
+    scratch = [
+        pltpu.VMEM((4, nyp, nxp), dtype),   # xring
+        pltpu.VMEM((5, nyp, nxp), dtype),   # b staging
+        pltpu.VMEM((4, nyp, nxp), dtype),   # red ring
+        pltpu.VMEM((4, nyp, nxp), dtype),   # new ring
+    ]
+    if emit_residual:
+        scratch.append(pltpu.VMEM((2, nyp, nxp), dtype))
+    scratch += [pltpu.SemaphoreType.DMA((2, 2)),
+                pltpu.SemaphoreType.DMA((4,))]
+    if emit_residual:
+        scratch.append(pltpu.SemaphoreType.DMA((2,)))
+
+    call = pl.pallas_call(
+        kernel,
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY),
+                  pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=[pl.BlockSpec(memory_space=pl.ANY)
+                   for _ in range(n_out)],
+        out_shape=[jax.ShapeDtypeStruct((rows, nxp), dtype)
+                   for _ in range(n_out)],
+        scratch_shapes=scratch,
+        compiler_params=pltpu.CompilerParams(
+            has_side_effects=True,
+            vmem_limit_bytes=_VMEM_BUDGET + 8 * 1024 * 1024),
+        interpret=interpret,
+    )
+
+    def sweep(x_pad, b_pad):
+        outs = call(x_pad.reshape(rows, nxp), b_pad.reshape(rows, nxp))
+        if emit_residual:
+            return (outs[0].reshape(nz, nyp, nxp),
+                    outs[1].reshape(nz, nyp, nxp))
+        return outs[0].reshape(nz, nyp, nxp)
+
+    return sweep

@@ -179,19 +179,36 @@ def _prolong(e_c, fine: _Level, coarse: _Level):
 
 
 def _v_cycle(levels: List[_Level], lvl: int, b, pre: int, post: int,
-             symmetric: bool):
+             symmetric: bool, fused=None):
     lv = levels[lvl]
-    x = jnp.zeros(lv.shape, b.dtype)
     if lvl == len(levels) - 1:
         # Coarsest: enough sweeps to solve nearly exactly.
+        x = jnp.zeros(lv.shape, b.dtype)
         for _ in range(40):
             x = _rb_sweep(x, b, lv)
         return x
+    kf = fused[lvl] if fused is not None else None
+    if kf is not None:
+        sweep, sweep_res = kf
+        nyp, nxp = _pad_dims(lv)
+        bp = _pad(b, nyp, nxp)
+        xp = jnp.zeros_like(bp)
+        for _ in range(pre - 1):
+            xp = sweep(xp, bp)
+        xp, rp = sweep_res(xp, bp)
+        r = _unpad(rp, lv)
+        r_c = _restrict(r, lv, levels[lvl + 1])
+        e_c = _v_cycle(levels, lvl + 1, r_c, pre, post, symmetric, fused)
+        xp = xp + _pad(_prolong(e_c, lv, levels[lvl + 1]), nyp, nxp)
+        for _ in range(post):
+            xp = sweep(xp, bp)
+        return _unpad(xp, lv)
+    x = jnp.zeros(lv.shape, b.dtype)
     for _ in range(pre):
         x = _rb_sweep(x, b, lv, ("red", "black"))
     r = _zero_shell(b - _A(x, lv))
     r_c = _restrict(r, lv, levels[lvl + 1])
-    e_c = _v_cycle(levels, lvl + 1, r_c, pre, post, symmetric)
+    e_c = _v_cycle(levels, lvl + 1, r_c, pre, post, symmetric, fused)
     x = x + _prolong(e_c, lv, levels[lvl + 1])
     order = ("black", "red") if symmetric else ("red", "black")
     for _ in range(post):
@@ -199,16 +216,73 @@ def _v_cycle(levels: List[_Level], lvl: int, b, pre: int, post: int,
     return x
 
 
+def _pad_dims(lv: _Level):
+    from ...ops.pallas.mg_kernels import pad_dims
+    return pad_dims(lv.shape[1], lv.shape[2])
+
+
+def _pad(a, nyp, nxp):
+    nz, ny, nx = a.shape
+    return jnp.pad(a, ((0, 0), (0, nyp - ny), (0, nxp - nx)))
+
+
+def _unpad(a, lv: _Level):
+    return a[:, :lv.shape[1], :lv.shape[2]]
+
+
+def _build_fused_levels(levels: List[_Level], pre: int, post: int,
+                        dtype, interpret: bool,
+                        min_fused_nx: int) -> Optional[list]:
+    """Per-level fused (sweep, sweep+residual) kernel pairs; None entries
+    fall back to the jnp sweep (coarse levels, unsupported shapes)."""
+    from ...ops.pallas.mg_kernels import make_mg_rb_sweep, mg_sweep_supported
+
+    if pre < 1 or post < 1 or dtype != jnp.float32:
+        return None
+    out = []
+    for i, lv in enumerate(levels):
+        nz, ny, nx = lv.shape
+        kf = None
+        if (i < len(levels) - 1 and nz > 2 and nx >= min_fused_nx
+                and mg_sweep_supported(nz, ny, nx)):
+            sweep = make_mg_rb_sweep(nz, ny, nx, lv.inv_dx2, lv.inv_dy2,
+                                     lv.inv_dz2, lv.inv_factor, False,
+                                     dtype, interpret)
+            sweep_res = make_mg_rb_sweep(nz, ny, nx, lv.inv_dx2,
+                                         lv.inv_dy2, lv.inv_dz2,
+                                         lv.inv_factor, True, dtype,
+                                         interpret)
+            if sweep is not None and sweep_res is not None:
+                kf = (sweep, sweep_res)
+        out.append(kf)
+    return out if any(k is not None for k in out) else None
+
+
 def make_multigrid(problem: PoissonProblem, params: PoissonParams,
-                   pre: int = 2, post: int = 2):
+                   pre: int = 2, post: int = 2, use_pallas: bool = None,
+                   pallas_interpret: bool = False, min_fused_nx: int = 129):
     """Standalone V-cycle iteration solving ∇²x = rhs (Neumann outer shell,
-    Dirichlet-0 correction space — the Krylov convention)."""
+    Dirichlet-0 correction space — the Krylov convention).
+
+    ``use_pallas=None`` (auto) enables the fused wavefront RB sweeps
+    (`ops/pallas/mg_kernels.py`: red+black+residual in one streaming pass
+    on lane-padded 2^k+1 arrays) on TPU backends for float32 3D levels
+    with nx ≥ ``min_fused_nx``; coarse/unsupported levels keep the jnp
+    sweep.  Gauss-Seidel is affine in (x, b), so smoothing the running
+    iterate in place of the zero-initialized correction is algebraically
+    identical — iteration counts match the jnp path."""
     levels = _build_levels(problem)
     if levels is None:
         return None
     ci = max(1, int(params.check_interval))
     max_iter = int(params.max_iterations)
     abs_tol = params.absolute_tolerance
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    fused = None
+    if use_pallas and problem.is_3d:
+        fused = _build_fused_levels(levels, pre, post, jnp.float32,
+                                    pallas_interpret, min_fused_nx)
 
     def solve(x, rhs):
         x = problem.neumann_bc(x)
@@ -221,20 +295,50 @@ def make_multigrid(problem: PoissonProblem, params: PoissonParams,
         def cond(c):
             return c[3] & (c[1] < max_iter)
 
-        def body(c):
-            e, it, res, _ = c
-            r = problem.zero_boundary(b - _A(e, levels[0]))
-            de = _v_cycle(levels, 0, r, pre, post, symmetric=False)
-            e = e + de
-            r2 = problem.zero_boundary(b - _A(e, levels[0]))
-            res_new = jnp.sqrt(problem.dot_interior(r2, r2))
-            check = (it % ci) == 0
-            converged = check & ((res_new < tol) | (res_new < abs_tol))
-            return (e, it + 1, res_new, ~converged)
+        if fused is not None and fused[0] is not None:
+            # Fast path: smooth the iterate directly (V-cycle with initial
+            # guess); the pre/post residuals ride the fused sweeps, so the
+            # standalone r / r2 passes of the jnp body disappear.
+            sweep0, sweep_res0 = fused[0]
+            lv0 = levels[0]
+            nyp, nxp = _pad_dims(lv0)
 
-        e0 = jnp.zeros_like(b)
-        e_f, it_f, res_f, running = lax.while_loop(
-            cond, body, (e0, jnp.int32(0), initial_res, ~already))
+            def body_fused(c):
+                e_p, it, res, _ = c
+                for _ in range(pre - 1):
+                    e_p = sweep0(e_p, bp)
+                e_p, rp = sweep_res0(e_p, bp)
+                r_c = _restrict(_unpad(rp, lv0), lv0, levels[1])
+                de_c = _v_cycle(levels, 1, r_c, pre, post, False, fused)
+                e_p = e_p + _pad(_prolong(de_c, lv0, levels[1]), nyp, nxp)
+                for _ in range(post - 1):
+                    e_p = sweep0(e_p, bp)
+                e_p, rp2 = sweep_res0(e_p, bp)
+                res_new = jnp.sqrt(jnp.sum(rp2 * rp2))
+                check = (it % ci) == 0
+                converged = check & ((res_new < tol) | (res_new < abs_tol))
+                return (e_p, it + 1, res_new, ~converged)
+
+            bp = _pad(b, nyp, nxp)
+            e0 = jnp.zeros_like(bp)
+            e_f, it_f, res_f, running = lax.while_loop(
+                cond, body_fused, (e0, jnp.int32(0), initial_res, ~already))
+            e_f = _unpad(e_f, lv0)
+        else:
+            def body(c):
+                e, it, res, _ = c
+                r = problem.zero_boundary(b - _A(e, levels[0]))
+                de = _v_cycle(levels, 0, r, pre, post, False, fused)
+                e = e + de
+                r2 = problem.zero_boundary(b - _A(e, levels[0]))
+                res_new = jnp.sqrt(problem.dot_interior(r2, r2))
+                check = (it % ci) == 0
+                converged = check & ((res_new < tol) | (res_new < abs_tol))
+                return (e, it + 1, res_new, ~converged)
+
+            e0 = jnp.zeros_like(b)
+            e_f, it_f, res_f, running = lax.while_loop(
+                cond, body, (e0, jnp.int32(0), initial_res, ~already))
         x_f = problem.neumann_bc(x + e_f)
         converged = (res_f < tol) | (res_f < abs_tol) | already
         status = jnp.where(converged, jnp.int32(PoissonStatus.CONVERGED),

@@ -42,6 +42,7 @@ def test_multigrid_converges_fast_2d():
                                atol=5e-5)
 
 
+@pytest.mark.heavy
 def test_multigrid_iterations_grid_independent():
     iters = []
     for n in (33, 65, 129):
@@ -104,3 +105,31 @@ def test_projection_with_multigrid_pressure_solver():
     f, res = step(FlowField.initialize(grid), 1e-3, 0)
     assert int(res.status) == 0
     assert bool(f.is_finite())
+
+
+@pytest.mark.heavy
+def test_multigrid_fused_matches_jnp():
+    """Fused wavefront RB sweeps (lane-padded, red+black+residual in one
+    pass) converge iteration-for-iteration with the jnp V-cycle and land
+    on the same solution (Gauss-Seidel affinity makes smoothing the
+    iterate identical to smoothing the zero-initialized correction)."""
+    from cfd_tpu.solvers.poisson.base import PoissonProblem
+    from cfd_tpu.solvers.poisson.multigrid import make_multigrid
+
+    n = 33
+    h, rhs = system(n, nz=n)
+    rhs = jnp.asarray(rhs, jnp.float32)
+    prob = PoissonProblem(n, n, n, h, h, h)
+    pp = PoissonParams(tolerance=1e-6)
+    x0 = jnp.zeros((n, n, n), jnp.float32)
+
+    ref = make_multigrid(prob, pp, use_pallas=False)
+    r_ref = ref(x0, rhs)
+    fus = make_multigrid(prob, pp, use_pallas=True, pallas_interpret=True,
+                         min_fused_nx=0)
+    r_fus = fus(x0, rhs)
+
+    assert int(r_ref.status) == int(r_fus.status) == 0
+    assert int(r_fus.iterations) == int(r_ref.iterations)
+    np.testing.assert_allclose(np.asarray(r_fus.x), np.asarray(r_ref.x),
+                               atol=1e-5)

@@ -39,8 +39,17 @@ class Projection2DKernels:
     """The two fused kernels for one (2D grid geometry, dtype)."""
 
     def __init__(self, ny, nx, dx, dy, xmin, ymin, dtype=jnp.float32,
-                 emit="btilde", with_sources=True, interpret=False):
+                 emit="btilde", with_sources=True, interpret=False,
+                 global_ny=None):
+        """``global_ny``: sharded (y-decomposed) mode — the kernels operate
+        on a halo-padded local row block of ``ny`` rows belonging to a
+        global ``global_ny``-row domain; each kernel takes the shard's
+        global row offset as an extra trailing scalar so interior masks,
+        b̃ face coefficients, and source coordinates land on GLOBAL rows.
+        Used by ``cfd_tpu.parallel.fused`` inside ``shard_map``."""
         self.shape = (ny, nx)
+        self.global_ny = global_ny
+        gn = ny if global_ny is None else global_ny
         inv_2dx = 1.0 / (2.0 * dx)
         inv_2dy = 1.0 / (2.0 * dy)
         inv_dx2 = 1.0 / (dx * dx)
@@ -55,10 +64,12 @@ class Projection2DKernels:
             return jg, ii
 
         def interior(jg, ii):
-            return (jg > 0) & (jg < ny - 1) & (ii > 0) & (ii < nx - 1)
+            return (jg > 0) & (jg < gn - 1) & (ii > 0) & (ii < nx - 1)
 
         def pred_bt_compute(row0, scalars, halos, planes):
-            dt, nu, su_amp, sv_amp, rod = scalars
+            dt, nu, su_amp, sv_amp, rod = scalars[:5]
+            if global_ny is not None:
+                row0 = row0 + scalars[5].astype(jnp.int32)
             (um, uc, up), (vm, vc, vp), (wm, wc, wp) = halos
             (pc,) = planes
             B = uc.shape[0]
@@ -111,18 +122,21 @@ class Projection2DKernels:
                 coeff = (inv_dx2 * ((ii == 1).astype(dtype)
                                     + (ii == nx - 2).astype(dtype))
                          + inv_dy2 * ((jg == 1).astype(dtype)
-                                      + (jg == ny - 2).astype(dtype)))
+                                      + (jg == gn - 2).astype(dtype)))
                 out = jnp.where(mask, coeff * pc - rod * div, zero)
             else:
                 out = jnp.where(mask, rod * div, zero)
             return [us_e[1:-1], vs_e[1:-1], ws_e[1:-1], out]
 
         self.pred_bt = make_marching_stencil_2d(
-            ny, nx, 3, 1, 4, pred_bt_compute, dtype, n_scalars=5,
+            ny, nx, 3, 1, 4, pred_bt_compute, dtype,
+            n_scalars=5 if global_ny is None else 6,
             interpret=interpret)
 
         def corr_compute(row0, scalars, halos, planes):
-            (dt_over_rho,) = scalars
+            dt_over_rho = scalars[0]
+            if global_ny is not None:
+                row0 = row0 + scalars[1].astype(jnp.int32)
             (pm, pc, pp) = halos[0]
             us, vs = planes
             B = pc.shape[0]
@@ -138,7 +152,8 @@ class Projection2DKernels:
             return [u, v]
 
         self.corr = make_marching_stencil_2d(
-            ny, nx, 1, 2, 2, corr_compute, dtype, n_scalars=1,
+            ny, nx, 1, 2, 2, corr_compute, dtype,
+            n_scalars=1 if global_ny is None else 2,
             interpret=interpret)
 
         self.ok = self.pred_bt is not None and self.corr is not None
@@ -146,16 +161,27 @@ class Projection2DKernels:
     # ---- step pieces -------------------------------------------------------
 
     def predictor_and_poisson_input(self, u, v, w, p, dt, nu,
-                                    src_u_amp, src_v_amp, rho_over_dt):
-        """(u*, v*, w*, b̃-or-rhs), each (1, ny, nx); one HBM sweep."""
-        s = jnp.stack([jnp.asarray(dt), jnp.asarray(nu),
-                       jnp.asarray(src_u_amp), jnp.asarray(src_v_amp),
-                       jnp.asarray(rho_over_dt)])
+                                    src_u_amp, src_v_amp, rho_over_dt,
+                                    y_offset=None):
+        """(u*, v*, w*, b̃-or-rhs), each (1, ny, nx); one HBM sweep.
+
+        In sharded mode (``global_ny`` set) pass ``y_offset`` — the global
+        row index of the local block's first row."""
+        parts = [jnp.asarray(dt), jnp.asarray(nu),
+                 jnp.asarray(src_u_amp), jnp.asarray(src_v_amp),
+                 jnp.asarray(rho_over_dt)]
+        if self.global_ny is not None:
+            parts.append(jnp.asarray(y_offset).astype(parts[0].dtype))
+        s = jnp.stack(parts)
         us, vs, ws, bt = self.pred_bt(s, u[0], v[0], w[0], p[0])
         return us[None], vs[None], ws[None], bt[None]
 
-    def corrector(self, us, vs, p, dt_over_rho):
+    def corrector(self, us, vs, p, dt_over_rho, y_offset=None):
         """(u, v) corrected; w is identity in 2D (handled by the caller)."""
-        s = jnp.asarray(dt_over_rho)[None]
+        s = jnp.asarray(dt_over_rho)
+        if self.global_ny is not None:
+            s = jnp.stack([s, jnp.asarray(y_offset).astype(s.dtype)])
+        else:
+            s = s[None]
         u, v = self.corr(s, p[0], us[0], vs[0])
         return u[None], v[None]

@@ -52,27 +52,52 @@ def _mesh_z_size(mesh: Mesh):
     return mesh.shape["z"]
 
 
+def _mesh_y_size(mesh: Mesh):
+    """Shard count along 'y' if the mesh is y-only (other axes size 1)."""
+    if "y" not in mesh.axis_names:
+        return None
+    for name in mesh.axis_names:
+        if name != "y" and mesh.shape[name] != 1:
+            return None
+    return mesh.shape["y"]
+
+
 def fused_sharded_unsupported_reason(grid: Grid, params: NSParams,
                                      mesh: Mesh, dtype) -> str | None:
     """None when the fused shard_map path applies, else a human reason."""
     from ..ops.pallas.projection_kernels import projection_kernels_supported
 
+    if dtype != jnp.float32:
+        return f"fused kernels are float32-only (got {dtype})"
+    if params.source_func is not None:
+        return "custom source callables use the jnp path"
+    if grid.nz <= 2:
+        # 2D path: y-decomposition feeding the block-marching kernels.
+        from ..ops.pallas.projection2d import projection2d_supported
+
+        n = _mesh_y_size(mesh)
+        if n is None:
+            return ("fused sharded 2D projection needs a y-only mesh "
+                    f"(got axes {dict(mesh.shape)})")
+        if params.buoyancy_enabled:
+            return "2D fused kernels carry no Boussinesq term (jnp path)"
+        if grid.ny % n != 0 or grid.ny // n < 24:
+            return (f"ny={grid.ny} must be divisible by {n} shards with "
+                    ">= 24 rows per shard")
+        if not projection2d_supported(grid.ny // n + 8, grid.nx):
+            return (f"local block ({grid.ny // n}+8, {grid.nx}) outside "
+                    "block-marching support (nx%128, rows%8, VMEM)")
+        return None
     n = _mesh_z_size(mesh)
     if n is None:
         return ("fused sharded projection needs a z-only mesh "
                 f"(got axes {dict(mesh.shape)})")
-    if dtype != jnp.float32:
-        return f"fused kernels are float32-only (got {dtype})"
-    if grid.nz <= 2:
-        return "fused sharded projection is 3D-only"
     if grid.nz % n != 0 or grid.nz // n < 2:
         return (f"nz={grid.nz} must be divisible by {n} shards with >= 2 "
                 "planes per shard")
     if not projection_kernels_supported(grid.nz // n + 2, grid.ny, grid.nx):
         return (f"local block ({grid.nz // n}+2, {grid.ny}, {grid.nx}) "
                 "outside rolling-kernel support (nx%128, ny%8, VMEM)")
-    if params.source_func is not None:
-        return "custom source callables use the jnp path"
     return None
 
 
@@ -100,6 +125,9 @@ def make_fused_sharded_projection_step(grid: Grid, params: NSParams,
         validate_thermal_bc(params.thermal_bc, grid)
     if interpret is None:
         interpret = mesh.devices.flat[0].platform != "tpu"
+    if grid.nz <= 2:
+        return _make_fused_sharded_projection2d_step(
+            grid, params, mesh, dtype, poisson_method, interpret)
     poisson_method = (Method.FFT_DIRECT if poisson_method is None
                       else Method(poisson_method))
     if poisson_method not in (Method.FFT_DIRECT, Method.CG):
@@ -242,6 +270,119 @@ def make_fused_sharded_projection_step(grid: Grid, params: NSParams,
         return new_field, StepResult(
             iterations=jnp.int32(1), status=status,
             residual=p_res,
+            max_velocity=vmax, max_pressure=pmax, max_temperature=tmax)
+
+    return step
+
+
+def _make_fused_sharded_projection2d_step(grid: Grid, params: NSParams,
+                                          mesh: Mesh, dtype,
+                                          poisson_method, interpret):
+    """2D fused shard_map projection: y-decomposition feeding the
+    block-marching kernels (`ops/pallas/projection2d.py` in global-row
+    mode) + the 1D-pencil distributed DST
+    (`..solvers.poisson.spectral.make_btilde_pipeline_sharded_2d`).
+
+    Each shard holds (1, ny/P, nx); four edge rows per side ride ring
+    ``ppermute``s so the ±2-row predictor+divergence window sees the
+    neighbor shard's rows while the local block stays 8-row aligned.  The
+    marching kernels where-select every boundary row from the global row
+    index, so no shell fix-up pass is needed — the reference's
+    save/restore idiom falls out of the masks.  The reference's published
+    perf configs are 2D (`README.md:225-231`); this is their multi-chip
+    fast path.
+    """
+    from ..solvers.poisson.base import Method, PoissonProblem
+    from ..solvers.poisson.spectral import make_btilde_pipeline_sharded_2d
+    from ..ops.pallas.projection2d import Projection2DKernels
+
+    if poisson_method is not None \
+            and Method(poisson_method) != Method.FFT_DIRECT:
+        raise ValueError("fused sharded 2D projection supports the "
+                         "FFT_DIRECT pressure solve only")
+    ny, nx = grid.ny, grid.nx
+    n_shards = _mesh_y_size(mesh)
+    nyl = ny // n_shards
+
+    pk = Projection2DKernels(
+        nyl + 8, nx, grid.dx0, grid.dy0, grid.xmin, grid.ymin, dtype,
+        emit="btilde",
+        with_sources=(params.source_amplitude_u != 0.0
+                      or params.source_amplitude_v != 0.0),
+        interpret=interpret, global_ny=ny)
+    if not pk.ok:
+        raise ValueError("fused sharded 2D projection: kernel build failed")
+
+    problem = PoissonProblem(nx, ny, 1, grid.dx0, grid.dy0, 0.0)
+    pencil = make_btilde_pipeline_sharded_2d(problem, "y", n_shards, dtype)
+    energy_step = make_energy_step(grid, params.alpha,
+                                   params.heat_source_func)
+
+    fwd = [(i, i + 1) for i in range(n_shards - 1)]
+    bwd = [(i + 1, i) for i in range(n_shards - 1)]
+
+    def hpad4(x):
+        """(1, nyl, nx) → (1, nyl+8, nx): four real edge rows per side from
+        the ring neighbors (edge shards get zeros — every consumer
+        where-selects on the global row index)."""
+        if n_shards == 1:
+            return jnp.pad(x, ((0, 0), (4, 4), (0, 0)))
+        lo = lax.ppermute(x[:, -4:], "y", fwd)
+        hi = lax.ppermute(x[:, :4], "y", bwd)
+        return jnp.concatenate([lo, x, hi], axis=1)
+
+    def local_step(u, v, w, p, dt, rho0, su_amp, sv_amp):
+        idx = lax.axis_index("y")
+        y_off = idx * nyl - 4   # global row of padded row 0
+
+        us, vs, ws, bt = pk.predictor_and_poisson_input(
+            hpad4(u), hpad4(v), hpad4(w), hpad4(p), dt, params.mu,
+            su_amp, sv_amp, rho0 / dt, y_offset=y_off)
+        us, vs, ws = (a[:, 4:-4] for a in (us, vs, ws))
+        bt = bt[:, 4:-4]
+
+        p_new = pencil(bt)
+
+        un, vn = pk.corrector(hpad4(us), hpad4(vs), hpad4(p_new),
+                              dt / rho0, y_offset=y_off)
+        un = un[:, 4:-4]
+        vn = vn[:, 4:-4]
+        # w-correction is identically zero in 2D (inv_dz2 = 0).
+        return un, vn, ws, p_new
+
+    spec = P(None, "y", None)
+    smapped = jax.shard_map(
+        local_step, mesh=mesh,
+        in_specs=(spec, spec, spec, spec, P(), P(), P(), P()),
+        out_specs=(spec, spec, spec, spec),
+        check_vma=False)
+
+    def step(field: FlowField, dt, iter_idx):
+        dt = jnp.asarray(dt, dtype)
+        rho0 = field.rho[0, 0, 0]
+        rho0 = jnp.where(rho0 < 1e-10, 1.0, rho0).astype(dtype)
+        decay = jnp.exp(jnp.asarray(
+            -params.source_decay_rate * iter_idx * dt, dtype))
+        su = jnp.asarray(params.source_amplitude_u, dtype) * decay
+        sv = jnp.asarray(params.source_amplitude_v, dtype) * decay
+
+        u, v, w, p = smapped(field.u, field.v, field.w, field.p,
+                             dt, rho0, su, sv)
+        new_field = field.replace(u=u, v=v, w=w, p=p)
+
+        if energy_step is not None:
+            T = energy_step(new_field.T, new_field.u, new_field.v,
+                            new_field.w, dt, iter_idx * dt)
+            new_field = new_field.replace(T=T)
+        if params.energy_enabled:
+            new_field = new_field.replace(
+                T=apply_thermal_bcs(new_field.T, params.thermal_bc))
+
+        finite, vmax, pmax, tmax = field_status_and_diagnostics(new_field)
+        status = jnp.where(~finite, jnp.int32(-6), jnp.int32(0))
+        return new_field, StepResult(
+            iterations=jnp.int32(1), status=status,
+            residual=jnp.zeros((), dtype),
             max_velocity=vmax, max_pressure=pmax, max_temperature=tmax)
 
     return step

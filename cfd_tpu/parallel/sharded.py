@@ -105,6 +105,10 @@ def make_sharded_step(grid: Grid, params: NSParams, mesh: Mesh,
                                                      Method.CG):
                 reason = reason or (f"no fused sharded {Method(pm).name} "
                                     "pressure solve (FFT_DIRECT/CG only)")
+            if (pm is not None and Method(pm) == Method.CG
+                    and grid.nz <= 2):
+                reason = reason or ("no fused sharded 2D CG pressure "
+                                    "solve (FFT_DIRECT only)")
             if reason is None:
                 return finish(make_fused_sharded_projection_step(
                     grid, params, mesh, dtype=dtype,

@@ -255,6 +255,71 @@ def make_btilde_pipeline_sharded(problem: PoissonProblem, axis_name: str,
     return pipeline
 
 
+def make_btilde_pipeline_sharded_2d(problem: PoissonProblem, axis_name: str,
+                                    n_shards: int, dtype=jnp.float32,
+                                    precision=lax.Precision.HIGHEST):
+    """Pencil-transpose distributed DST for 2D grids inside ``shard_map``.
+
+    The 2D twin of :func:`make_btilde_pipeline_sharded`: fields are
+    y-decomposed over ``n_shards`` devices; DSTx is local (x unsharded),
+    then one ``all_to_all`` re-shards to x-pencils (y gathered) for DSTy,
+    the eigenvalue division, and DSTy⁻¹, and a second ``all_to_all``
+    returns to y-pencils for DSTx⁻¹.  The spectral-x axis zero-pads up to a
+    multiple of ``n_shards`` exactly as in 3D.
+
+    Returns ``fn(btilde_local) -> x_local`` mapping the local (1, ny/P, nx)
+    zero-shell b̃ block to the local solution block with its Neumann mirror
+    shell in place.
+    """
+    if not spectral_supported(problem) or problem.is_3d:
+        raise ValueError("2D sharded spectral solver needs nz == 1")
+    P = int(n_shards)
+    if problem.ny % P != 0:
+        raise ValueError(f"ny={problem.ny} not divisible by {P} shards")
+
+    nx, ny = problem.nx, problem.ny
+    mx, my = nx - 2, ny - 2
+    mxp = ((mx + P - 1) // P) * P
+    chunk = mxp // P
+
+    lx = np.ones(mxp)
+    lx[:mx] = _dirichlet_eigenvalues(mx, problem.inv_dx2)
+    ly = _dirichlet_eigenvalues(my, problem.inv_dy2)
+    scale = (2.0 / (mx + 1)) * (2.0 / (my + 1))
+
+    def pad_cols(S):
+        return np.pad(S, ((0, 0), (1, 1)))
+
+    Fx = jnp.asarray(np.pad(pad_cols(_sine_matrix(mx)),
+                            ((0, mxp - mx), (0, 0))), dtype)
+    Fy = jnp.asarray(pad_cols(_sine_matrix(my)), dtype)
+    Gx = jnp.asarray(np.pad(_mirror_extended_inverse(mx, scale),
+                            ((0, 0), (0, mxp - mx))), dtype)
+    Gy = jnp.asarray(_mirror_extended_inverse(my, 1.0), dtype)
+    vx = jnp.asarray(lx, dtype)
+    vy = jnp.asarray(ly, dtype)
+
+    def pipeline(btilde_local):
+        prec = precision
+        idx = lax.axis_index(axis_name)
+        a = btilde_local[0]                                # (ny/P, nx)
+        a = jnp.einsum("ax,yx->ya", Fx, a, precision=prec)  # (ny/P, mxp)
+        # y-pencil → x-pencil: split spectral-x, gather y.
+        a = lax.all_to_all(a, axis_name, split_axis=1, concat_axis=0,
+                           tiled=True)                     # (ny, chunk)
+        a = jnp.einsum("by,yx->bx", Fy, a, precision=prec)  # (my, chunk)
+        vx_local = lax.dynamic_slice(vx, (idx * chunk,), (chunk,))
+        a = a / (vy[:, None] + vx_local[None, :])
+        a = jnp.einsum("by,yx->bx", Gy, a, precision=prec)  # (ny, chunk)
+        # x-pencil → y-pencil: split y, gather spectral-x.
+        a = lax.all_to_all(a, axis_name, split_axis=0, concat_axis=1,
+                           tiled=True)                     # (ny/P, mxp)
+        a = jnp.einsum("ax,yx->ya", Gx, a, precision=prec)  # (ny/P, nx)
+        return a[None]
+
+    return pipeline
+
+
 def make_fft_direct(problem: PoissonProblem, params: PoissonParams,
                     precision=lax.Precision.HIGHEST,
                     compute_residuals: bool = True):

@@ -63,6 +63,7 @@ def test_fused_sharded_matches_jnp_single_device(grid, zmesh):
                                atol=5e-5)
 
 
+@pytest.mark.heavy
 def test_fused_sharded_matches_fused_single_chip(grid, zmesh):
     """Same kernels, sharded vs one device: agreement at f32 roundoff."""
     params = NSParams()
@@ -433,3 +434,84 @@ def test_strict_fallback_raises(grid):
     with pytest.raises(ValueError, match="z-only mesh"):
         make_sharded_step(grid, params, mesh2d, "projection",
                           use_pallas=True, strict=True, dtype=jnp.float32)
+
+
+def test_fused_sharded_2d_matches_jnp_single_device():
+    """2D fused shard_map projection (y-decomposition feeding the
+    block-marching kernels in global-row mode + 1D-pencil distributed DST)
+    matches the single-device jnp step.  The reference's published perf
+    configs are 2D (`README.md:225-231`)."""
+    g = Grid.uniform(128, 256)
+    params = NSParams()
+    rng = np.random.default_rng(41)
+    f = FlowField.initialize(g, dtype=jnp.float32)
+    f = f.replace(
+        u=jnp.asarray(rng.normal(0, 0.1, g.shape), jnp.float32),
+        v=jnp.asarray(rng.normal(0, 0.1, g.shape), jnp.float32),
+        p=jnp.asarray(rng.normal(0, 0.1, g.shape), jnp.float32))
+
+    from cfd_tpu.parallel.fused import fused_sharded_unsupported_reason
+    ymesh = make_mesh(axes=("y",))
+    assert fused_sharded_unsupported_reason(
+        g, params, ymesh, jnp.float32) is None
+
+    ref_step = jax.jit(make_projection_step(
+        g, params, dtype=jnp.float32, poisson_method=Method.FFT_DIRECT))
+    fr, rr = ref_step(f, 0.001, 0)
+
+    step, place = make_sharded_step(g, params, ymesh, "projection",
+                                    use_pallas=True, strict=True,
+                                    dtype=jnp.float32)
+    fs, rf = step(place(f), 0.001, 0)
+    assert int(rr.status) == int(rf.status) == 0
+    assert len(fs.u.sharding.device_set) == 8
+    for name in ("u", "v", "w"):
+        np.testing.assert_allclose(np.asarray(getattr(fs, name)),
+                                   np.asarray(getattr(fr, name)),
+                                   atol=5e-6, err_msg=name)
+    np.testing.assert_allclose(np.asarray(fs.p), np.asarray(fr.p),
+                               atol=5e-5)
+
+
+def test_fused_sharded_2d_multi_step_with_sources():
+    """Three steps with the default decaying sources track the jnp step
+    (global-row source coordinates across shards)."""
+    g = Grid.uniform(128, 192)
+    params = NSParams(source_amplitude_u=1.0, source_amplitude_v=0.5)
+    f = FlowField.initialize(g, dtype=jnp.float32)
+    ymesh = make_mesh(axes=("y",))
+
+    ref_step = jax.jit(make_projection_step(
+        g, params, dtype=jnp.float32, poisson_method=Method.FFT_DIRECT))
+    step, place = make_sharded_step(g, params, ymesh, "projection",
+                                    use_pallas=True, strict=True,
+                                    dtype=jnp.float32)
+    fr, fs = f, place(f)
+    for i in range(3):
+        fr, _ = ref_step(fr, 0.001, i)
+        fs, rs = step(fs, 0.001, i)
+    assert int(rs.status) == 0
+    np.testing.assert_allclose(np.asarray(fs.u), np.asarray(fr.u),
+                               atol=2e-5)
+    np.testing.assert_allclose(np.asarray(fs.p), np.asarray(fr.p),
+                               atol=2e-4)
+
+
+def test_fused_sharded_2d_unsupported_reasons():
+    from cfd_tpu.parallel.fused import fused_sharded_unsupported_reason
+
+    params = NSParams()
+    ymesh = make_mesh(axes=("y",))
+    # too few rows per shard
+    g_small = Grid.uniform(128, 64)
+    assert "24 rows" in fused_sharded_unsupported_reason(
+        g_small, params, ymesh, jnp.float32)
+    # 2D on a z-mesh
+    g2 = Grid.uniform(128, 256)
+    zmesh2 = make_mesh(axes=("z",))
+    assert "y-only mesh" in fused_sharded_unsupported_reason(
+        g2, params, zmesh2, jnp.float32)
+    # buoyancy excluded in 2D
+    pb = NSParams(beta=0.1, gravity=(0.0, -9.81, 0.0))
+    assert "Boussinesq" in fused_sharded_unsupported_reason(
+        g2, pb, ymesh, jnp.float32)

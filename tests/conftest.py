@@ -39,8 +39,29 @@ def pytest_addoption(parser):
         "--full-validation", action="store_true", default=False,
         help="Run the full-tier physics validation (the reference's "
              "CAVITY_FULL_VALIDATION mode; much slower).")
+    parser.addoption(
+        "--heavy", action="store_true", default=False,
+        help="Include the heavyweight interpret-mode Pallas tests "
+             "(skipped by default to keep the fast tier fast; "
+             "--full-validation implies --heavy).")
 
 
 @pytest.fixture
 def full_validation(request):
     return request.config.getoption("--full-validation")
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "heavy: slow interpret-mode Pallas test; runs under --heavy or "
+        "--full-validation (each has a lighter default-tier sibling)")
+
+
+def pytest_collection_modifyitems(config, items):
+    if config.getoption("--heavy") or config.getoption("--full-validation"):
+        return
+    skip = pytest.mark.skip(reason="heavy tier (--heavy/--full-validation)")
+    for item in items:
+        if "heavy" in item.keywords:
+            item.add_marker(skip)

@@ -31,7 +31,8 @@ def _field(seed=0, amp=0.3):
 
 
 @pytest.mark.parametrize("maker", [make_rk2_step, make_rk4_step])
-@pytest.mark.parametrize("sources", [True, False])
+@pytest.mark.parametrize(
+    "sources", [True, pytest.param(False, marks=pytest.mark.heavy)])
 def test_fused_rk_matches_jnp(maker, sources):
     amp = 0.1 if sources else 0.0
     params = NSParams(source_amplitude_u=amp, source_amplitude_v=amp / 2)
@@ -53,6 +54,7 @@ def test_fused_rk_matches_jnp(maker, sources):
                                    err_msg=attr)
 
 
+@pytest.mark.heavy
 def test_fused_rk4_multi_step():
     params = NSParams()
     g = _grid()
@@ -71,6 +73,7 @@ def test_fused_rk4_multi_step():
                                    atol=2e-5, err_msg=name)
 
 
+@pytest.mark.heavy
 def test_fused_rk_divergence_detection():
     g = _grid()
     fus = jax.jit(make_rk2_step(g, NSParams(), dtype=jnp.float32,
@@ -81,6 +84,7 @@ def test_fused_rk_divergence_detection():
     assert int(rf.status) == -6
 
 
+@pytest.mark.heavy
 def test_fused_rk_gating_falls_back():
     """2D and custom-callable configs keep the jnp step silently."""
     g2 = Grid.uniform(64, 64)
@@ -97,6 +101,7 @@ def test_fused_rk_gating_falls_back():
     assert int(res3.status) == 0
 
 
+@pytest.mark.heavy
 def test_fused_rk_energy_and_buoyancy_matches_jnp():
     """Buoyant stages + final-stage fused energy/thermal BCs agree with
     the jnp RK4 step (the natural-convection configuration)."""

@@ -17,7 +17,8 @@ from cfd_tpu.solvers.poisson.frontend import (DEFAULT_PRESET, SolverPreset,
 N = 33
 ALL_METHODS = [Method.JACOBI, Method.GAUSS_SEIDEL, Method.SOR,
                Method.REDBLACK_SOR, Method.CG, Method.BICGSTAB,
-               Method.MULTIGRID, Method.FFT_DIRECT]
+               pytest.param(Method.MULTIGRID, marks=pytest.mark.heavy),
+               Method.FFT_DIRECT]
 
 
 def _mms():

@@ -145,6 +145,121 @@ def run_euler_3d(n: int = 256, steps: int = 10) -> float:
     return float(n) ** 3 * steps / elapsed / 1e6
 
 
+def run_rk_3d(order: int, n: int = 256, steps: int = 10) -> float:
+    """Fused RK2/RK4 stage-kernel MLUPS at n³ (`ops/pallas/rk_kernels.py`)."""
+    import jax.numpy as jnp
+
+    from cfd_tpu import Grid
+    from cfd_tpu.solvers.ns import NSParams
+    from cfd_tpu.solvers.ns.rk import make_rk2_step, make_rk4_step
+
+    grid = Grid.uniform(n, n, n, zmin=0.0, zmax=1.0)
+    params = NSParams(source_amplitude_u=0.0, source_amplitude_v=0.0,
+                      mu=0.01)
+    mk = make_rk2_step if order == 2 else make_rk4_step
+    step = mk(grid, params, dtype=jnp.float32, use_pallas=True)
+    elapsed = _time_steps(step, _tg_field((n, n, n)), 1e-5, steps)
+    return float(n) ** 3 * steps / elapsed / 1e6
+
+
+def run_poisson_large(tol: float = 1e-6) -> dict:
+    """Large-grid Poisson wall-clock (ms per solve, tol 1e-6 relative):
+    fused multigrid at 513³ (vertex-centered 2^k+1) vs the two-pass fused
+    CG at 512³ — the asymptotic O(N) claim made measurable.  Random
+    interior rhs; solve timed in-jit, best of 3 after warmup."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from cfd_tpu.solvers.poisson.base import PoissonParams, PoissonProblem
+    from cfd_tpu.solvers.poisson.krylov import make_cg_fused
+    from cfd_tpu.solvers.poisson.multigrid import make_multigrid
+
+    out = {}
+    rng = np.random.default_rng(7)
+
+    def timed(fn, x0, rhs):
+        @jax.jit
+        def run(x0, rhs):
+            r = fn(x0, rhs)
+            return r.x[0, 0, 0] + r.final_residual, r.iterations
+        run(x0, rhs)[1].block_until_ready()  # compile + warmup
+        best = float("inf")
+        iters = 0
+        for _ in range(3):
+            t0 = time.perf_counter()
+            s, it = run(x0, rhs)
+            float(s)
+            best = min(best, time.perf_counter() - t0)
+            iters = int(it)
+        return best * 1e3, iters
+
+    for name, n in (("multigrid_513", 513), ("cg_512", 512)):
+        h = 1.0 / (n - 1)
+        prob = PoissonProblem(n, n, n, h, h, h)
+        pp = PoissonParams(tolerance=tol, max_iterations=2000,
+                           check_interval=10)
+        if name.startswith("multigrid"):
+            fn = make_multigrid(prob, pp, use_pallas=True)
+        else:
+            fn = make_cg_fused(prob, pp)
+        rhs = rng.normal(0.0, 1.0, (n, n, n)).astype(np.float32)
+        rhs[0] = rhs[-1] = 0.0
+        rhs[:, 0] = rhs[:, -1] = 0.0
+        rhs[:, :, 0] = rhs[:, :, -1] = 0.0
+        rhs = jnp.asarray(rhs)
+        x0 = jnp.zeros((n, n, n), jnp.float32)
+        ms, iters = timed(fn, x0, rhs)
+        out[name] = {"ms": round(ms, 1), "iters": iters}
+    return out
+
+
+def run_fused_vs_jnp_rms(n: int = 128, steps: int = 50) -> float:
+    """On-chip Mosaic-vs-XLA consistency: RMS(u) difference between the
+    fused (compiled Pallas) and jnp projection trajectories after
+    ``steps`` steps at n³.  The driver-visible twin of the interpret-mode
+    consistency tier — closes the interpret-vs-Mosaic gap."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from jax import lax
+
+    from cfd_tpu import Grid
+
+    grid = Grid.uniform(n, n, n, zmin=0.0, zmax=1.0)
+    f0 = _tg_field((n, n, n))
+
+    def traj(use_pallas):
+        step = _make_step(grid) if use_pallas else _make_step_jnp(grid)
+
+        @jax.jit
+        def run(f):
+            def body(i, f):
+                f2, _ = step(f, 1e-4, i)
+                return f2
+            return lax.fori_loop(0, steps, body, f)
+        return run(f0)
+
+    fu = traj(True)
+    fj = traj(False)
+    du = np.asarray(fu.u) - np.asarray(fj.u)
+    return float(np.sqrt(np.mean(du * du)))
+
+
+def _make_step_jnp(grid):
+    import jax.numpy as jnp
+
+    from cfd_tpu.solvers.ns import NSParams
+    from cfd_tpu.solvers.ns.projection import make_projection_step
+    from cfd_tpu.solvers.poisson.base import Method
+
+    params = NSParams(source_amplitude_u=0.0, source_amplitude_v=0.0,
+                      mu=0.01)
+    return make_projection_step(
+        grid, params, dtype=jnp.float32,
+        poisson_method=Method.FFT_DIRECT, use_pallas=False)
+
+
 def run_euler_ms(nx: int = 100, ny: int = 50, steps: int = 2000) -> float:
     """Explicit-Euler per-step ms at 100×50 (`README.md:225-231`:
     2.6 ms scalar / 0.9 SIMD / 0.8 OMP)."""
@@ -315,7 +430,11 @@ def main():
     smallgrid_ms = run_smallgrid_ms()
     euler_ms = run_euler_ms()
     euler3d = run_euler_3d()
+    rk2_3d = run_rk_3d(2)
+    rk4_3d = run_rk_3d(4)
     poisson_ips = run_poisson_iters()
+    poisson_large = run_poisson_large()
+    fused_vs_jnp = run_fused_vs_jnp_rms()
     rms_u, rms_v = ghia_gate()
     assert rms_u < 0.10 and rms_v < 0.10, (
         f"on-chip Ghia gate failed: rms_u={rms_u:.4f} rms_v={rms_v:.4f}")
@@ -343,6 +462,10 @@ def main():
         "euler_ms_100x50": round(euler_ms, 4),
         "vs_baseline_euler": round(0.8 / euler_ms, 2),
         "euler_mlups_256": round(euler3d, 1),
+        "rk2_mlups_256": round(rk2_3d, 1),
+        "rk4_mlups_256": round(rk4_3d, 1),
+        "fused_vs_jnp_rms_u": round(fused_vs_jnp, 8),
+        "poisson_large_tol1e-6": poisson_large,
         "poisson_iters_per_sec_100x100": poisson_ips,
         "poisson_vs_baseline": {
             k: round(v / POISSON_BASELINE_ITERS_PER_SEC[k], 2)

@@ -636,23 +636,20 @@ def make_fused_sharded_rk_step(grid: Grid, params: NSParams, mesh: Mesh,
 
     def pins(state):
         """(2, ny, nx) per field: [global plane nz−2, global plane 1],
-        broadcast to every shard via edge-to-all ppermutes."""
-        out = []
-        for s in state:
-            if n_shards == 1:
-                far, near = s[nzl - 2:nzl - 1], s[1:2]
-            else:
-                # every shard needs both planes: all-gather the two edge
-                # planes with a psum of masked contributions (cheap: 2
-                # planes over ICI)
-                idx = lax.axis_index("z")
-                contrib_far = jnp.where(idx == n_shards - 1,
-                                        s[nzl - 2:nzl - 1], 0.0)
-                contrib_near = jnp.where(idx == 0, s[1:2], 0.0)
-                far = lax.psum(contrib_far, "z")
-                near = lax.psum(contrib_near, "z")
-            out.append(jnp.concatenate([far, near], axis=0))
-        return out
+        broadcast to every shard via ONE batched psum of masked edge-plane
+        contributions (2 planes per field over ICI; a single collective
+        per stage instead of two per field)."""
+        if n_shards == 1:
+            return [jnp.concatenate([s[nzl - 2:nzl - 1], s[1:2]], axis=0)
+                    for s in state]
+        idx = lax.axis_index("z")
+        far = jnp.stack([jnp.where(idx == n_shards - 1, s[nzl - 2],
+                                   jnp.zeros_like(s[0])) for s in state])
+        near = jnp.stack([jnp.where(idx == 0, s[1],
+                                    jnp.zeros_like(s[0])) for s in state])
+        both = lax.psum(jnp.stack([far, near]), "z")   # (2, |state|, ny, nx)
+        return [jnp.stack([both[0, i], both[1, i]])
+                for i in range(len(state))]
 
     def fix_vel_shell(out, src, first, last):
         out = out.at[0].set(jnp.where(first, src[0], out[0]))

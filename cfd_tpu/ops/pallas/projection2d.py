@@ -30,8 +30,8 @@ from .marching2d import make_marching_stencil_2d, marching2d_supported
 CLAMP = 100.0  # PROJ_MAX_VELOCITY
 
 
-def projection2d_supported(ny: int, nx: int) -> bool:
-    return (marching2d_supported(ny, nx, 3, 1, 4)
+def projection2d_supported(ny: int, nx: int, buoyant: bool = False) -> bool:
+    return (marching2d_supported(ny, nx, 4 if buoyant else 3, 1, 4)
             and marching2d_supported(ny, nx, 1, 2, 2))
 
 
@@ -40,15 +40,22 @@ class Projection2DKernels:
 
     def __init__(self, ny, nx, dx, dy, xmin, ymin, dtype=jnp.float32,
                  emit="btilde", with_sources=True, interpret=False,
-                 global_ny=None):
+                 global_ny=None, beta=0.0, T_ref=0.0,
+                 gravity=(0.0, 0.0, 0.0)):
         """``global_ny``: sharded (y-decomposed) mode — the kernels operate
         on a halo-padded local row block of ``ny`` rows belonging to a
         global ``global_ny``-row domain; each kernel takes the shard's
         global row offset as an extra trailing scalar so interior masks,
         b̃ face coefficients, and source coordinates land on GLOBAL rows.
-        Used by ``cfd_tpu.parallel.fused`` inside ``shard_map``."""
+        Used by ``cfd_tpu.parallel.fused`` inside ``shard_map``.
+
+        ``beta != 0`` fuses Boussinesq buoyancy into the predictor: T rides
+        as a fourth halo input and −β·g·(T−T_ref) joins the sources (the
+        2D de Vahl Davis configuration keeps the fused path)."""
         self.shape = (ny, nx)
         self.global_ny = global_ny
+        buoy = beta != 0.0
+        self.buoyant = buoy
         gn = ny if global_ny is None else global_ny
         inv_2dx = 1.0 / (2.0 * dx)
         inv_2dy = 1.0 / (2.0 * dy)
@@ -70,7 +77,7 @@ class Projection2DKernels:
             dt, nu, su_amp, sv_amp, rod = scalars[:5]
             if global_ny is not None:
                 row0 = row0 + scalars[5].astype(jnp.int32)
-            (um, uc, up), (vm, vc, vp), (wm, wc, wp) = halos
+            (um, uc, up), (vm, vc, vp), (wm, wc, wp) = halos[:3]
             (pc,) = planes
             B = uc.shape[0]
 
@@ -82,6 +89,8 @@ class Projection2DKernels:
                 return jnp.concatenate([m[-2:], c, p[:2]], axis=0)
 
             ue, ve, we = ext(um, uc, up), ext(vm, vc, vp), ext(wm, wc, wp)
+            if buoy:
+                Te = ext(*halos[3])
 
             # Predictor on the (B+2)-row window [row0−1, row0+B+1).
             jg_e, ii_e = iotas(row0 - 1, B + 2, nx)
@@ -108,9 +117,17 @@ class Projection2DKernels:
                 s = fc_ + dt * (-conv + nu * lap + src)
                 return jnp.where(mask_e, jnp.clip(s, -CLAMP, CLAMP), fc_)
 
-            us_e = star(ue, src_u)
-            vs_e = star(ve, src_v)
-            ws_e = star(we, 0.0)
+            def bsrc(component):
+                """−β·g[c]·(T−T_ref) on the extended window (Te rows at the
+                padded-array edges are where-selected away by mask_e)."""
+                if not (buoy and gravity[component] != 0.0):
+                    return 0.0
+                return ((-dtype(beta) * dtype(gravity[component]))
+                        * (Te[1:-1] - dtype(T_ref)))
+
+            us_e = star(ue, src_u + bsrc(0))
+            vs_e = star(ve, src_v + bsrc(1))
+            ws_e = star(we, bsrc(2))
 
             # Divergence of u* on the block's own B rows.
             div = d1x(us_e[1:-1]) + (vs_e[2:] - vs_e[:-2]) * inv_2dy
@@ -129,7 +146,7 @@ class Projection2DKernels:
             return [us_e[1:-1], vs_e[1:-1], ws_e[1:-1], out]
 
         self.pred_bt = make_marching_stencil_2d(
-            ny, nx, 3, 1, 4, pred_bt_compute, dtype,
+            ny, nx, 4 if buoy else 3, 1, 4, pred_bt_compute, dtype,
             n_scalars=5 if global_ny is None else 6,
             interpret=interpret)
 
@@ -162,18 +179,20 @@ class Projection2DKernels:
 
     def predictor_and_poisson_input(self, u, v, w, p, dt, nu,
                                     src_u_amp, src_v_amp, rho_over_dt,
-                                    y_offset=None):
+                                    y_offset=None, T=None):
         """(u*, v*, w*, b̃-or-rhs), each (1, ny, nx); one HBM sweep.
 
         In sharded mode (``global_ny`` set) pass ``y_offset`` — the global
-        row index of the local block's first row."""
+        row index of the local block's first row.  With buoyancy compiled
+        in, pass the step-start temperature ``T``."""
         parts = [jnp.asarray(dt), jnp.asarray(nu),
                  jnp.asarray(src_u_amp), jnp.asarray(src_v_amp),
                  jnp.asarray(rho_over_dt)]
         if self.global_ny is not None:
             parts.append(jnp.asarray(y_offset).astype(parts[0].dtype))
         s = jnp.stack(parts)
-        us, vs, ws, bt = self.pred_bt(s, u[0], v[0], w[0], p[0])
+        extra = (T[0].astype(u.dtype),) if self.buoyant else ()
+        us, vs, ws, bt = self.pred_bt(s, u[0], v[0], w[0], *extra, p[0])
         return us[None], vs[None], ws[None], bt[None]
 
     def corrector(self, us, vs, p, dt_over_rho, y_offset=None):

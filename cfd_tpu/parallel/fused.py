@@ -79,12 +79,11 @@ def fused_sharded_unsupported_reason(grid: Grid, params: NSParams,
         if n is None:
             return ("fused sharded 2D projection needs a y-only mesh "
                     f"(got axes {dict(mesh.shape)})")
-        if params.buoyancy_enabled:
-            return "2D fused kernels carry no Boussinesq term (jnp path)"
         if grid.ny % n != 0 or grid.ny // n < 24:
             return (f"ny={grid.ny} must be divisible by {n} shards with "
                     ">= 24 rows per shard")
-        if not projection2d_supported(grid.ny // n + 8, grid.nx):
+        if not projection2d_supported(grid.ny // n + 8, grid.nx,
+                                      buoyant=params.buoyancy_enabled):
             return (f"local block ({grid.ny // n}+8, {grid.nx}) outside "
                     "block-marching support (nx%128, rows%8, VMEM)")
         return None
@@ -309,6 +308,7 @@ def _make_fused_sharded_projection2d_step(grid: Grid, params: NSParams,
         emit="btilde",
         with_sources=(params.source_amplitude_u != 0.0
                       or params.source_amplitude_v != 0.0),
+        beta=params.beta, T_ref=params.T_ref, gravity=params.gravity,
         interpret=interpret, global_ny=ny)
     if not pk.ok:
         raise ValueError("fused sharded 2D projection: kernel build failed")
@@ -331,13 +331,14 @@ def _make_fused_sharded_projection2d_step(grid: Grid, params: NSParams,
         hi = lax.ppermute(x[:, :4], "y", bwd)
         return jnp.concatenate([lo, x, hi], axis=1)
 
-    def local_step(u, v, w, p, dt, rho0, su_amp, sv_amp):
+    def local_step(u, v, w, p, T, dt, rho0, su_amp, sv_amp):
         idx = lax.axis_index("y")
         y_off = idx * nyl - 4   # global row of padded row 0
 
         us, vs, ws, bt = pk.predictor_and_poisson_input(
             hpad4(u), hpad4(v), hpad4(w), hpad4(p), dt, params.mu,
-            su_amp, sv_amp, rho0 / dt, y_offset=y_off)
+            su_amp, sv_amp, rho0 / dt, y_offset=y_off,
+            T=hpad4(T) if pk.buoyant else None)
         us, vs, ws = (a[:, 4:-4] for a in (us, vs, ws))
         bt = bt[:, 4:-4]
 
@@ -353,7 +354,7 @@ def _make_fused_sharded_projection2d_step(grid: Grid, params: NSParams,
     spec = P(None, "y", None)
     smapped = jax.shard_map(
         local_step, mesh=mesh,
-        in_specs=(spec, spec, spec, spec, P(), P(), P(), P()),
+        in_specs=(spec, spec, spec, spec, spec, P(), P(), P(), P()),
         out_specs=(spec, spec, spec, spec),
         check_vma=False)
 
@@ -366,7 +367,7 @@ def _make_fused_sharded_projection2d_step(grid: Grid, params: NSParams,
         su = jnp.asarray(params.source_amplitude_u, dtype) * decay
         sv = jnp.asarray(params.source_amplitude_v, dtype) * decay
 
-        u, v, w, p = smapped(field.u, field.v, field.w, field.p,
+        u, v, w, p = smapped(field.u, field.v, field.w, field.p, field.T,
                              dt, rho0, su, sv)
         new_field = field.replace(u=u, v=v, w=w, p=p)
 

@@ -137,10 +137,11 @@ def make_projection_step(grid: Grid, params: NSParams, dtype=None,
     proj2d = None
     btilde2d = None
     if (use_pallas and dtype == jnp.float32 and grid.nz == 1
-            and params.source_func is None and not params.buoyancy_enabled):
+            and params.source_func is None):
         from ...ops.pallas.projection2d import (Projection2DKernels,
                                                 projection2d_supported)
-        if projection2d_supported(grid.ny, grid.nx):
+        if projection2d_supported(grid.ny, grid.nx,
+                                  buoyant=params.buoyancy_enabled):
             from ..poisson.spectral import spectral_supported
             use_bt = (Method(poisson_method) == Method.FFT_DIRECT
                       and spectral_supported(problem))
@@ -149,6 +150,8 @@ def make_projection_step(grid: Grid, params: NSParams, dtype=None,
                 emit="btilde" if use_bt else "rhs",
                 with_sources=(params.source_amplitude_u != 0.0
                               or params.source_amplitude_v != 0.0),
+                beta=params.beta, T_ref=params.T_ref,
+                gravity=params.gravity,
                 interpret=pallas_interpret)
             if pk2.ok:
                 proj2d = pk2
@@ -283,7 +286,7 @@ def make_projection_step(grid: Grid, params: NSParams, dtype=None,
         us, vs, ws, pin = proj2d.predictor_and_poisson_input(
             field.u, field.v, field.w, field.p, dt, params.mu,
             params.source_amplitude_u * decay,
-            params.source_amplitude_v * decay, rho0 / dt)
+            params.source_amplitude_v * decay, rho0 / dt, T=field.T)
 
         if btilde2d is not None:
             p_new = btilde2d(pin)

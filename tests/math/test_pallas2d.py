@@ -145,3 +145,41 @@ def test_spectral_precision_knob():
                                atol=2e-3)
     np.testing.assert_allclose(np.asarray(fl.u), np.asarray(fh.u),
                                atol=1e-5)
+
+
+def test_fused2d_buoyant_matches_jnp():
+    """Boussinesq fused into the 2D predictor (T as a 4th halo input)
+    matches the jnp projection step with natural-convection parameters."""
+    import jax
+    import numpy as np
+
+    from cfd_tpu.boundary.types import (BCType, DirichletValues,
+                                        ThermalBCConfig)
+
+    thermal = ThermalBCConfig(
+        left=BCType.DIRICHLET, right=BCType.DIRICHLET,
+        bottom=BCType.NEUMANN, top=BCType.NEUMANN,
+        dirichlet_values=DirichletValues(left=305.0, right=295.0))
+    g = Grid.uniform(128, 64)
+    params = NSParams(source_amplitude_u=0.0, source_amplitude_v=0.0,
+                      alpha=1e-3, beta=0.05, T_ref=300.0,
+                      gravity=(0.0, -9.81, 0.0), thermal_bc=thermal)
+    rng = np.random.default_rng(7)
+    f = FlowField.initialize(g, dtype=jnp.float32)
+    f = f.replace(u=jnp.asarray(rng.normal(0, 0.1, g.shape), jnp.float32),
+                  T=jnp.asarray(300.0 + rng.normal(0, 1.0, g.shape),
+                                jnp.float32))
+
+    ref = jax.jit(make_projection_step(g, params, dtype=jnp.float32,
+                                       poisson_method=Method.FFT_DIRECT))
+    fus = jax.jit(make_projection_step(g, params, dtype=jnp.float32,
+                                       poisson_method=Method.FFT_DIRECT,
+                                       use_pallas=True,
+                                       pallas_interpret=True))
+    fr, rr = ref(f, 0.001, 0)
+    ff, rf = fus(f, 0.001, 0)
+    assert int(rf.status) == int(rr.status) == 0
+    for name in ("u", "v", "p", "T"):
+        np.testing.assert_allclose(np.asarray(getattr(ff, name)),
+                                   np.asarray(getattr(fr, name)),
+                                   atol=2e-5, err_msg=name)

@@ -511,7 +511,46 @@ def test_fused_sharded_2d_unsupported_reasons():
     zmesh2 = make_mesh(axes=("z",))
     assert "y-only mesh" in fused_sharded_unsupported_reason(
         g2, params, zmesh2, jnp.float32)
-    # buoyancy excluded in 2D
+    # buoyancy is supported in 2D (T rides as a 4th halo input)
     pb = NSParams(beta=0.1, gravity=(0.0, -9.81, 0.0))
-    assert "Boussinesq" in fused_sharded_unsupported_reason(
-        g2, pb, ymesh, jnp.float32)
+    assert fused_sharded_unsupported_reason(
+        g2, pb, ymesh, jnp.float32) is None
+
+
+def test_fused_sharded_2d_convection_matches_jnp():
+    """2D natural-convection configuration (the de Vahl Davis geometry)
+    through the fused sharded 2D projection: buoyant predictor kernels
+    (T as a 4th halo input), GSPMD energy step, thermal faces."""
+    from cfd_tpu.boundary.types import (BCType, DirichletValues,
+                                        ThermalBCConfig)
+
+    thermal = ThermalBCConfig(
+        left=BCType.DIRICHLET, right=BCType.DIRICHLET,
+        bottom=BCType.NEUMANN, top=BCType.NEUMANN,
+        dirichlet_values=DirichletValues(left=305.0, right=295.0))
+    g = Grid.uniform(128, 256)
+    params = NSParams(source_amplitude_u=0.0, source_amplitude_v=0.0,
+                      alpha=1e-3, beta=0.05, T_ref=300.0,
+                      gravity=(0.0, -9.81, 0.0), thermal_bc=thermal)
+    rng = np.random.default_rng(43)
+    f = FlowField.initialize(g, dtype=jnp.float32)
+    f = f.replace(u=jnp.asarray(rng.normal(0, 0.1, g.shape), jnp.float32),
+                  T=jnp.asarray(300.0 + rng.normal(0, 1.0, g.shape),
+                                jnp.float32))
+
+    ref_step = jax.jit(make_projection_step(
+        g, params, dtype=jnp.float32, poisson_method=Method.FFT_DIRECT))
+    fr, rr = ref_step(f, 0.001, 0)
+
+    ymesh = make_mesh(axes=("y",))
+    step, place = make_sharded_step(g, params, ymesh, "projection",
+                                    use_pallas=True, strict=True,
+                                    dtype=jnp.float32)
+    fs, rf = step(place(f), 0.001, 0)
+    assert int(rr.status) == int(rf.status) == 0
+    for name in ("u", "v", "T"):
+        np.testing.assert_allclose(np.asarray(getattr(fs, name)),
+                                   np.asarray(getattr(fr, name)),
+                                   atol=5e-6, err_msg=name)
+    np.testing.assert_allclose(np.asarray(fs.p), np.asarray(fr.p),
+                               atol=5e-5)

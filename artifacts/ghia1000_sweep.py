@@ -1,9 +1,10 @@
 """Ghia Re=1000 north-star sweep: grid/time refinement on the real TPU.
 
-Runs the lid cavity at Re=1000 (fused f32 projection + exact DST pressure
-solve) over a set of (n, t_end, dt) configs and prints one JSON line per
-config with the centerline RMS vs the Ghia (1982) table. Goal: find the
-config where RMS <= 0.01 (the 1%% north-star bar).
+Runs the lid cavity at Re=1000 (f32 projection + exact DST pressure
+solve; the odd 2^k+1 grids are outside the 2D kernel alignment so the
+step is the jnp path) over a set of (n, t_end, dt) configs and prints one
+JSON line per config with the centerline RMS vs the Ghia (1982) table.
+Goal: find the config where RMS <= 0.01 (the 1%% north-star bar).
 
 Usage: cd /root/repo && python artifacts/ghia1000_sweep.py [config_index...]
 """

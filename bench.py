@@ -81,7 +81,7 @@ def _time_steps(step, field, dt, steps=TIMED_STEPS):
     return time.perf_counter() - t0
 
 
-def _make_step(grid, mu=0.01, **kw):
+def _make_step(grid, mu=0.01, use_pallas=True, **kw):
     import jax.numpy as jnp
 
     from cfd_tpu.solvers.ns import NSParams
@@ -92,7 +92,7 @@ def _make_step(grid, mu=0.01, **kw):
                       mu=mu)
     return make_projection_step(
         grid, params, dtype=jnp.float32,
-        poisson_method=Method.FFT_DIRECT, use_pallas=True, **kw)
+        poisson_method=Method.FFT_DIRECT, use_pallas=use_pallas, **kw)
 
 
 def run_3d(n: int, precision=None) -> float:
@@ -230,7 +230,7 @@ def run_fused_vs_jnp_rms(n: int = 128, steps: int = 50) -> float:
     f0 = _tg_field((n, n, n))
 
     def traj(use_pallas):
-        step = _make_step(grid) if use_pallas else _make_step_jnp(grid)
+        step = _make_step(grid, use_pallas=use_pallas)
 
         @jax.jit
         def run(f):
@@ -244,20 +244,6 @@ def run_fused_vs_jnp_rms(n: int = 128, steps: int = 50) -> float:
     fj = traj(False)
     du = np.asarray(fu.u) - np.asarray(fj.u)
     return float(np.sqrt(np.mean(du * du)))
-
-
-def _make_step_jnp(grid):
-    import jax.numpy as jnp
-
-    from cfd_tpu.solvers.ns import NSParams
-    from cfd_tpu.solvers.ns.projection import make_projection_step
-    from cfd_tpu.solvers.poisson.base import Method
-
-    params = NSParams(source_amplitude_u=0.0, source_amplitude_v=0.0,
-                      mu=0.01)
-    return make_projection_step(
-        grid, params, dtype=jnp.float32,
-        poisson_method=Method.FFT_DIRECT, use_pallas=False)
 
 
 def run_euler_ms(nx: int = 100, ny: int = 50, steps: int = 2000) -> float:
@@ -360,7 +346,10 @@ def ghia_gate(n: int = 128, steps: int = 20000, dt: float = 5e-4,
     gate: centerlines within 1% (`cavity_reference_data.h:25-87`,
     `docs/validation/lid-driven-cavity.md:149-160`).  Measured r3 sweep
     (artifacts/ghia1000_sweep.py): 129²→0.030, 257²→0.0099, 385²→0.0058,
-    513²→0.0038/0.0041 — grid-limited, comfortably under the bar."""
+    513²→0.0038/0.0041 — grid-limited, comfortably under the bar.  Note
+    the odd 2^k+1 grids fall outside the 2D kernel alignment (nx%128), so
+    this gate runs the jnp step + exact DST; the Re=100 gate at 128²
+    exercises the fused kernels."""
     import sys
 
     import jax
@@ -475,7 +464,7 @@ def main():
         "ghia_config": "Re=100 128x128 f32 fused, t=10",
         "ghia_re1000_rms_u": round(rms_u_1k, 4),
         "ghia_re1000_rms_v": round(rms_v_1k, 4),
-        "ghia_re1000_config": "Re=1000 513x513 f32 fused, t=60 (<=1% gate)",
+        "ghia_re1000_config": "Re=1000 513x513 f32 jnp+DST, t=60 (<=1% gate)",
     }))
 
 

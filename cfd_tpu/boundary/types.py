@@ -294,3 +294,28 @@ class ThermalBCConfig:
     def face_types(self):
         return (self.left, self.right, self.bottom, self.top,
                 self.front, self.back)
+
+
+def thermal_z_specs(config: "ThermalBCConfig",
+                    periodic=("periodic", "periodic"),
+                    neumann=("neumann", "neumann")):
+    """(low, high) z-face specs for the back/front thermal BCs: DIRICHLET
+    becomes the float value, NEUMANN/PERIODIC the given per-face tokens.
+
+    One mapping shared by the fused kernel builders (tokens "p1"/"pN2",
+    the rolling engine's shell-source vocabulary) and the shard_map z-wrap
+    helpers (tokens "neumann"/"periodic") so the back↔plane-0 /
+    front↔plane-(nz−1) convention lives in one place (matches
+    ``apply_thermal_bcs``; `energy_solver.h:65-87`)."""
+    v = config.dirichlet_values
+
+    def one(bc, value, per, neu):
+        bc = BCType(bc)
+        if bc == BCType.DIRICHLET:
+            return float(value)
+        if bc == BCType.NEUMANN:
+            return neu
+        return per
+
+    return (one(config.back, v.back, periodic[0], neumann[0]),
+            one(config.front, v.front, periodic[1], neumann[1]))

@@ -226,17 +226,9 @@ def make_euler_fused(nz, ny, nx, dx, dy, dz, xmin, ymin,
     # the energy equation is on (z faces own the corners, reference order)
     t_src = ("pN2", "p1")
     if energy_on:
-        def zspec(bc, value, low):
-            bc = BCType(bc)
-            if bc == BCType.DIRICHLET:
-                return float(value)
-            if bc == BCType.NEUMANN:
-                return "p1" if low else "pN2"
-            return "pN2" if low else "p1"   # PERIODIC
-        t_src = (zspec(thermal_bc.back, thermal_bc.dirichlet_values.back,
-                       True),
-                 zspec(thermal_bc.front, thermal_bc.dirichlet_values.front,
-                       False))
+        from ...boundary.types import thermal_z_specs
+        t_src = thermal_z_specs(thermal_bc, periodic=("pN2", "p1"),
+                                neumann=("p1", "pN2"))
 
     return make_rolling_stencil(
         nz, ny, nx, 5, 1, 6, compute, dtype, n_scalars=4,

@@ -257,17 +257,9 @@ def make_rk_stage(nz, ny, nx, dx, dy, dz, xmin, ymin,
     if final:
         t_src = ("pN2", "p1")
         if energy_on:
-            def zspec(bc, value, low):
-                bc = BCType(bc)
-                if bc == BCType.DIRICHLET:
-                    return float(value)
-                if bc == BCType.NEUMANN:
-                    return "p1" if low else "pN2"
-                return "pN2" if low else "p1"
-            t_src = (zspec(thermal_bc.back,
-                           thermal_bc.dirichlet_values.back, True),
-                     zspec(thermal_bc.front,
-                           thermal_bc.dirichlet_values.front, False))
+            from ...boundary.types import thermal_z_specs
+            t_src = thermal_z_specs(thermal_bc, periodic=("pN2", "p1"),
+                                    neumann=("p1", "pN2"))
         return make_rolling_stencil(
             nz, ny, nx, 5, 9, 6, compute, dtype, n_scalars=7,
             reductions=("max", "max", "max", "max"),

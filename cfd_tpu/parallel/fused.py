@@ -496,19 +496,8 @@ def make_fused_sharded_euler_step(grid: Grid, params: NSParams, mesh: Mesh,
 
     t_zspec = ("periodic", "periodic")
     if params.energy_enabled:
-        from ..boundary.types import BCType
-
-        def zspec_of(bc, value):
-            bc = BCType(bc)
-            if bc == BCType.DIRICHLET:
-                return float(value)
-            if bc == BCType.NEUMANN:
-                return "neumann"
-            return "periodic"
-        t_zspec = (zspec_of(params.thermal_bc.back,
-                            params.thermal_bc.dirichlet_values.back),
-                   zspec_of(params.thermal_bc.front,
-                            params.thermal_bc.dirichlet_values.front))
+        from ..boundary.types import thermal_z_specs
+        t_zspec = thermal_z_specs(params.thermal_bc)
 
     def local_step(u, v, w, p, rho, T, cdt, su, sv, t):
         idx = lax.axis_index("z")
@@ -688,19 +677,8 @@ def make_fused_sharded_rk_step(grid: Grid, params: NSParams, mesh: Mesh,
 
     t_zspec = ("periodic", "periodic")
     if params.energy_enabled:
-        from ..boundary.types import BCType
-
-        def zspec_of(bc, value):
-            bc = BCType(bc)
-            if bc == BCType.DIRICHLET:
-                return float(value)
-            if bc == BCType.NEUMANN:
-                return "neumann"
-            return "periodic"
-        t_zspec = (zspec_of(params.thermal_bc.back,
-                            params.thermal_bc.dirichlet_values.back),
-                   zspec_of(params.thermal_bc.front,
-                            params.thermal_bc.dirichlet_values.front))
+        from ..boundary.types import thermal_z_specs
+        t_zspec = thermal_z_specs(params.thermal_bc)
 
     def local_step(u, v, w, p, rho, T, dtc, su, sv):
         idx = lax.axis_index("z")

@@ -110,11 +110,17 @@ def make_sharded_step(grid: Grid, params: NSParams, mesh: Mesh,
                 reason = reason or ("no fused sharded 2D CG pressure "
                                     "solve (FFT_DIRECT only)")
             if reason is None:
-                return finish(make_fused_sharded_projection_step(
-                    grid, params, mesh, dtype=dtype,
-                    poisson_params=kw.get("poisson_params"),
-                    poisson_method=pm,
-                    interpret=kw.get("pallas_interpret")))
+                # Build failures past the generic gate (e.g. a CG shape or
+                # preconditioner the fused sharded CG can't take) also fall
+                # back rather than raise, unless strict.
+                try:
+                    return finish(make_fused_sharded_projection_step(
+                        grid, params, mesh, dtype=dtype,
+                        poisson_params=kw.get("poisson_params"),
+                        poisson_method=pm,
+                        interpret=kw.get("pallas_interpret")))
+                except ValueError as e:
+                    reason = str(e)
             fallback(reason)
     # Explicit off for every builder: the single-chip kernels' auto-on-TPU
     # default must never engage under GSPMD partitioning (shard-boundary

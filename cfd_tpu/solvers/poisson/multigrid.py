@@ -295,7 +295,10 @@ def make_multigrid(problem: PoissonProblem, params: PoissonParams,
         def cond(c):
             return c[3] & (c[1] < max_iter)
 
-        if fused is not None and fused[0] is not None:
+        # The fused sweeps are float32 kernels; other dtypes keep the jnp
+        # body (trace-time gate — the frontend's fused solvers do the same).
+        if (fused is not None and fused[0] is not None
+                and x.dtype == jnp.float32):
             # Fast path: smooth the iterate directly (V-cycle with initial
             # guess); the pre/post residuals ride the fused sweeps, so the
             # standalone r / r2 passes of the jnp body disappear.
@@ -328,7 +331,8 @@ def make_multigrid(problem: PoissonProblem, params: PoissonParams,
             def body(c):
                 e, it, res, _ = c
                 r = problem.zero_boundary(b - _A(e, levels[0]))
-                de = _v_cycle(levels, 0, r, pre, post, False, fused)
+                de = _v_cycle(levels, 0, r, pre, post, False,
+                              fused if x.dtype == jnp.float32 else None)
                 e = e + de
                 r2 = problem.zero_boundary(b - _A(e, levels[0]))
                 res_new = jnp.sqrt(problem.dot_interior(r2, r2))

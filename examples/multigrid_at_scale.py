@@ -44,7 +44,9 @@ def main():
         x, stats = s.solve(x0, rhs)        # compile + solve
         t0 = time.perf_counter()
         x, stats = s.solve(x0, rhs)
-        jax.block_until_ready(x)
+        # Scalar fetch forces device completion (block_until_ready can
+        # return early over remote-tunnel transports).
+        float(jnp.sum(x[0, 0]))
         dt = time.perf_counter() - t0
         print(f"{method.name:10s} {N}^3  tol 1e-6: "
               f"{stats.iterations:5d} iters, {dt * 1e3:8.1f} ms, "

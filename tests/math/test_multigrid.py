@@ -133,3 +133,26 @@ def test_multigrid_fused_matches_jnp():
     assert int(r_fus.iterations) == int(r_ref.iterations)
     np.testing.assert_allclose(np.asarray(r_fus.x), np.asarray(r_ref.x),
                                atol=1e-5)
+
+
+def test_multigrid_fused_build_keeps_f64_on_jnp_path():
+    """use_pallas multigrid must not crash non-float32 solves: the fused
+    sweeps are f32 kernels, so an f64 call takes the jnp body (trace-time
+    dtype gate)."""
+    from cfd_tpu.solvers.poisson.base import PoissonProblem
+    from cfd_tpu.solvers.poisson.multigrid import make_multigrid
+
+    n = 17
+    h, rhs = system(n, nz=n)
+    prob = PoissonProblem(n, n, n, h, h, h)
+    fn = make_multigrid(prob, PoissonParams(tolerance=1e-6),
+                        use_pallas=True, pallas_interpret=True,
+                        min_fused_nx=0)
+    r64 = fn(jnp.zeros((n, n, n)), jnp.asarray(rhs))   # f64 under x64
+    assert r64.x.dtype == jnp.float64
+    assert int(r64.status) == 0
+    r32 = fn(jnp.zeros((n, n, n), jnp.float32),
+             jnp.asarray(rhs, jnp.float32))
+    assert int(r32.status) == 0
+    np.testing.assert_allclose(np.asarray(r32.x), np.asarray(r64.x),
+                               atol=1e-4)

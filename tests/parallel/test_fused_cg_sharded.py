@@ -130,3 +130,21 @@ def test_projection_with_sharded_cg(problem, zmesh):
                                    atol=1e-4, err_msg=name)
     np.testing.assert_allclose(np.asarray(f_out.p), np.asarray(f_ref.p),
                                atol=2e-3)
+
+
+def test_nonstrict_cg_build_failure_falls_back(problem, zmesh):
+    """A CG configuration the fused sharded solve can't take (multigrid
+    preconditioner) must fall back to the GSPMD jnp path when not strict,
+    not raise."""
+    from cfd_tpu.solvers.poisson.base import Precond
+
+    grid = Grid.uniform(128, 16, 16, zmin=0.0, zmax=1.0)
+    pp = PoissonParams(tolerance=1e-3, max_iterations=200,
+                       preconditioner=Precond.MULTIGRID)
+    step, place = make_sharded_step(grid, NSParams(), zmesh, "projection",
+                                    use_pallas=True, dtype=jnp.float32,
+                                    poisson_method=Method.CG,
+                                    poisson_params=pp)
+    f = FlowField.initialize(grid, dtype=jnp.float32)
+    out, res = step(place(f), 0.001, 0)
+    assert int(res.status) == 0

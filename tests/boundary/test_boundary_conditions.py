@@ -253,3 +253,20 @@ def test_2d_raw_array_api():
     from cfd_tpu.boundary import apply_dirichlet_scalar as ads
     d = ads(f2, DirichletValues(top=9.0))
     np.testing.assert_allclose(np.asarray(d)[-1, :], 9.0)
+
+
+def test_thermal_z_specs_mapping():
+    """The shared z-face spec helper: DIRICHLET -> value, NEUMANN/PERIODIC
+    -> per-vocabulary tokens, back <-> low face, front <-> high face."""
+    from cfd_tpu.boundary.types import (BCType, DirichletValues,
+                                        ThermalBCConfig, thermal_z_specs)
+
+    cfg = ThermalBCConfig(back=BCType.DIRICHLET, front=BCType.NEUMANN,
+                          dirichlet_values=DirichletValues(back=310.0))
+    assert thermal_z_specs(cfg) == (310.0, "neumann")
+    assert thermal_z_specs(cfg, periodic=("pN2", "p1"),
+                           neumann=("p1", "pN2")) == (310.0, "pN2")
+    per = ThermalBCConfig()
+    assert thermal_z_specs(per) == ("periodic", "periodic")
+    assert thermal_z_specs(per, periodic=("pN2", "p1"),
+                           neumann=("p1", "pN2")) == ("pN2", "p1")

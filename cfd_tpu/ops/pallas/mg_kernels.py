@@ -50,20 +50,39 @@ def mg_sweep_supported(nz: int, ny: int, nx: int) -> bool:
 def make_mg_rb_sweep(nz: int, ny: int, nx: int,
                      inv_dx2: float, inv_dy2: float, inv_dz2: float,
                      inv_factor: float, emit_residual: bool,
-                     dtype=jnp.float32, interpret: bool = False):
+                     dtype=jnp.float32, interpret: bool = False,
+                     global_nz: int = None):
     """Build fn(x_pad, b_pad) → x_new_pad [, residual_pad], or None.
 
     One full red-black Gauss-Seidel sweep of A x = b (A = −∇² on the
     Dirichlet-0 interior) on (nz, nyp, nxp) lane-padded arrays; with
     ``emit_residual`` the post-sweep r = b − A·x_new rides out of the same
     pass (zero shell, zero padding).
+
+    ``global_nz``: sharded (z-decomposed) mode — the kernel operates on a
+    TWO-plane halo-padded local block (planes 0-1 and nz−2..nz−1 are the
+    ring neighbors' edge planes) and takes a leading
+    ``(z_off,)`` scalar array, the global plane index of padded plane 0;
+    the Dirichlet-0 interior masks key on global planes.  Red values are
+    correct for padded planes 1..nz−2 (their x-neighbors are present), so
+    the black half-sweep — and therefore x_new — is exact on the real
+    planes 2..nz−3.  The emitted residual is exact on real planes EXCEPT
+    the first/last real plane of each shard, whose z-neighbor's post-sweep
+    value lives across the boundary — callers patch those two planes (see
+    ``multigrid._sharded_v_cycle``).
     """
     if not mg_sweep_supported(nz, ny, nx):
         return None
+    sharded = global_nz is not None
+    gnz = nz if global_nz is None else global_nz
     nyp, nxp = pad_dims(ny, nx)
     rows = nz * nyp
 
     def kernel(*refs):
+        zoff_ref = None
+        if sharded:
+            zoff_ref = refs[0]
+            refs = refs[1:]
         if emit_residual:
             (x_hbm, b_hbm, out_hbm, res_hbm,
              xring, bring, redring, newring, resbuf,
@@ -73,6 +92,8 @@ def make_mg_rb_sweep(nz: int, ny: int, nx: int,
              xring, bring, redring, newring,
              in_sems, out_sems) = refs
             res_hbm = resbuf = res_sems = None
+        z_off = (zoff_ref[0, 0].astype(jnp.int32) if sharded
+                 else jnp.int32(0))
 
         jj = jax.lax.broadcasted_iota(jnp.int32, (nyp, nxp), 0)
         ii = jax.lax.broadcasted_iota(jnp.int32, (nyp, nxp), 1)
@@ -117,13 +138,14 @@ def make_mg_rb_sweep(nz: int, ny: int, nx: int,
 
         def color_update(k, color, xm, xc, xp, b_plane):
             """gs = (b + nb)·inv_factor at one color; other cells keep xc
-            (zeros stay zero on shells and padding)."""
-            k = jnp.asarray(k, jnp.int32)
-            kpar = jax.lax.rem(k, jnp.int32(2))
+            (zeros stay zero on shells and padding).  Parity and interior
+            masks key on the GLOBAL plane index in sharded mode."""
+            gk = jnp.asarray(k, jnp.int32) + z_off
+            kpar = jax.lax.rem(gk, jnp.int32(2))
             color_mask = (parity_ij == kpar) if color == 0 \
                 else (parity_ij != kpar)
             mask = row_interior & color_mask
-            interior_k = (k > 0) & (k < nz - 1)
+            interior_k = (gk > 0) & (gk < gnz - 1)
             gs = (b_plane + nb_sum(xm, xc, xp)) * inv_factor
             return jnp.where(mask & interior_k, gs, xc)
 
@@ -185,21 +207,24 @@ def make_mg_rb_sweep(nz: int, ny: int, nx: int,
 
             if emit_residual:
                 # residual[c−1] = b + ∇²x_new (interior; Dirichlet-0 z
-                # neighbors at the first/last interior planes are zero)
+                # neighbors at the first/last GLOBAL interior planes are
+                # zero)
                 k = c - 1
+                gk = k + z_off
                 nm = newring[slot4(k - 1)]
                 nc = newring[slot4(k)]
                 npl = newring[slot4(k + 1)]
                 zero = jnp.zeros_like(nc)
-                zm = jnp.where(k == 1, zero, nm)
-                zp = jnp.where(k == nz - 2, zero, npl)
+                zm = jnp.where(gk == 1, zero, nm)
+                zp = jnp.where(gk == gnz - 2, zero, npl)
                 lap = ((shift_x(nc, 1) - 2.0 * nc + shift_x(nc, -1))
                        * inv_dx2
                        + (shift_y(nc, 1, nyp) - 2.0 * nc
                           + shift_y(nc, -1, nyp)) * inv_dy2)
                 if inv_dz2:
                     lap = lap + (zp - 2.0 * nc + zm) * inv_dz2
-                r = jnp.where(row_interior, bring[slot5(k)] + lap, 0.0)
+                r = jnp.where(row_interior & (gk > 0) & (gk < gnz - 1),
+                              bring[slot5(k)] + lap, 0.0)
                 sres = jax.lax.rem(k, jnp.int32(2))
 
                 @pl.when(c >= 4)
@@ -254,8 +279,10 @@ def make_mg_rb_sweep(nz: int, ny: int, nx: int,
 
     call = pl.pallas_call(
         kernel,
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY),
-                  pl.BlockSpec(memory_space=pl.ANY)],
+        in_specs=([pl.BlockSpec(memory_space=pltpu.SMEM)] if sharded
+                  else [])
+        + [pl.BlockSpec(memory_space=pl.ANY),
+           pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=[pl.BlockSpec(memory_space=pl.ANY)
                    for _ in range(n_out)],
         out_shape=[jax.ShapeDtypeStruct((rows, nxp), dtype)
@@ -267,8 +294,12 @@ def make_mg_rb_sweep(nz: int, ny: int, nx: int,
         interpret=interpret,
     )
 
-    def sweep(x_pad, b_pad):
-        outs = call(x_pad.reshape(rows, nxp), b_pad.reshape(rows, nxp))
+    def sweep(x_pad, b_pad, z_off=None):
+        args = (x_pad.reshape(rows, nxp), b_pad.reshape(rows, nxp))
+        if sharded:
+            zo = jnp.asarray(z_off, dtype).reshape(1, 1)
+            args = (zo,) + args
+        outs = call(*args)
         if emit_residual:
             return (outs[0].reshape(nz, nyp, nxp),
                     outs[1].reshape(nz, nyp, nxp))

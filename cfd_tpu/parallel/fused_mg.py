@@ -1,0 +1,283 @@
+"""Fused multi-chip multigrid: sharded wavefront sweeps + replicated coarse.
+
+The distributed twin of the fused multigrid solver
+(`..solvers.poisson.multigrid` + `..ops.pallas.mg_kernels`) for
+z-decomposed fields — the O(N) large-grid Poisson option multi-chip,
+alongside the exact pencil DST and the fused sharded CG:
+
+* the FINEST level smooths sharded: each shard runs the wavefront
+  red+black(+residual) kernel on a TWO-plane halo-padded local block
+  (ring ``ppermute``s; the kernel's masks and checkerboard parity key on
+  GLOBAL plane indices via a z-offset scalar).  The fused residual is
+  exact except at each shard's first/last real plane, whose post-sweep
+  z-neighbor lives across the boundary — those two planes are patched
+  with one extra single-plane halo exchange;
+* restriction is separable full-weighting: y/x locally, then the
+  z-weighting as a small matrix contraction against the shard's column
+  slice of the global [1/4, 1/2, 1/4] stencil matrix, combined across
+  shards with ONE ``psum`` — the coarse right-hand side arrives
+  REPLICATED;
+* all coarser levels run the single-chip V-cycle redundantly on every
+  shard (no communication; below the finest level the work is ≤ 1/8 of a
+  finest sweep per level, so the Amdahl cost is bounded), with the fused
+  single-chip sweeps where shapes allow;
+* prolongation back is local: each shard slices the coarse z-range its
+  planes interpolate from (the coarse field is replicated) and
+  interleaves in-shard.
+
+Vertex-centered 2^k+1 grids never divide evenly over shards, so the
+global z axis is zero-padded to a multiple of 2·P (even per-shard blocks
+keep the fine↔coarse index parity); the padding planes sit outside the
+global Dirichlet-0 interior masks and stay zero.  Algebraically the
+iteration is identical to the single-chip fused path (same sweeps, same
+transfers), so iteration counts match — asserted by
+tests/parallel/test_fused_mg_sharded.py.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..solvers.poisson.base import (PoissonParams, PoissonProblem,
+                                    PoissonResult, PoissonStatus)
+from ..solvers.poisson.multigrid import (_build_fused_levels, _build_levels,
+                                         _fw_axis, _interp_axis, _pad,
+                                         _v_cycle)
+from ..ops.pallas.mg_kernels import pad_dims
+
+
+def mg_fused_sharded_unsupported_reason(problem: PoissonProblem,
+                                        n_shards: int,
+                                        dtype=jnp.float32) -> str | None:
+    """None when the fused sharded multigrid applies, else a reason."""
+    from ..ops.pallas.mg_kernels import mg_sweep_supported
+
+    nz, ny, nx = problem.shape
+    if dtype != jnp.float32:
+        return f"fused kernels are float32-only (got {dtype})"
+    if nz <= 2:
+        return "fused sharded multigrid is 3D-only"
+    if _build_levels(problem) is None:
+        return ("grid not coarsenable (needs (n-1) divisible by 2 per "
+                "active axis)")
+    nzl = -(-nz // (2 * n_shards)) * 2    # even planes per shard
+    if nzl < 4:
+        return (f"nz={nz} over {n_shards} shards leaves {nzl} planes per "
+                "shard (needs >= 4)")
+    if not mg_sweep_supported(nzl + 4, ny, nx):
+        return (f"local block ({nzl}+4, {ny}, {nx}) outside wavefront-"
+                "kernel support (VMEM)")
+    return None
+
+
+def make_multigrid_sharded(problem: PoissonProblem, params: PoissonParams,
+                           mesh: Mesh, pre: int = 2, post: int = 2,
+                           dtype=jnp.float32, interpret: bool = None):
+    """Z-sharded fused multigrid solve: (x, rhs) global (nz, ny, nx)
+    arrays → PoissonResult with ``x`` sharded over the mesh.  Raises on
+    unsupported configurations (gate on
+    :func:`mg_fused_sharded_unsupported_reason`)."""
+    from .fused import _mesh_z_size
+    from ..ops.pallas.mg_kernels import make_mg_rb_sweep
+
+    n_shards = _mesh_z_size(mesh)
+    if n_shards is None:
+        raise ValueError("fused sharded multigrid needs a z-only mesh "
+                         f"(got axes {dict(mesh.shape)})")
+    reason = mg_fused_sharded_unsupported_reason(problem, n_shards, dtype)
+    if reason is not None:
+        raise ValueError(f"fused sharded multigrid unsupported: {reason}")
+    if interpret is None:
+        interpret = mesh.devices.flat[0].platform != "tpu"
+    if pre < 1 or post < 1:
+        raise ValueError("fused sharded multigrid needs pre/post >= 1")
+
+    nz, ny, nx = problem.shape
+    levels = _build_levels(problem)
+    lv0 = levels[0]
+    nyp, nxp = pad_dims(ny, nx)
+    nzl = -(-nz // (2 * n_shards)) * 2
+    nzp = nzl * n_shards                  # padded global z
+    nz_c = (nz - 1) // 2 + 1              # coarse z (level 1)
+    nz_cp = nzp // 2 + 1                  # padded coarse z for slicing
+    nzl_c = nzl // 2 + 1                  # coarse planes one shard reads
+
+    sweep = make_mg_rb_sweep(nzl + 4, ny, nx, lv0.inv_dx2, lv0.inv_dy2,
+                             lv0.inv_dz2, lv0.inv_factor, False, dtype,
+                             interpret, global_nz=nz)
+    sweep_res = make_mg_rb_sweep(nzl + 4, ny, nx, lv0.inv_dx2,
+                                 lv0.inv_dy2, lv0.inv_dz2, lv0.inv_factor,
+                                 True, dtype, interpret, global_nz=nz)
+    if sweep is None or sweep_res is None:
+        raise ValueError("fused sharded multigrid: kernel build failed")
+    # Coarse levels run replicated per shard with the single-chip fused
+    # sweeps where supported (min_fused_nx=0: any aligned level benefits).
+    fused_coarse = _build_fused_levels(levels, pre, post, dtype, interpret,
+                                       min_fused_nx=0)
+
+    # Global z full-weighting matrix, zero-padded to the padded dims; rows
+    # are interior coarse planes only (shell rows stay zero).
+    W = np.zeros((nz_cp, nzp), np.float32)
+    for I in range(1, nz_c - 1):
+        W[I, 2 * I - 1] = 0.25
+        W[I, 2 * I] = 0.5
+        W[I, 2 * I + 1] = 0.25
+    Wj = jnp.asarray(W, dtype)
+
+    ci = max(1, int(params.check_interval))
+    max_iter = int(params.max_iterations)
+    abs_tol = params.absolute_tolerance
+    fwd = [(i, i + 1) for i in range(n_shards - 1)]
+    bwd = [(i + 1, i) for i in range(n_shards - 1)]
+    inv_dx2, inv_dy2, inv_dz2 = (lv0.inv_dx2, lv0.inv_dy2, lv0.inv_dz2)
+
+    def hpad2(a):
+        """(nzl, nyp, nxp) → (nzl+4, nyp, nxp): two edge planes per side
+        from the ring neighbors (zeros at the global ends)."""
+        if n_shards == 1:
+            return jnp.pad(a, ((2, 2), (0, 0), (0, 0)))
+        lo = lax.ppermute(a[-2:], "z", fwd)
+        hi = lax.ppermute(a[:2], "z", bwd)
+        return jnp.concatenate([lo, a, hi], axis=0)
+
+    jj = lax.broadcasted_iota(jnp.int32, (nyp, nxp), 0)
+    ii = lax.broadcasted_iota(jnp.int32, (nyp, nxp), 1)
+    row_interior = ((jj > 0) & (jj < ny - 1) & (ii > 0)
+                    & (ii < nx - 1))
+
+    def lap_plane(xm, xc, xp):
+        lap = ((jnp.roll(xc, -1, -1) - 2.0 * xc
+                + jnp.roll(xc, 1, -1)) * inv_dx2
+               + (jnp.roll(xc, -1, -2) - 2.0 * xc
+                  + jnp.roll(xc, 1, -2)) * inv_dy2
+               + (xp - 2.0 * xc + xm) * inv_dz2)
+        return lap
+
+    def local_solve(b):
+        """b: local (nzl, nyp, nxp) block of the PADDED global right-hand
+        side (zero shells / zero padding maintained throughout); returns
+        the correction e solving A e = b in the Dirichlet-0 space."""
+        idx = lax.axis_index("z")
+        g0 = idx * nzl                      # global plane of local plane 0
+        z_off = (g0 - 2).astype(dtype)      # padded plane 0's global index
+
+        def do_sweep(xl):
+            return sweep(hpad2(xl), hpad2(b), z_off)[2:-2]
+
+        def do_sweep_res(xl):
+            xn_p, r_p = sweep_res(hpad2(xl), hpad2(b), z_off)
+            xn = xn_p[2:-2]
+            r = r_p[2:-2]
+            # Patch the two shard-edge residual planes (their post-sweep
+            # z-neighbors live across the boundary).
+            if n_shards == 1:
+                lo = jnp.zeros_like(xn[:1])
+                hi = jnp.zeros_like(xn[:1])
+            else:
+                lo = lax.ppermute(xn[-1:], "z", fwd)
+                hi = lax.ppermute(xn[:1], "z", bwd)
+            zin0 = (g0 > 0) & (g0 < nz - 1)
+            zinN = (g0 + nzl - 1 > 0) & (g0 + nzl - 1 < nz - 1)
+            r0 = jnp.where(row_interior & zin0,
+                           b[0] + lap_plane(lo[0], xn[0], xn[1]), 0.0)
+            rN = jnp.where(row_interior & zinN,
+                           b[-1] + lap_plane(xn[-2], xn[-1], hi[0]), 0.0)
+            r = r.at[0].set(r0).at[-1].set(rN)
+            return xn, r
+
+        def cycle(e):
+            """One V-cycle with initial guess e (the GS-affinity form)."""
+            for _ in range(pre - 1):
+                e = do_sweep(e)
+            e, r = do_sweep_res(e)
+            # ---- restriction: y/x locally, z via the W contraction ----
+            rl = r[:, :ny, :nx]
+            a = _fw_axis(_fw_axis(rl, 1), 2)     # (nzl, ny_c−2, nx_c−2)
+            W_loc = lax.dynamic_slice(
+                Wj, (jnp.int32(0), g0.astype(jnp.int32)),
+                (nz_cp, nzl))
+            partial = jnp.einsum("cz,zyx->cyx", W_loc, a)
+            full = lax.psum(partial, "z")        # replicated
+            lvc = levels[1]
+            r_c = jnp.zeros(lvc.shape, dtype)
+            r_c = r_c.at[1:nz_c - 1, 1:-1, 1:-1].set(full[1:nz_c - 1])
+            # ---- replicated coarse solve ------------------------------
+            e_c = _v_cycle(levels, 1, r_c, pre, post, False, fused_coarse)
+            # ---- local prolongation -----------------------------------
+            e_cz = jnp.pad(e_c, ((0, nz_cp - nz_c), (0, 0), (0, 0)))
+            c0 = g0 // 2
+            z32 = jnp.int32(0)
+            ec_loc = lax.dynamic_slice(e_cz,
+                                       (c0.astype(jnp.int32), z32, z32),
+                                       (nzl_c,) + lvc.shape[1:])
+            eyx = _interp_axis(_interp_axis(ec_loc, 1), 2)  # (nzl_c, ny, nx)
+            even = eyx[:-1]
+            odd = 0.5 * (eyx[:-1] + eyx[1:])
+            fine = jnp.stack([even, odd], axis=1).reshape(
+                (nzl,) + eyx.shape[1:])
+            g = g0 + jnp.arange(nzl)
+            zin = ((g > 0) & (g < nz - 1))[:, None, None]
+            fine = jnp.where(zin, fine, 0.0)
+            fine = _pad(fine, nyp, nxp) * row_interior.astype(dtype)
+            e = e + fine
+            # ---- post smoothing; convergence residual rides the last --
+            for _ in range(post - 1):
+                e = do_sweep(e)
+            e, r2 = do_sweep_res(e)
+            rr = lax.psum(jnp.sum(r2 * r2), "z")
+            return e, rr
+
+        rr0 = lax.psum(jnp.sum(b * b), "z")
+        initial_res = jnp.sqrt(rr0)
+        tol = jnp.maximum(params.tolerance * initial_res, abs_tol)
+        already = initial_res < abs_tol
+
+        def cond(c):
+            return c[3] & (c[1] < max_iter)
+
+        def body(c):
+            e, it, res, _ = c
+            e, rr = cycle(e)
+            res_new = jnp.sqrt(rr)
+            check = (it % ci) == 0
+            converged = check & ((res_new < tol) | (res_new < abs_tol))
+            return (e, it + 1, res_new, ~converged)
+
+        e0 = jnp.zeros_like(b)
+        e_f, it_f, res_f, _ = lax.while_loop(
+            cond, body, (e0, jnp.int32(0), initial_res, ~already))
+        converged = (res_f < tol) | (res_f < abs_tol) | already
+        status = jnp.where(converged, jnp.int32(PoissonStatus.CONVERGED),
+                           jnp.int32(PoissonStatus.MAX_ITER))
+        return PoissonResult(
+            x=e_f,
+            iterations=jnp.where(already, 0, jnp.minimum(it_f, max_iter)),
+            initial_residual=initial_res,
+            final_residual=jnp.where(already, initial_res, res_f),
+            status=status)
+
+    spec = P("z", None, None)
+    rspec = PoissonResult(x=spec, iterations=P(), initial_residual=P(),
+                          final_residual=P(), status=P())
+    smapped = jax.shard_map(local_solve, mesh=mesh, in_specs=(spec,),
+                            out_specs=rspec, check_vma=False)
+
+    def solve(x, rhs):
+        x = x.astype(dtype)
+        x = problem.neumann_bc(x)
+        b = problem.zero_boundary(-(rhs.astype(dtype)
+                                    - problem.laplacian(x)))
+        bp_ = jnp.pad(b, ((0, nzp - nz), (0, nyp - ny), (0, nxp - nx)))
+        res = smapped(bp_)
+        e = res.x[:nz, :ny, :nx]
+        x_f = problem.neumann_bc(x + e)
+        return PoissonResult(x=x_f, iterations=res.iterations,
+                             initial_residual=res.initial_residual,
+                             final_residual=res.final_residual,
+                             status=res.status)
+
+    return solve

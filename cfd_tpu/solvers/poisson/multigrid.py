@@ -150,31 +150,33 @@ def _restrict(r_f, fine: _Level, coarse: _Level):
     return out.at[0, 1:-1, 1:-1].set(a)
 
 
+def _interp_axis(a, axis):
+    """Linear interpolation doubling one axis: out[2i] = a[i],
+    out[2i+1] = (a[i] + a[i+1])/2, length 2·(n−1)+1."""
+    lo = lax.slice_in_dim(a, 0, a.shape[axis] - 1, 1, axis)
+    hi = lax.slice_in_dim(a, 1, a.shape[axis], 1, axis)
+    mid = 0.5 * (lo + hi)
+    # interleave: out[2i] = a[i], out[2i+1] = mid[i]
+    stacked = jnp.stack([lo, mid], axis=axis + 1)
+    new_shape = list(a.shape)
+    new_shape[axis] = 2 * (a.shape[axis] - 1)
+    out = stacked.reshape(new_shape)
+    last = lax.slice_in_dim(a, a.shape[axis] - 1, a.shape[axis], 1, axis)
+    return jnp.concatenate([out, last], axis=axis)
+
+
 def _prolong(e_c, fine: _Level, coarse: _Level):
     """(Bi/tri)linear interpolation to the fine grid, zero shell."""
     is_3d = e_c.shape[0] > 1
 
-    def interp_axis(a, axis, n_f):
-        # nodes at even fine indices = coarse values; odd = averages
-        lo = lax.slice_in_dim(a, 0, a.shape[axis] - 1, 1, axis)
-        hi = lax.slice_in_dim(a, 1, a.shape[axis], 1, axis)
-        mid = 0.5 * (lo + hi)
-        # interleave: out[2i] = a[i], out[2i+1] = mid[i]
-        stacked = jnp.stack([lo, mid], axis=axis + 1)
-        new_shape = list(a.shape)
-        new_shape[axis] = 2 * (a.shape[axis] - 1)
-        out = stacked.reshape(new_shape)
-        last = lax.slice_in_dim(a, a.shape[axis] - 1, a.shape[axis], 1, axis)
-        return jnp.concatenate([out, last], axis=axis)
-
     if is_3d:
         a = e_c
-        a = interp_axis(a, 0, fine.shape[0])
-        a = interp_axis(a, 1, fine.shape[1])
-        a = interp_axis(a, 2, fine.shape[2])
+        a = _interp_axis(a, 0)
+        a = _interp_axis(a, 1)
+        a = _interp_axis(a, 2)
         return _zero_shell(a)
-    a = interp_axis(e_c[0], 0, fine.shape[1])
-    a = interp_axis(a, 1, fine.shape[2])
+    a = _interp_axis(e_c[0], 0)
+    a = _interp_axis(a, 1)
     return _zero_shell(a[None])
 
 

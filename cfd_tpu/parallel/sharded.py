@@ -38,12 +38,14 @@ def make_sharded_step(grid: Grid, params: NSParams, mesh: Mesh,
     state; ``step_fn(field, dt, iter)`` runs one step with all collectives
     inside the single XLA program.
 
-    ``use_pallas=True`` with ``method="projection"`` selects the fused
-    multi-chip fast path (`.fused`: shard_map + ring-halo rolling kernels +
-    pencil-transpose DST) when the mesh/grid qualify; otherwise it falls
-    back to the GSPMD jnp step with a logged warning — the single-chip
-    manual-DMA kernels are never run under GSPMD partitioning, where their
-    shell passthrough would be silently wrong at shard boundaries.
+    ``use_pallas=True`` selects the fused multi-chip fast path (`.fused`:
+    shard_map + ring-halo rolling kernels; projection adds the
+    pencil-transpose DST or the ring-halo fused CG per ``poisson_method``,
+    and a y-decomposed 2D variant) for every integrator when the
+    mesh/grid qualify; otherwise it falls back to the GSPMD jnp step with
+    a logged warning — the single-chip manual-DMA kernels are never run
+    under GSPMD partitioning, where their shell passthrough would be
+    silently wrong at shard boundaries.
     ``strict=True`` turns that silent fallback into a ValueError carrying
     the disqualifying reason, for callers who *require* kernel speed.
     """

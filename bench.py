@@ -413,28 +413,7 @@ def main():
     if mlups3d is None:
         raise SystemExit(f"bench failed at all 3D sizes: {last_err}")
 
-    mlups3d_fast = run_3d(grid3d, precision=lax.Precision.HIGH)
-    mlups2d = run_2d(2048)
-    mlups2d_fast = run_2d(2048, precision=lax.Precision.HIGH)
-    smallgrid_ms = run_smallgrid_ms()
-    euler_ms = run_euler_ms()
-    euler3d = run_euler_3d()
-    rk2_3d = run_rk_3d(2)
-    rk4_3d = run_rk_3d(4)
-    poisson_ips = run_poisson_iters()
-    poisson_large = run_poisson_large()
-    fused_vs_jnp = run_fused_vs_jnp_rms()
-    rms_u, rms_v = ghia_gate()
-    assert rms_u < 0.10 and rms_v < 0.10, (
-        f"on-chip Ghia gate failed: rms_u={rms_u:.4f} rms_v={rms_v:.4f}")
-    # North-star accuracy gate: Re=1000 centerlines within 1% on-chip
-    # (513², t=60; dt=4e-4 sits under the 513² diffusive limit ~9.5e-4).
-    rms_u_1k, rms_v_1k = ghia_gate(n=513, steps=150000, dt=4e-4, re=1000)
-    assert rms_u_1k < 0.01 and rms_v_1k < 0.01, (
-        f"Re=1000 north-star gate failed: rms_u={rms_u_1k:.4f} "
-        f"rms_v={rms_v_1k:.4f}")
-
-    print(json.dumps({
+    out = {
         "metric": "projection_step_mlups",
         "value": round(mlups3d, 1),
         "unit": "MLUPS",
@@ -442,30 +421,67 @@ def main():
         "grid": f"{grid3d}x{grid3d}x{grid3d}",
         "pressure_solver": "fft_direct(exact)",
         "dtype": "float32",
-        "mlups_3d_fast": round(mlups3d_fast, 1),
-        "mlups_2d_2048": round(mlups2d, 1),
-        "mlups_2d_2048_fast": round(mlups2d_fast, 1),
-        "vs_baseline_2d": round(mlups2d / REFERENCE_BASELINE_MLUPS, 3),
-        "projection_ms_100x50": round(smallgrid_ms, 3),
-        "vs_baseline_smallgrid": round(4.2 / smallgrid_ms, 2),
-        "euler_ms_100x50": round(euler_ms, 4),
-        "vs_baseline_euler": round(0.8 / euler_ms, 2),
-        "euler_mlups_256": round(euler3d, 1),
-        "rk2_mlups_256": round(rk2_3d, 1),
-        "rk4_mlups_256": round(rk4_3d, 1),
-        "fused_vs_jnp_rms_u": round(fused_vs_jnp, 8),
-        "poisson_large_tol1e-6": poisson_large,
-        "poisson_iters_per_sec_100x100": poisson_ips,
-        "poisson_vs_baseline": {
-            k: round(v / POISSON_BASELINE_ITERS_PER_SEC[k], 2)
-            for k, v in poisson_ips.items()},
-        "ghia_rms_u": round(rms_u, 4),
-        "ghia_rms_v": round(rms_v, 4),
-        "ghia_config": "Re=100 128x128 f32 fused, t=10",
-        "ghia_re1000_rms_u": round(rms_u_1k, 4),
-        "ghia_re1000_rms_v": round(rms_v_1k, 4),
-        "ghia_re1000_config": "Re=1000 513x513 f32 jnp+DST, t=60 (<=1% gate)",
-    }))
+    }
+
+    def row(fn, *keys):
+        """Optional-row guard: a transient failure (e.g. a remote
+        compile-service hiccup) records an error string instead of
+        killing the primary metric."""
+        try:
+            vals = fn()
+        except Exception as e:  # noqa: BLE001 — record, don't die
+            for k in keys:
+                out[k] = f"ERROR: {e!r}"[:200]
+            return
+        if len(keys) == 1:
+            vals = (vals,)
+        for k, v in zip(keys, vals):
+            out[k] = v
+
+    row(lambda: round(run_3d(grid3d, precision=lax.Precision.HIGH), 1),
+        "mlups_3d_fast")
+    row(lambda: (lambda m: (round(m, 1),
+                            round(m / REFERENCE_BASELINE_MLUPS, 3)))(
+        run_2d(2048)), "mlups_2d_2048", "vs_baseline_2d")
+    row(lambda: round(run_2d(2048, precision=lax.Precision.HIGH), 1),
+        "mlups_2d_2048_fast")
+    row(lambda: (lambda ms: (round(ms, 3), round(4.2 / ms, 2)))(
+        run_smallgrid_ms()), "projection_ms_100x50",
+        "vs_baseline_smallgrid")
+    row(lambda: (lambda ms: (round(ms, 4), round(0.8 / ms, 2)))(
+        run_euler_ms()), "euler_ms_100x50", "vs_baseline_euler")
+    row(lambda: round(run_euler_3d(), 1), "euler_mlups_256")
+    row(lambda: round(run_rk_3d(2), 1), "rk2_mlups_256")
+    row(lambda: round(run_rk_3d(4), 1), "rk4_mlups_256")
+    row(lambda: round(run_fused_vs_jnp_rms(), 8), "fused_vs_jnp_rms_u")
+    row(run_poisson_large, "poisson_large_tol1e-6")
+
+    def poisson_rows():
+        ips = run_poisson_iters()
+        return ips, {k: round(v / POISSON_BASELINE_ITERS_PER_SEC[k], 2)
+                     for k, v in ips.items()}
+    row(poisson_rows, "poisson_iters_per_sec_100x100",
+        "poisson_vs_baseline")
+
+    # Correctness gates stay HARD: a wrong answer must fail the bench.
+    rms_u, rms_v = ghia_gate()
+    assert rms_u < 0.10 and rms_v < 0.10, (
+        f"on-chip Ghia gate failed: rms_u={rms_u:.4f} rms_v={rms_v:.4f}")
+    out["ghia_rms_u"] = round(rms_u, 4)
+    out["ghia_rms_v"] = round(rms_v, 4)
+    out["ghia_config"] = "Re=100 128x128 f32 fused, t=10"
+    # North-star accuracy gate: Re=1000 centerlines within 1% on-chip
+    # (513², t=60; dt=4e-4 sits under the 513² diffusive limit ~9.5e-4).
+    rms_u_1k, rms_v_1k = ghia_gate(n=513, steps=150000, dt=4e-4, re=1000)
+    assert rms_u_1k < 0.01 and rms_v_1k < 0.01, (
+        f"Re=1000 north-star gate failed: rms_u={rms_u_1k:.4f} "
+        f"rms_v={rms_v_1k:.4f}")
+    out["ghia_re1000_rms_u"] = round(rms_u_1k, 4)
+    out["ghia_re1000_rms_v"] = round(rms_v_1k, 4)
+    out["ghia_re1000_config"] = \
+        "Re=1000 513x513 f32 jnp+DST, t=60 (<=1% gate)"
+
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

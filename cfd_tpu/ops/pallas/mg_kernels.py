@@ -51,7 +51,7 @@ def make_mg_rb_sweep(nz: int, ny: int, nx: int,
                      inv_dx2: float, inv_dy2: float, inv_dz2: float,
                      inv_factor: float, emit_residual: bool,
                      dtype=jnp.float32, interpret: bool = False,
-                     global_nz: int = None):
+                     global_nz: int = None, first_color: str = "red"):
     """Build fn(x_pad, b_pad) → x_new_pad [, residual_pad], or None.
 
     One full red-black Gauss-Seidel sweep of A x = b (A = −∇² on the
@@ -142,8 +142,11 @@ def make_mg_rb_sweep(nz: int, ny: int, nx: int,
             masks key on the GLOBAL plane index in sharded mode."""
             gk = jnp.asarray(k, jnp.int32) + z_off
             kpar = jax.lax.rem(gk, jnp.int32(2))
-            color_mask = (parity_ij == kpar) if color == 0 \
-                else (parity_ij != kpar)
+            # phase 0 = the wavefront-ahead color: red ((i+j+k) even) by
+            # default, black when first_color="black" (the symmetric
+            # V-cycle's post-smoothing order).
+            eq = (color == 0) == (first_color == "red")
+            color_mask = (parity_ij == kpar) if eq else (parity_ij != kpar)
             mask = row_interior & color_mask
             interior_k = (gk > 0) & (gk < gnz - 1)
             gs = (b_plane + nb_sum(xm, xc, xp)) * inv_factor

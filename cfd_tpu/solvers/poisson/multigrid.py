@@ -190,8 +190,9 @@ def _v_cycle(levels: List[_Level], lvl: int, b, pre: int, post: int,
             x = _rb_sweep(x, b, lv)
         return x
     kf = fused[lvl] if fused is not None else None
-    if kf is not None:
-        sweep, sweep_res = kf
+    if kf is not None and not (symmetric and kf[2] is None):
+        sweep, sweep_res, sweep_br = kf
+        post_sweep = sweep_br if symmetric else sweep
         nyp, nxp = _pad_dims(lv)
         bp = _pad(b, nyp, nxp)
         xp = jnp.zeros_like(bp)
@@ -203,7 +204,7 @@ def _v_cycle(levels: List[_Level], lvl: int, b, pre: int, post: int,
         e_c = _v_cycle(levels, lvl + 1, r_c, pre, post, symmetric, fused)
         xp = xp + _pad(_prolong(e_c, lv, levels[lvl + 1]), nyp, nxp)
         for _ in range(post):
-            xp = sweep(xp, bp)
+            xp = post_sweep(xp, bp)
         return _unpad(xp, lv)
     x = jnp.zeros(lv.shape, b.dtype)
     for _ in range(pre):
@@ -233,10 +234,12 @@ def _unpad(a, lv: _Level):
 
 
 def _build_fused_levels(levels: List[_Level], pre: int, post: int,
-                        dtype, interpret: bool,
-                        min_fused_nx: int) -> Optional[list]:
-    """Per-level fused (sweep, sweep+residual) kernel pairs; None entries
-    fall back to the jnp sweep (coarse levels, unsupported shapes)."""
+                        dtype, interpret: bool, min_fused_nx: int,
+                        symmetric: bool = False) -> Optional[list]:
+    """Per-level fused (sweep, sweep+residual, black-first-sweep) kernel
+    triples; None entries fall back to the jnp sweep (coarse levels,
+    unsupported shapes).  The black-first variant is built only for
+    ``symmetric`` callers (the SPD MG-CG preconditioner's post order)."""
     from ...ops.pallas.mg_kernels import make_mg_rb_sweep, mg_sweep_supported
 
     if pre < 1 or post < 1 or dtype != jnp.float32:
@@ -254,8 +257,15 @@ def _build_fused_levels(levels: List[_Level], pre: int, post: int,
                                          lv.inv_dy2, lv.inv_dz2,
                                          lv.inv_factor, True, dtype,
                                          interpret)
-            if sweep is not None and sweep_res is not None:
-                kf = (sweep, sweep_res)
+            sweep_br = None
+            if symmetric:
+                sweep_br = make_mg_rb_sweep(nz, ny, nx, lv.inv_dx2,
+                                            lv.inv_dy2, lv.inv_dz2,
+                                            lv.inv_factor, False, dtype,
+                                            interpret, first_color="black")
+            if sweep is not None and sweep_res is not None \
+                    and (not symmetric or sweep_br is not None):
+                kf = (sweep, sweep_res, sweep_br)
         out.append(kf)
     return out if any(k is not None for k in out) else None
 
@@ -304,7 +314,7 @@ def make_multigrid(problem: PoissonProblem, params: PoissonParams,
             # Fast path: smooth the iterate directly (V-cycle with initial
             # guess); the pre/post residuals ride the fused sweeps, so the
             # standalone r / r2 passes of the jnp body disappear.
-            sweep0, sweep_res0 = fused[0]
+            sweep0, sweep_res0 = fused[0][:2]
             lv0 = levels[0]
             nyp, nxp = _pad_dims(lv0)
 
@@ -361,8 +371,12 @@ def make_multigrid(problem: PoissonProblem, params: PoissonParams,
 
 
 def make_mg_cg(problem: PoissonProblem, params: PoissonParams,
-               pre: int = 1, post: int = 1):
-    """CG preconditioned by one symmetric V-cycle (SPD preconditioner)."""
+               pre: int = 1, post: int = 1, use_pallas: bool = None,
+               pallas_interpret: bool = False, min_fused_nx: int = 129):
+    """CG preconditioned by one symmetric V-cycle (SPD preconditioner:
+    red-black pre-smoothing, black-red post-smoothing).  ``use_pallas``
+    (auto on TPU) runs the V-cycle sweeps as fused wavefront kernels —
+    the black-first variant keeps the symmetric order, so M stays SPD."""
     levels = _build_levels(problem)
     if levels is None:
         return None
@@ -370,9 +384,17 @@ def make_mg_cg(problem: PoissonProblem, params: PoissonParams,
     max_iter = int(params.max_iterations)
     abs_tol = params.absolute_tolerance
     lv0 = levels[0]
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    fused = None
+    if use_pallas and problem.is_3d:
+        fused = _build_fused_levels(levels, pre, post, jnp.float32,
+                                    pallas_interpret, min_fused_nx,
+                                    symmetric=True)
 
     def precond(r):
-        return _v_cycle(levels, 0, r, pre, post, symmetric=True)
+        f = fused if r.dtype == jnp.float32 else None
+        return _v_cycle(levels, 0, r, pre, post, symmetric=True, fused=f)
 
     def solve(x, rhs):
         x = problem.neumann_bc(x)

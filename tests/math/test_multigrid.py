@@ -156,3 +156,29 @@ def test_multigrid_fused_build_keeps_f64_on_jnp_path():
     assert int(r32.status) == 0
     np.testing.assert_allclose(np.asarray(r32.x), np.asarray(r64.x),
                                atol=1e-4)
+
+
+@pytest.mark.heavy
+def test_mg_cg_fused_matches_jnp():
+    """The symmetric fused V-cycle preconditioner (black-first wavefront
+    post sweeps) reproduces the jnp MG-CG iteration-for-iteration."""
+    from cfd_tpu.solvers.poisson.base import PoissonProblem
+    from cfd_tpu.solvers.poisson.multigrid import make_mg_cg
+
+    n = 33
+    h, rhs = system(n, nz=n)
+    rhs = jnp.asarray(rhs, jnp.float32)
+    prob = PoissonProblem(n, n, n, h, h, h)
+    pp = PoissonParams(tolerance=1e-6)
+    x0 = jnp.zeros((n, n, n), jnp.float32)
+
+    ref = make_mg_cg(prob, pp, use_pallas=False)
+    r_ref = ref(x0, rhs)
+    fus = make_mg_cg(prob, pp, use_pallas=True, pallas_interpret=True,
+                     min_fused_nx=0)
+    r_fus = fus(x0, rhs)
+
+    assert int(r_ref.status) == int(r_fus.status) == 0
+    assert int(r_fus.iterations) == int(r_ref.iterations)
+    np.testing.assert_allclose(np.asarray(r_fus.x), np.asarray(r_ref.x),
+                               atol=1e-5)

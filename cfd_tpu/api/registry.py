@@ -35,9 +35,12 @@ SOLVER_TYPE_RK4_OPTIMIZED = "rk4_optimized"
 SOLVER_TYPE_RK4_OMP = "rk4_omp"
 SOLVER_TYPE_RK4_GPU = "rk4_gpu"
 
-# TPU extension beyond the reference's 16: projection with the exact
-# spectral (DST-I) pressure solve — uniform grids only.
+# TPU extensions beyond the reference's 16: projection with the exact
+# spectral (DST-I) pressure solve (uniform grids only), and projection
+# with the multigrid pressure solve (coarsenable 2^k+1-style grids; the
+# reference declares POISSON_METHOD_MULTIGRID but never implements it).
 SOLVER_TYPE_PROJECTION_SPECTRAL = "projection_spectral"
+SOLVER_TYPE_PROJECTION_MULTIGRID = "projection_multigrid"
 
 
 def infer_backend(name: str) -> Backend:
@@ -65,6 +68,8 @@ _DESCRIPTIONS = {
     "projection": "Chorin projection method (pressure Poisson)",
     "projection_spectral": ("Chorin projection with exact spectral (DST-I) "
                             "pressure solve — uniform grids"),
+    "projection_multigrid": ("Chorin projection with multigrid pressure "
+                             "solve — coarsenable grids, O(N) iterative"),
 }
 
 
@@ -74,6 +79,8 @@ def _default_factory(name: str) -> Callable[[], NSSolver]:
     poisson_method = PoissonMethod.CG
     if name == SOLVER_TYPE_PROJECTION_SPECTRAL:
         method, poisson_method = "projection", PoissonMethod.FFT_DIRECT
+    elif name == SOLVER_TYPE_PROJECTION_MULTIGRID:
+        method, poisson_method = "projection", PoissonMethod.MULTIGRID
 
     def factory() -> NSSolver:
         caps = (Capability.INCOMPRESSIBLE | Capability.TRANSIENT
@@ -118,7 +125,8 @@ class SolverRegistry:
                 SOLVER_TYPE_RK4_OPTIMIZED,
                 SOLVER_TYPE_RK4_OMP,
                 SOLVER_TYPE_RK4_GPU,
-                SOLVER_TYPE_PROJECTION_SPECTRAL,  # TPU extension
+                SOLVER_TYPE_PROJECTION_SPECTRAL,   # TPU extension
+                SOLVER_TYPE_PROJECTION_MULTIGRID,  # TPU extension
         ):
             self.register(name, _default_factory(name))
 

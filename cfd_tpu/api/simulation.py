@@ -221,7 +221,8 @@ _SOLVER_NAMES = [
     "explicit_euler", "explicit_euler_optimized", "projection",
     "projection_optimized", "explicit_euler_gpu", "projection_gpu",
     "explicit_euler_omp", "projection_omp",
-    "projection_spectral",  # TPU extension: exact DST-I pressure solve
+    "projection_spectral",   # TPU extension: exact DST-I pressure solve
+    "projection_multigrid",  # TPU extension: O(N) multigrid pressure solve
 ]
 
 

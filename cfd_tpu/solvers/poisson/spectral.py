@@ -116,15 +116,20 @@ def _make_btilde_pipeline(problem: PoissonProblem, precision):
     built = {}
 
     def build(dt):
-        Fx = jnp.asarray(pad_cols(_sine_matrix(mx)), dt)
-        Fy = jnp.asarray(pad_cols(_sine_matrix(my)), dt)
-        Fz = jnp.asarray(pad_cols(_sine_matrix(mz)), dt) if is_3d else None
+        # numpy on purpose (trace-safety): these are memoized in `built`
+        # across calls — a jnp constant created during one trace would be
+        # a tracer and leak into later traces.  The consuming einsums
+        # convert per trace.
+        np_dt = np.dtype(dt)  # ml_dtypes covers bfloat16
+        Fx = np.asarray(pad_cols(_sine_matrix(mx)), np_dt)
+        Fy = np.asarray(pad_cols(_sine_matrix(my)), np_dt)
+        Fz = np.asarray(pad_cols(_sine_matrix(mz)), np_dt) if is_3d else None
         # The 1/(m+1) normalizations all fold into Gx.
-        Gx = jnp.asarray(_mirror_extended_inverse(mx, scale), dt)
-        Gy = jnp.asarray(_mirror_extended_inverse(my, 1.0), dt)
-        Gz = (jnp.asarray(_mirror_extended_inverse(mz, 1.0), dt)
+        Gx = np.asarray(_mirror_extended_inverse(mx, scale), np_dt)
+        Gy = np.asarray(_mirror_extended_inverse(my, 1.0), np_dt)
+        Gz = (np.asarray(_mirror_extended_inverse(mz, 1.0), np_dt)
               if is_3d else None)
-        vx, vy, vz = (jnp.asarray(v, dt) for v in (lx, ly, lz))
+        vx, vy, vz = (np.asarray(v, np_dt) for v in (lx, ly, lz))
         return Fx, Fy, Fz, Gx, Gy, Gz, vx, vy, vz
 
     def pipeline(btilde):

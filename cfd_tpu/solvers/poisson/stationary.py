@@ -116,7 +116,11 @@ def _checkerboard(problem: PoissonProblem, parity: int):
         interior[1:-1, 1:-1, 1:-1] = True
     else:
         interior[:, 1:-1, 1:-1] = True
-    return jnp.asarray(color & interior)
+    # numpy on purpose: converted at trace time by the consuming jnp ops.
+    # A jnp constant created here would be a *tracer* when the maker runs
+    # inside an enclosing trace (e.g. a differentiable step built under
+    # jax.jit(jax.grad(...))) and leak across scan re-staging.
+    return color & interior
 
 
 def make_redblack_sor_fused(problem: PoissonProblem, params: PoissonParams,

@@ -1,0 +1,189 @@
+"""Adjoint (reverse-mode differentiation) tests.
+
+Validates the custom-VJP Poisson solve (`solvers/poisson/adjoint.py`)
+against central finite differences, then end-to-end gradients through the
+projection step and a multi-step rollout.  Extension component — the C
+reference is not differentiable; there is no counterpart to cite.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cfd_tpu import FlowField, Grid
+from cfd_tpu.solvers.ns.params import NSParams
+from cfd_tpu.solvers.ns.projection import make_projection_step
+from cfd_tpu.solvers.poisson.adjoint import make_adjoint_poisson
+from cfd_tpu.solvers.poisson.base import (Method, PoissonParams,
+                                          PoissonProblem)
+
+TIGHT = PoissonParams(tolerance=1e-12, absolute_tolerance=1e-13,
+                      max_iterations=4000)
+
+
+def _problem_2d(n=17):
+    return PoissonProblem(n, n, 1, dx=1.0 / (n - 1), dy=1.0 / (n - 1))
+
+
+def _rand(rng, shape):
+    return jnp.asarray(rng.standard_normal(shape))
+
+
+def _check_grads(loss, args, argnum, directions, rng, eps=1e-6, rtol=2e-5):
+    """Directional-derivative check: <grad, d> vs central differences."""
+    g = jax.grad(loss, argnums=argnum)(*args)
+    for d in directions:
+        ad = float(jnp.vdot(g, d))
+        args_p = list(args)
+        args_m = list(args)
+        args_p[argnum] = args[argnum] + eps * d
+        args_m[argnum] = args[argnum] - eps * d
+        fd = (float(loss(*args_p)) - float(loss(*args_m))) / (2 * eps)
+        assert ad == pytest.approx(fd, rel=rtol, abs=1e-9), \
+            f"adjoint {ad} vs FD {fd}"
+
+
+@pytest.mark.parametrize("method", [Method.CG, Method.BICGSTAB,
+                                    Method.MULTIGRID])
+def test_adjoint_matches_fd_correction_family(method, rng):
+    """Exact VJP for the correction-space family: gradients w.r.t. BOTH
+    rhs and the initial guess (the -B·x0 boundary-mirror term)."""
+    prob = _problem_2d(17)
+    solve = make_adjoint_poisson(prob, TIGHT, method)
+    w = _rand(rng, prob.shape)
+    x0 = _rand(rng, prob.shape)
+    rhs = prob.zero_boundary(_rand(rng, prob.shape))
+
+    def loss(x0, rhs):
+        return jnp.sum(w * solve(x0, rhs).x)
+
+    dirs = [prob.zero_boundary(_rand(rng, prob.shape)) for _ in range(2)]
+    _check_grads(loss, (x0, rhs), 1, dirs, rng)
+    # x0 enters only through the boundary-mirror diagonal; perturb the
+    # interior ring where the dependence lives.
+    _check_grads(loss, (x0, rhs), 0, [_rand(rng, prob.shape)], rng)
+
+
+def test_adjoint_matches_fd_3d(rng):
+    prob = PoissonProblem(9, 9, 9, dx=0.125, dy=0.125, dz=0.125)
+    solve = make_adjoint_poisson(prob, TIGHT, Method.CG)
+    w = _rand(rng, prob.shape)
+    x0 = jnp.zeros(prob.shape)
+    rhs = prob.zero_boundary(_rand(rng, prob.shape))
+
+    def loss(x0, rhs):
+        return jnp.sum(w * solve(x0, rhs).x)
+
+    dirs = [prob.zero_boundary(_rand(rng, prob.shape)) for _ in range(2)]
+    _check_grads(loss, (x0, rhs), 1, dirs, rng)
+
+
+def test_adjoint_matches_fd_stationary(rng):
+    """Stationary family: gradients are exact for gauge-invariant losses
+    (insensitive to the +const gauge of the Neumann solution) along
+    compatible (mean-zero) rhs directions; the fixed point is
+    x0-independent so x0 gets zero grad."""
+    prob = _problem_2d(17)
+    params = PoissonParams(tolerance=1e-12, absolute_tolerance=1e-13,
+                           max_iterations=20000)
+    solve = make_adjoint_poisson(prob, params, Method.REDBLACK_SOR)
+    w = _rand(rng, prob.shape)
+    w = w - jnp.mean(w)  # gauge-invariant loss weight
+    x0 = jnp.zeros(prob.shape)
+    n_int = (prob.ny - 2) * (prob.nx - 2)
+    rhs = prob.zero_boundary(_rand(rng, prob.shape))
+    rhs = prob.zero_boundary(rhs - jnp.sum(rhs) / n_int)  # compatible
+
+    def loss(x0, rhs):
+        return jnp.sum(w * solve(x0, rhs).x)
+
+    def mean_zero_dir():
+        d = prob.zero_boundary(_rand(rng, prob.shape))
+        return prob.zero_boundary(d - jnp.sum(d) / n_int)
+
+    _check_grads(loss, (x0, rhs), 1, [mean_zero_dir() for _ in range(2)],
+                 rng, rtol=1e-4)
+    gx0 = jax.grad(loss, argnums=0)(x0, rhs)
+    np.testing.assert_allclose(np.asarray(gx0), 0.0)
+
+
+def test_fft_direct_natively_differentiable(rng):
+    prob = _problem_2d(17)
+    solve = make_adjoint_poisson(prob, PoissonParams(), Method.FFT_DIRECT)
+    w = _rand(rng, prob.shape)
+    rhs = prob.zero_boundary(_rand(rng, prob.shape))
+
+    def loss(rhs):
+        return jnp.sum(w * solve(jnp.zeros(prob.shape), rhs).x)
+
+    g = jax.grad(loss)(rhs)
+    d = prob.zero_boundary(_rand(rng, prob.shape))
+    eps = 1e-6
+    fd = (float(loss(rhs + eps * d)) - float(loss(rhs - eps * d))) / (2 * eps)
+    assert float(jnp.vdot(g, d)) == pytest.approx(fd, rel=2e-5, abs=1e-9)
+
+
+def _tg_field(grid):
+    X, Y, _ = grid.coordinate_arrays(jnp.float64)
+    shape = (grid.nz, grid.ny, grid.nx)
+    u = jnp.broadcast_to(jnp.sin(X) * jnp.cos(Y), shape)
+    v = jnp.broadcast_to(-jnp.cos(X) * jnp.sin(Y), shape)
+    f = FlowField.quiescent(grid.nx, grid.ny, grid.nz)
+    return f.replace(u=u, v=v)
+
+
+def test_grad_through_projection_step(rng):
+    """End-to-end: differentiate one projection step (jnp path +
+    adjoint pressure solve) w.r.t. the initial velocity."""
+    grid = Grid.uniform(17, 17, xmin=0, xmax=2 * np.pi,
+                        ymin=0, ymax=2 * np.pi)
+    params = NSParams(source_amplitude_u=0.0, source_amplitude_v=0.0)
+    step = make_projection_step(grid, params, poisson_method=Method.CG,
+                                poisson_params=TIGHT, use_pallas=False,
+                                differentiable=True)
+    field0 = _tg_field(grid)
+
+    def loss(u0):
+        f = field0.replace(u=u0)
+        f2, _ = step(f, 0.01, 0)
+        return 0.5 * jnp.sum(f2.u ** 2 + f2.v ** 2)
+
+    g = jax.grad(loss)(field0.u)
+    assert np.isfinite(np.asarray(g)).all()
+    d = _rand(rng, field0.u.shape)
+    eps = 1e-6
+    fd = (float(loss(field0.u + eps * d))
+          - float(loss(field0.u - eps * d))) / (2 * eps)
+    assert float(jnp.vdot(g, d)) == pytest.approx(fd, rel=1e-4, abs=1e-9)
+
+
+def test_grad_through_rollout_wrt_viscosity():
+    """Differentiate kinetic energy after a short rollout w.r.t. the
+    viscosity — the design-parameter pattern (params fields accept
+    tracers on the jnp path)."""
+    grid = Grid.uniform(17, 17, xmin=0, xmax=2 * np.pi,
+                        ymin=0, ymax=2 * np.pi)
+    field0 = _tg_field(grid)
+    n_steps, dt = 4, 0.01
+
+    def ke_after(mu):
+        params = NSParams(mu=mu, source_amplitude_u=0.0,
+                          source_amplitude_v=0.0)
+        step = make_projection_step(grid, params, poisson_method=Method.CG,
+                                    poisson_params=TIGHT, use_pallas=False,
+                                    differentiable=True)
+
+        def body(f, i):
+            f2, _ = step(f, dt, i)
+            return f2, ()
+
+        f_final, _ = jax.lax.scan(body, field0, jnp.arange(n_steps))
+        return 0.5 * jnp.sum(f_final.u ** 2 + f_final.v ** 2)
+
+    g = float(jax.grad(ke_after)(0.05))
+    # more viscosity -> faster Taylor-Green decay -> less kinetic energy
+    assert g < 0.0
+    eps = 1e-5
+    fd = (float(ke_after(0.05 + eps)) - float(ke_after(0.05 - eps))) / (2 * eps)
+    assert g == pytest.approx(fd, rel=1e-4)

@@ -263,6 +263,50 @@ def run_fused_vs_jnp_rms(n: int = 128, steps: int = 50) -> float:
     return float(np.sqrt(np.mean(du * du)))
 
 
+def run_adjoint(n: int = 1024, steps: int = 50):
+    """Forward-vs-reverse cost of a differentiable rollout on-chip: a
+    50-step 2D Euler rollout (jnp path — the Pallas kernels are
+    forward-only) timed as plain value and as value+gradient w.r.t. the
+    initial velocity.  Returns (forward_ms, grad_ms, ratio).  The
+    transpose graph carries ~7x the forward FLOPs (the reference-parity
+    clamps and per-point guards each add select masks, and advection
+    product-rule terms double up), so a single-digit ratio is healthy;
+    the row exists to catch regressions into recompute blow-ups.
+    Extension row — the C reference is forward-only."""
+    import jax
+    import jax.numpy as jnp
+
+    from cfd_tpu import Grid
+    from cfd_tpu.solvers.ns import NSParams, make_euler_step, make_rollout
+
+    grid = Grid.uniform(n, n)
+    params = NSParams(source_amplitude_u=0.0, source_amplitude_v=0.0)
+    step = make_euler_step(grid, params, dtype=jnp.float32,
+                           use_pallas=False)
+    roll = make_rollout(step, steps, remat="step")
+    field0 = _tg_field((1, n, n))
+
+    def loss(u0):
+        f, _ = roll(field0.replace(u=u0), 1e-4)
+        return 0.5 * jnp.sum(f.u ** 2 + f.v ** 2)
+
+    fwd = jax.jit(loss)
+    bwd = jax.jit(lambda u0: jnp.sum(jax.grad(loss)(u0)))
+
+    def timed(fn):
+        float(fn(field0.u))  # compile + warmup
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            float(fn(field0.u))
+            best = min(best, time.perf_counter() - t0)
+        return best * 1e3
+
+    fwd_ms = timed(fwd)
+    grad_ms = timed(bwd)
+    return round(fwd_ms, 1), round(grad_ms, 1), round(grad_ms / fwd_ms, 2)
+
+
 def run_euler_ms(nx: int = 100, ny: int = 50, steps: int = 2000) -> float:
     """Explicit-Euler per-step ms at 100×50 (`README.md:225-231`:
     2.6 ms scalar / 0.9 SIMD / 0.8 OMP)."""
@@ -472,6 +516,8 @@ def main():
     row(lambda: round(run_rk_3d(2), 1), "rk2_mlups_256")
     row(lambda: round(run_rk_3d(4), 1), "rk4_mlups_256")
     row(lambda: round(run_fused_vs_jnp_rms(), 8), "fused_vs_jnp_rms_u")
+    row(run_adjoint, "adjoint_fwd_ms_1024_50steps", "adjoint_grad_ms",
+        "adjoint_grad_over_fwd")
     row(run_poisson_large, "poisson_large_tol1e-6")
 
     def poisson_rows():

@@ -20,12 +20,29 @@ refused host callbacks, `navier_stokes_solver.h:140-146`).
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from ..boundary.types import BCType, ThermalBCConfig
 from ..core.grid import Grid
 from ..core.status import CFDError, Status
 from ..ops import stencils
+
+
+def static_bool(x, default: bool = True) -> bool:
+    """``bool(x)``, but `default` when x is a tracer.
+
+    Enablement predicates (α > 0, β ≠ 0) gate *structure* at build time;
+    when the physics parameter is a traced value (the differentiable-
+    params pattern — e.g. ``jax.grad`` of a rollout w.r.t. β), its truth
+    value is unknowable at trace time, so the term is kept (``default=
+    True``) and the gradient flows through it.  Concrete values keep the
+    reference's skip-when-disabled semantics (`energy_solver.c:37-39`).
+    """
+    try:
+        return bool(x)
+    except jax.errors.TracerBoolConversionError:
+        return default
 
 
 def validate_energy_grid(grid: Grid) -> None:
@@ -65,8 +82,8 @@ def validate_thermal_bc(config: ThermalBCConfig, grid: Grid) -> None:
 
 def make_energy_step(grid: Grid, alpha: float, heat_source=None):
     """Build T-update closure; returns None when the energy equation is
-    disabled (α ≤ 0 — `energy_solver.c:37-39`)."""
-    if alpha <= 0.0:
+    disabled (α ≤ 0 — `energy_solver.c:37-39`; traced α keeps it on)."""
+    if not static_bool(alpha > 0.0):
         return None
     validate_energy_grid(grid)
 
@@ -97,7 +114,7 @@ def make_energy_step(grid: Grid, alpha: float, heat_source=None):
 
 def compute_buoyancy(T, beta: float, T_ref: float, gravity):
     """Boussinesq momentum sources (−β·(T−T_ref)·g)."""
-    if beta == 0.0:
+    if not static_bool(beta != 0.0):
         return 0.0, 0.0, 0.0
     dT = T - T_ref
     return (-beta * dT * gravity[0],

@@ -85,11 +85,13 @@ class NSParams:
 
     @property
     def energy_enabled(self) -> bool:
-        return self.alpha > 0.0
+        from ..energy import static_bool
+        return static_bool(self.alpha > 0.0)
 
     @property
     def buoyancy_enabled(self) -> bool:
-        return self.beta != 0.0
+        from ..energy import static_bool
+        return static_bool(self.beta != 0.0)
 
 
 @dataclasses.dataclass

@@ -38,7 +38,8 @@ from .params import (DT_CONSERVATIVE_LIMIT, MAX_DERIVATIVE_LIMIT,
 
 
 def make_euler_step(grid: Grid, params: NSParams, dtype=None,
-                    use_pallas=None, pallas_interpret: bool = False):
+                    use_pallas=None, pallas_interpret: bool = False,
+                    differentiable: bool = False):
     """Build the jitted one-iteration Euler step: (field, dt, iter) → (field,
     StepResult).
 
@@ -48,7 +49,21 @@ def make_euler_step(grid: Grid, params: NSParams, dtype=None,
     equation, and thermal BCs, which are fused into the same pass; only
     custom ``source_func``/``heat_source_func`` callbacks (or an unsupported
     shape) keep the jnp step.  The kernel is consistency-tested against the
-    jnp path (tests/math/test_euler_fused.py)."""
+    jnp path (tests/math/test_euler_fused.py).
+
+    The jnp path is reverse-differentiable as-is; ``differentiable=True``
+    pins it (the fused kernels have no transpose rule) unless
+    ``use_pallas=True`` is also passed explicitly, which builds the hybrid
+    step instead — fused kernel forward, jnp adjoint (`.hybrid.pair_vjp`;
+    exact, the two paths are bit-identical on TPU)."""
+    if differentiable:
+        if use_pallas:
+            from .hybrid import pair_vjp
+            return pair_vjp(
+                make_euler_step(grid, params, dtype, use_pallas=True,
+                                pallas_interpret=pallas_interpret),
+                make_euler_step(grid, params, dtype, use_pallas=False))
+        use_pallas = False
     validate_grid_for_solver(grid, grid.shape)
     if params.energy_enabled:
         validate_thermal_bc(params.thermal_bc, grid)

@@ -85,14 +85,33 @@ def make_projection_step(grid: Grid, params: NSParams, dtype=None,
     2048², 25-40% faster).
 
     ``differentiable=True`` makes the whole step reverse-mode
-    differentiable: it pins the jnp path (the Pallas kernels are
-    forward-only) and swaps the pressure solve for its adjoint-capable
+    differentiable: it pins the jnp path (the Pallas kernels have no
+    transpose rule) and swaps the pressure solve for its adjoint-capable
     twin (`..poisson.adjoint.make_adjoint_poisson` — exact VJP at one
     extra solve).  Everything else in the step is already plain jnp, so
     ``jax.grad`` flows through initial conditions, sources, and — when
     passed as traced values in ``params`` — physics parameters.
+    Combining ``differentiable=True`` with an explicit ``use_pallas=True``
+    builds the hybrid step instead: fused-kernel forward value, jnp
+    adjoint for the reverse pass (`.hybrid.pair_vjp`) — kernel throughput
+    for loss evaluation, reverse-mode-only differentiation.
     """
     if differentiable:
+        if use_pallas or use_pallas_cg:
+            # Hybrid: fused Pallas forward, adjoint of the jnp step for
+            # the reverse pass (`.hybrid.pair_vjp`).  The fused forward
+            # matches the jnp forward at solver-tolerance level, so the
+            # gradient is the inexact-primal/exact-adjoint trade.
+            from .hybrid import pair_vjp
+            common = dict(dtype=dtype, poisson_method=poisson_method,
+                          poisson_params=poisson_params,
+                          spectral_precision=spectral_precision)
+            return pair_vjp(
+                make_projection_step(grid, params, use_pallas=True,
+                                     pallas_interpret=pallas_interpret,
+                                     **common),
+                make_projection_step(grid, params, use_pallas=False,
+                                     differentiable=True, **common))
         use_pallas = False
     if use_pallas is None:
         use_pallas = (bool(use_pallas_cg)

@@ -173,7 +173,19 @@ def _make_fused_rk_step(mid, final, params: NSParams, order: int, nz, dtype):
 
 
 def _make_rk_step(grid: Grid, params: NSParams, order: int, dtype=None,
-                  use_pallas=None, pallas_interpret: bool = False):
+                  use_pallas=None, pallas_interpret: bool = False,
+                  differentiable: bool = False):
+    # The jnp path is reverse-differentiable as-is; differentiable=True
+    # pins it unless use_pallas=True is explicit, which pairs the fused
+    # stage kernels with the jnp adjoint (`.hybrid.pair_vjp`).
+    if differentiable:
+        if use_pallas:
+            from .hybrid import pair_vjp
+            return pair_vjp(
+                _make_rk_step(grid, params, order, dtype, use_pallas=True,
+                              pallas_interpret=pallas_interpret),
+                _make_rk_step(grid, params, order, dtype, use_pallas=False))
+        use_pallas = False
     validate_grid_for_solver(grid, grid.shape)
     if params.energy_enabled:
         validate_thermal_bc(params.thermal_bc, grid)
@@ -262,15 +274,17 @@ def _make_rk_step(grid: Grid, params: NSParams, order: int, dtype=None,
 
 
 def make_rk2_step(grid: Grid, params: NSParams, dtype=None,
-                  use_pallas=None, pallas_interpret: bool = False):
+                  use_pallas=None, pallas_interpret: bool = False,
+                  differentiable: bool = False):
     return _make_rk_step(grid, params, 2, dtype, use_pallas,
-                         pallas_interpret)
+                         pallas_interpret, differentiable)
 
 
 def make_rk4_step(grid: Grid, params: NSParams, dtype=None,
-                  use_pallas=None, pallas_interpret: bool = False):
+                  use_pallas=None, pallas_interpret: bool = False,
+                  differentiable: bool = False):
     return _make_rk_step(grid, params, 4, dtype, use_pallas,
-                         pallas_interpret)
+                         pallas_interpret, differentiable)
 
 
 def make_rk2_solve(grid: Grid, params: NSParams, dtype=None):

@@ -307,6 +307,57 @@ def run_adjoint(n: int = 1024, steps: int = 50):
     return round(fwd_ms, 1), round(grad_ms, 1), round(grad_ms / fwd_ms, 2)
 
 
+def run_hybrid_adjoint(n: int = 128, steps: int = 10):
+    """Hybrid differentiable step (ns/hybrid.pair_vjp: fused Pallas
+    forward + jnp adjoint): forward-pass ms of a 10-step 128³ Euler
+    rollout through the differentiable API, hybrid vs jnp, plus the
+    max-abs gradient difference (0.0 expected — the fused path is
+    bit-identical on TPU).  Extension row; guards both the speedup and
+    the exactness of the custom_vjp pairing."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from cfd_tpu import FlowField, Grid
+    from cfd_tpu.solvers.ns import NSParams, make_euler_step, make_rollout
+
+    grid = Grid.uniform(n, n, n, zmin=0.0, zmax=1.0)
+    params = NSParams(source_amplitude_u=0.0, source_amplitude_v=0.0)
+    rng = np.random.default_rng(0)
+    f = FlowField.initialize(grid, dtype=jnp.float32)
+    f = f.replace(u=jnp.asarray(rng.normal(0, .2, grid.shape), jnp.float32),
+                  v=jnp.asarray(rng.normal(0, .2, grid.shape), jnp.float32),
+                  w=jnp.asarray(rng.normal(0, .2, grid.shape), jnp.float32))
+
+    def loss_of(step):
+        roll = make_rollout(step, steps, remat="step")
+
+        def loss(u):
+            out, _ = roll(f.replace(u=u), 5e-5)
+            return 0.5 * jnp.sum(out.u ** 2 + out.v ** 2 + out.w ** 2)
+        return loss
+
+    hybrid = loss_of(make_euler_step(grid, params, dtype=jnp.float32,
+                                     use_pallas=True, differentiable=True))
+    ref = loss_of(make_euler_step(grid, params, dtype=jnp.float32,
+                                  use_pallas=False))
+
+    def timed(fn):
+        float(jnp.sum(fn(f.u)))
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            float(jnp.sum(fn(f.u)))
+            best = min(best, time.perf_counter() - t0)
+        return best * 1e3
+
+    hyb_ms = timed(jax.jit(hybrid))
+    jnp_ms = timed(jax.jit(ref))
+    gdiff = float(jnp.max(jnp.abs(jax.jit(jax.grad(hybrid))(f.u)
+                                  - jax.jit(jax.grad(ref))(f.u))))
+    return round(hyb_ms, 1), round(jnp_ms, 1), gdiff
+
+
 def run_euler_ms(nx: int = 100, ny: int = 50, steps: int = 2000) -> float:
     """Explicit-Euler per-step ms at 100×50 (`README.md:225-231`:
     2.6 ms scalar / 0.9 SIMD / 0.8 OMP)."""
@@ -518,6 +569,8 @@ def main():
     row(lambda: round(run_fused_vs_jnp_rms(), 8), "fused_vs_jnp_rms_u")
     row(run_adjoint, "adjoint_fwd_ms_1024_50steps", "adjoint_grad_ms",
         "adjoint_grad_over_fwd")
+    row(run_hybrid_adjoint, "hybrid_fwd_ms_128_10steps",
+        "hybrid_jnp_fwd_ms", "hybrid_grad_maxdiff")
     row(run_poisson_large, "poisson_large_tol1e-6")
 
     def poisson_rows():

@@ -93,31 +93,43 @@ class Grid:
                   xmin: float = 0.0, xmax: float = 1.0,
                   ymin: float = 0.0, ymax: float = 1.0,
                   zmin: float = 0.0, zmax: float = 0.0,
-                  beta: float = 0.0) -> "Grid":
+                  beta: float = 0.0, stretch_axes: str = "xyz") -> "Grid":
         """Tanh-stretched grid clustering points at both boundaries.
 
         x[i] = xmin + L * (1 + tanh(beta*(2*xi - 1)) / tanh(beta)) / 2,
         xi = i/(n-1) — the formula at `grid.c:129-160`.  beta≈0 falls back to
         uniform (tanh(0)=0 would divide by zero).
+
+        ``stretch_axes`` selects which axes stretch (default all, the
+        reference's behavior); the rest stay uniform.  E.g. ``"y"`` builds
+        the wall-resolved-channel layout — and 3D grids stretched in x/y
+        only keep the uniform-z layout the NS integrators require (and
+        that the fused kernels' per-point coefficient pins support).
         """
         if abs(beta) < 1e-10:
             return cls.uniform(nx, ny, nz, xmin, xmax, ymin, ymax, zmin, zmax)
         cls._validate(nx, ny, nz, xmin, xmax, ymin, ymax, zmin, zmax)
+        bad = set(stretch_axes) - set("xyz")
+        if bad or not stretch_axes:
+            raise ValueError(f"stretch_axes must name axes from 'xyz', "
+                             f"got {stretch_axes!r}")
 
         tb = np.tanh(beta)
 
-        def stretch(n, lo, hi):
+        def stretch(n, lo, hi, axis):
+            if axis not in stretch_axes:
+                return np.linspace(lo, hi, n)
             xi = np.arange(n) / (n - 1)
             return lo + (hi - lo) * (1.0 + np.tanh(beta * (2.0 * xi - 1.0)) / tb) / 2.0
 
-        x = stretch(nx, xmin, xmax)
-        y = stretch(ny, ymin, ymax)
+        x = stretch(nx, xmin, xmax, "x")
+        y = stretch(ny, ymin, ymax, "y")
         dx = np.diff(x)
         dy = np.diff(y)
         z = dz = None
         inv_dz2 = 0.0
         if nz > 1:
-            z = stretch(nz, zmin, zmax)
+            z = stretch(nz, zmin, zmax, "z")
             dz = np.diff(z)
             # Conservative: min dz, as in grid.c:182-189.
             inv_dz2 = 1.0 / float(np.min(dz) ** 2)

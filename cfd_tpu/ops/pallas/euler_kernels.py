@@ -25,9 +25,11 @@ interior-only, then the thermal per-face BCs applied after the wrap —
 in-plane faces in-compute, z-faces via the engine's generalized
 ``shell_sources``).
 
-Gating (callers fall back to the jnp step): float32, uniform grid,
+Gating (callers fall back to the jnp step): float32, uniform z,
 nz ≥ 3, nx % 128 == 0, ny % 8 == 0, default sources only (the decayed
-amplitudes enter as scalars), no custom heat-source callable.
+amplitudes enter as scalars), no custom heat-source callable.  Stretched
+x/y grids are supported via pinned per-point coefficient planes
+(``stretch=``, `.stretch.stretch_pins`) with the energy equation off.
 
 Consistency vs the jnp step is enforced by tests/math/test_euler_fused.py.
 """
@@ -59,7 +61,7 @@ def make_euler_fused(nz, ny, nx, dx, dy, dz, xmin, ymin,
                      mu: float, pressure_coupling: float,
                      alpha: float = 0.0, beta: float = 0.0,
                      T_ref: float = 0.0, gravity=(0.0, 0.0, 0.0),
-                     thermal_bc=None,
+                     thermal_bc=None, stretch=None,
                      dtype=jnp.float32, interpret: bool = False):
     """Build fn(scalars=(cdt, src_u_eff, src_v_eff, time),
     u, v, w, p, T, rho) →
@@ -68,14 +70,31 @@ def make_euler_fused(nz, ny, nx, dx, dy, dz, xmin, ymin,
     ``alpha > 0`` fuses the energy update; ``beta != 0`` the Boussinesq
     sources; ``thermal_bc`` (a ThermalBCConfig) the per-face T BCs —
     required when alpha > 0, ignored otherwise (T then keeps the plain
-    periodic wrap, matching the jnp boundary dance)."""
+    periodic wrap, matching the jnp boundary dance).
+
+    ``stretch``: per-point spacing on tanh-stretched grids — a
+    ``(dx_arr, dy_arr, x_coords, y_coords)`` numpy tuple (see
+    `.stretch.stretch_pins`).  The 1/(2h), 1/h² coefficients and the
+    source basis then ride three pinned VMEM inputs instead of compiled
+    constants; z spacing stays uniform (validated by the solver layer)
+    and the energy equation must be off (it requires uniform grids,
+    `energy_solver.c:55-91`)."""
     if not euler_kernel_supported(nz, ny, nx):
         return None
+    if stretch is not None and alpha > 0.0:
+        return None
     from ...boundary.types import BCType
-    inv_2dx = 1.0 / (2.0 * dx)
-    inv_2dy = 1.0 / (2.0 * dy)
-    inv_dx2 = 1.0 / (dx * dx)
-    inv_dy2 = 1.0 / (dy * dy)
+    pins = ()
+    if stretch is not None:
+        from .stretch import stretch_pins
+        dx_arr, dy_arr, x_coords, y_coords = stretch
+        pins = stretch_pins(ny, nx, dx_arr, dy_arr, x_coords, y_coords)
+        inv_2dx = inv_2dy = inv_dx2 = inv_dy2 = None  # from pins in-body
+    else:
+        inv_2dx = 1.0 / (2.0 * dx)
+        inv_2dy = 1.0 / (2.0 * dy)
+        inv_dx2 = 1.0 / (dx * dx)
+        inv_dy2 = 1.0 / (dy * dy)
     inv_2dz = 1.0 / (2.0 * dz)
     inv_dz2 = 1.0 / (dz * dz)
 
@@ -90,23 +109,29 @@ def make_euler_fused(nz, ny, nx, dx, dy, dz, xmin, ymin,
         return (jnp.sin(jnp.asarray(jnp.pi, dtype) * y),
                 jnp.sin(jnp.asarray(2.0 * jnp.pi, dtype) * x))
 
-    def d1x(c):
-        return clampv((shift_x(c, 1) - shift_x(c, -1)) * inv_2dx, _D1_LIMIT)
+    def make_derivs(c2x, cx2, c2y, cy2):
+        """Derivative helpers over the plane coefficients — compiled
+        floats on uniform grids, pinned (ny, nx) planes on stretched."""
 
-    def d1y(c):
-        return clampv((shift_y(c, 1, ny) - shift_y(c, -1, ny)) * inv_2dy,
-                      _D1_LIMIT)
+        def d1x(c):
+            return clampv((shift_x(c, 1) - shift_x(c, -1)) * c2x, _D1_LIMIT)
 
-    def d1z(m, p):
-        return clampv((p - m) * inv_2dz, _D1_LIMIT)
+        def d1y(c):
+            return clampv((shift_y(c, 1, ny) - shift_y(c, -1, ny)) * c2y,
+                          _D1_LIMIT)
 
-    def lap_clamped(m, c, p):
-        # the jnp path clamps EACH second-derivative term before summing
-        return (clampv((shift_x(c, 1) - 2.0 * c + shift_x(c, -1)) * inv_dx2,
-                       _D2_LIMIT)
-                + clampv((shift_y(c, 1, ny) - 2.0 * c
-                          + shift_y(c, -1, ny)) * inv_dy2, _D2_LIMIT)
-                + clampv((p - 2.0 * c + m) * inv_dz2, _D2_LIMIT))
+        def d1z(m, p):
+            return clampv((p - m) * inv_2dz, _D1_LIMIT)
+
+        def lap_clamped(m, c, p):
+            # the jnp path clamps EACH second-derivative term before summing
+            return (clampv((shift_x(c, 1) - 2.0 * c + shift_x(c, -1)) * cx2,
+                           _D2_LIMIT)
+                    + clampv((shift_y(c, 1, ny) - 2.0 * c
+                              + shift_y(c, -1, ny)) * cy2, _D2_LIMIT)
+                    + clampv((p - 2.0 * c + m) * inv_dz2, _D2_LIMIT))
+
+        return d1x, d1y, d1z, lap_clamped
 
     def periodic_wrap(q, jj, ii):
         # x faces first, then y faces read the x-wrapped values
@@ -142,7 +167,7 @@ def make_euler_fused(nz, ny, nx, dx, dy, dz, xmin, ymin,
             q = jnp.where(where_mask, src, q)
         return q
 
-    def compute(k, scalars, halos, planes):
+    def compute(k, scalars, halos, planes, pinned=None):
         cdt, src_u_eff, src_v_eff, _time = scalars
         (um, uc, up) = halos[0]
         (vm, vc, vp) = halos[1]
@@ -154,6 +179,13 @@ def make_euler_fused(nz, ny, nx, dx, dy, dz, xmin, ymin,
         mask, jj, ii = plane_masks(ny, nx, dtype)
         maskb = mask > 0
 
+        if stretch is not None:
+            (c2x, cx2), (c2y, cy2), (sy, sx2) = pinned
+        else:
+            c2x, cx2, c2y, cy2 = inv_2dx, inv_dx2, inv_2dy, inv_dy2
+            sy, sx2 = source_planes()
+        d1x, d1y, d1z, lap_clamped = make_derivs(c2x, cx2, c2y, cy2)
+
         du_dx, du_dy, du_dz = d1x(uc), d1y(uc), d1z(um, up)
         dv_dx, dv_dy, dv_dz = d1x(vc), d1y(vc), d1z(vm, vp)
         dw_dx, dw_dy, dw_dz = d1x(wc), d1y(wc), d1z(wm, wp)
@@ -161,7 +193,6 @@ def make_euler_fused(nz, ny, nx, dx, dy, dz, xmin, ymin,
 
         nu = jnp.minimum(dtype(mu) / jnp.maximum(rho, dtype(1e-10)),
                          dtype(1.0))
-        sy, sx2 = source_planes()
         su = src_u_eff * sy
         sv = src_v_eff * sx2
         sw = jnp.zeros((), dtype)
@@ -230,9 +261,12 @@ def make_euler_fused(nz, ny, nx, dx, dy, dz, xmin, ymin,
         t_src = thermal_z_specs(thermal_bc, periodic=("pN2", "p1"),
                                 neumann=("p1", "pN2"))
 
-    return make_rolling_stencil(
+    run = make_rolling_stencil(
         nz, ny, nx, 5, 1, 6, compute, dtype, n_scalars=4,
         reductions=("max", "max", "max", "max"),
         shell_passthrough=[0, 1, 2, None, None, None],
         shell_sources={3: ("pN2", "p1"), 4: ("pN2", "p1"), 5: t_src},
-        interpret=interpret)
+        n_pinned=len(pins), interpret=interpret)
+    if run is None or not pins:
+        return run
+    return lambda scalars, *fields: run(scalars, *fields, *pins)

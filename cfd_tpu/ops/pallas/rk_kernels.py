@@ -29,9 +29,10 @@ Boussinesq buoyancy enters every stage's sources; the energy equation
 the per-face thermal BCs fuse into the final-stage pass, exactly as in
 the fused Euler kernel.
 
-Gating matches the fused Euler kernel: float32, uniform grids, nz ≥ 3,
-aligned dims, default sources, no custom heat source.  Consistency vs
-the jnp step: tests/math/test_rk_fused.py.
+Gating matches the fused Euler kernel: float32, uniform z, nz ≥ 3,
+aligned dims, default sources, no custom heat source; stretched x/y via
+pinned coefficient planes (energy off).  Consistency vs the jnp step:
+tests/math/test_rk_fused.py.
 """
 
 from __future__ import annotations
@@ -58,7 +59,7 @@ def make_rk_stage(nz, ny, nx, dx, dy, dz, xmin, ymin,
                   mu: float, pressure_coupling: float, final: bool,
                   alpha: float = 0.0, beta: float = 0.0,
                   T_ref: float = 0.0, gravity=(0.0, 0.0, 0.0),
-                  thermal_bc=None, global_nz=None,
+                  thermal_bc=None, global_nz=None, stretch=None,
                   dtype=jnp.float32, interpret: bool = False):
     """Build one RK stage pass.
 
@@ -77,15 +78,28 @@ def make_rk_stage(nz, ny, nx, dx, dy, dz, xmin, ymin,
     final=True:  same inputs → (u, v, w, p, rho, T,
                                 m2max, pmax, pabsmax, tmax)
     Pinned inputs are (2, ny, nx): [plane nz−2, plane 1] of each stage-
-    state halo field.  Returns None when unsupported.
+    state halo field.  ``stretch``: per-point x/y spacing on stretched
+    grids — a ``(dx_arr, dy_arr, x_coords, y_coords)`` numpy tuple; the
+    coefficient/source-basis planes ride three extra pinned inputs
+    (`.stretch.stretch_pins`; energy must be off).  Returns None when
+    unsupported.
     """
     if not rk_kernel_supported(nz, ny, nx):
         return None
+    if stretch is not None and alpha > 0.0:
+        return None
     from ...boundary.types import BCType
-    inv_2dx = 1.0 / (2.0 * dx)
-    inv_2dy = 1.0 / (2.0 * dy)
-    inv_dx2 = 1.0 / (dx * dx)
-    inv_dy2 = 1.0 / (dy * dy)
+    coef_pins = ()
+    if stretch is not None:
+        from .stretch import stretch_pins
+        dx_arr, dy_arr, x_coords, y_coords = stretch
+        coef_pins = stretch_pins(ny, nx, dx_arr, dy_arr, x_coords, y_coords)
+        inv_2dx = inv_2dy = inv_dx2 = inv_dy2 = None  # from pins in-body
+    else:
+        inv_2dx = 1.0 / (2.0 * dx)
+        inv_2dy = 1.0 / (2.0 * dy)
+        inv_dx2 = 1.0 / (dx * dx)
+        inv_dy2 = 1.0 / (dy * dy)
     inv_2dz = 1.0 / (2.0 * dz)
     inv_dz2 = 1.0 / (dz * dz)
 
@@ -140,6 +154,11 @@ def make_rk_stage(nz, ny, nx, dx, dy, dz, xmin, ymin,
         (q0u, q0v, q0w, q0p, rho, accu, accv, accw, accp) = planes
         (Tm, Tc, Tp) = halos[4]
         T = Tc
+        if stretch is not None:
+            (c2x, cx2), (c2y, cy2), (sy, sx2) = pinned[4:7]
+        else:
+            c2x, cx2, c2y, cy2 = inv_2dx, inv_dx2, inv_2dy, inv_dy2
+            sy, sx2 = source_planes()
 
         def neighbors(h, pin):
             """Periodic-interior 6-neighborhood of one stage field."""
@@ -165,32 +184,31 @@ def make_rk_stage(nz, ny, nx, dx, dy, dz, xmin, ymin,
         def d2(a):
             return clampv(a, _D2_LIMIT)
 
-        du_dx = d1((ur - ul) * inv_2dx)
-        du_dy = d1((uu - ud) * inv_2dy)
+        du_dx = d1((ur - ul) * c2x)
+        du_dy = d1((uu - ud) * c2y)
         du_dz = d1((uf - ub) * inv_2dz)
-        dv_dx = d1((vr - vl) * inv_2dx)
-        dv_dy = d1((vu - vd) * inv_2dy)
+        dv_dx = d1((vr - vl) * c2x)
+        dv_dy = d1((vu - vd) * c2y)
         dv_dz = d1((vf - vb) * inv_2dz)
-        dw_dx = d1((wr - wl) * inv_2dx)
-        dw_dy = d1((wu - wd) * inv_2dy)
+        dw_dx = d1((wr - wl) * c2x)
+        dw_dy = d1((wu - wd) * c2y)
         dw_dz = d1((wf - wb) * inv_2dz)
-        dp_dx = d1((pr_ - pl_) * inv_2dx)
-        dp_dy = d1((pu_ - pd_) * inv_2dy)
+        dp_dx = d1((pr_ - pl_) * c2x)
+        dp_dy = d1((pu_ - pd_) * c2y)
         dp_dz = d1((pf_ - pb_) * inv_2dz)
 
-        lap_u = (d2((ur - 2 * u + ul) * inv_dx2)
-                 + d2((uu - 2 * u + ud) * inv_dy2)
+        lap_u = (d2((ur - 2 * u + ul) * cx2)
+                 + d2((uu - 2 * u + ud) * cy2)
                  + d2((uf - 2 * u + ub) * inv_dz2))
-        lap_v = (d2((vr - 2 * v + vl) * inv_dx2)
-                 + d2((vu - 2 * v + vd) * inv_dy2)
+        lap_v = (d2((vr - 2 * v + vl) * cx2)
+                 + d2((vu - 2 * v + vd) * cy2)
                  + d2((vf - 2 * v + vb) * inv_dz2))
-        lap_w = (d2((wr - 2 * w + wl) * inv_dx2)
-                 + d2((wu - 2 * w + wd) * inv_dy2)
+        lap_w = (d2((wr - 2 * w + wl) * cx2)
+                 + d2((wu - 2 * w + wd) * cy2)
                  + d2((wf - 2 * w + wb) * inv_dz2))
 
         nu = jnp.minimum(dtype(mu) / jnp.maximum(rho, dtype(1e-10)),
                          dtype(1.0))
-        sy, sx2 = source_planes()
         su = src_u_eff * sy
         sv = src_v_eff * sx2
         sw = jnp.zeros((), dtype)
@@ -260,14 +278,20 @@ def make_rk_stage(nz, ny, nx, dx, dy, dz, xmin, ymin,
             from ...boundary.types import thermal_z_specs
             t_src = thermal_z_specs(thermal_bc, periodic=("pN2", "p1"),
                                     neumann=("p1", "pN2"))
-        return make_rolling_stencil(
+        run = make_rolling_stencil(
             nz, ny, nx, 5, 9, 6, compute, dtype, n_scalars=7,
             reductions=("max", "max", "max", "max"),
             shell_sources={0: ("pN2", "p1"), 1: ("pN2", "p1"),
                            2: ("pN2", "p1"), 3: ("pN2", "p1"),
                            4: ("pN2", "p1"), 5: t_src},
-            n_pinned=4, interpret=interpret)
-    return make_rolling_stencil(
+            n_pinned=4 + len(coef_pins), interpret=interpret)
+        if run is None or not coef_pins:
+            return run
+        return lambda scalars, *fields: run(scalars, *fields, *coef_pins)
+    run = make_rolling_stencil(
         nz, ny, nx, 5, 9, 8, compute, dtype, n_scalars=7,
         shell_passthrough=[5, 6, 7, 8, None, None, None, None],
-        n_pinned=4, interpret=interpret)
+        n_pinned=4 + len(coef_pins), interpret=interpret)
+    if run is None or not coef_pins:
+        return run
+    return lambda scalars, *fields: run(scalars, *fields, *coef_pins)

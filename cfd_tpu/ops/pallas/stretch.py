@@ -1,0 +1,64 @@
+"""Per-point spacing pins for the fused momentum kernels on stretched grids.
+
+The reference evaluates momentum stencils with the LOCAL forward spacing
+``grid->dx[i]`` at every point (`solver_explicit_euler.c:409`,
+`ns_momentum_rhs_scalar.h:49-120`) — on a tanh-stretched grid the
+coefficients 1/(2dx_i), 1/dx_i² become per-point.  The jnp path carries
+them as broadcastable rows/columns (`solvers/ns/common.spacing_arrays`);
+the fused kernels receive the same values as pinned VMEM inputs (the
+rolling engine's ``n_pinned`` (2, ny, nx) prologue-fetched buffers —
+kernels cannot capture array constants).
+
+Three pins, built host-side in numpy (trace-safety: no jnp at factory
+build time):
+
+* ``coef_x``: plane 0 = 1/(2·dx_i) broadcast along rows, plane 1 = 1/dx_i²
+* ``coef_y``: plane 0 = 1/(2·dy_j) broadcast along lanes, plane 1 = 1/dy_j²
+* ``src``:    plane 0 = sin(π·y_j), plane 1 = sin(2π·x_i) — the default
+  source basis needs true coordinates, which are no longer affine in the
+  index (the uniform kernels rebuild them from iota instead).
+
+Spacing-validity guards (`|dx| > 1e-10`) are enforced host-side by the
+factory gates (`stretch_spacing_ok`), so in-kernel the whole plane is
+valid — identical to the jnp path whose per-point ``ok`` mask is all-true
+under the same condition.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def _padded(spacing):
+    """Entry i = forward spacing i→i+1, final entry repeated — mirrors
+    `solvers/ns/common.spacing_arrays`."""
+    spacing = np.asarray(spacing, np.float64)
+    return np.concatenate([spacing, spacing[-1:]])
+
+
+def stretch_spacing_ok(dx_arr, dy_arr) -> bool:
+    """Host-side twin of the per-point |spacing| >= 1e-10 guards."""
+    return (float(np.min(np.abs(dx_arr))) > 1e-10
+            and float(np.min(np.abs(dy_arr))) > 1e-10)
+
+
+def stretch_pins(ny, nx, dx_arr, dy_arr, x_coords, y_coords,
+                 np_dtype=np.float32):
+    """Build (coef_x, coef_y, src) numpy pins, each (2, ny, nx)."""
+    dx = _padded(dx_arr)
+    dy = _padded(dy_arr)
+
+    def row(a):
+        return np.broadcast_to(np.asarray(a, np_dtype)[None, :], (ny, nx))
+
+    def col(a):
+        return np.broadcast_to(np.asarray(a, np_dtype)[:, None], (ny, nx))
+
+    coef_x = np.stack([row(1.0 / (2.0 * dx)), row(1.0 / (dx * dx))])
+    coef_y = np.stack([col(1.0 / (2.0 * dy)), col(1.0 / (dy * dy))])
+    src = np.stack([col(np.sin(np.pi * np.asarray(y_coords, np.float64))),
+                    row(np.sin(2.0 * np.pi
+                               * np.asarray(x_coords, np.float64)))])
+    return (np.ascontiguousarray(coef_x, np_dtype),
+            np.ascontiguousarray(coef_y, np_dtype),
+            np.ascontiguousarray(src, np_dtype))

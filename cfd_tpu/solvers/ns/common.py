@@ -53,6 +53,23 @@ def z_constants(grid: Grid):
     return 0.0, 0.0
 
 
+def stretch_mode(grid: Grid, params: NSParams):
+    """(stretch, fuse_ok) gate shared by the euler/RK fused-kernel
+    dispatchers.  Uniform x/y → (None, spacing-valid); stretched x/y →
+    a ``(dx, dy, x, y)`` numpy tuple for the kernels' pinned coefficient
+    inputs (`ops/pallas/stretch.py`), provided every per-point spacing
+    passes the |h| > 1e-10 guard and the energy equation is off (it
+    requires uniform grids, `energy_solver.c:55-91`)."""
+    if grid.is_uniform("x") and grid.is_uniform("y"):
+        return None, min(grid.dx0, grid.dy0) > 1e-10
+    if params.energy_enabled:
+        return None, False
+    from ...ops.pallas.stretch import stretch_spacing_ok
+    if not stretch_spacing_ok(grid.dx, grid.dy):
+        return None, False
+    return (grid.dx, grid.dy, grid.x, grid.y), True
+
+
 def clamp(v, limit):
     return jnp.clip(v, -limit, limit)
 

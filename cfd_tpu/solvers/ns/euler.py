@@ -30,7 +30,7 @@ from ..energy import apply_thermal_bcs, compute_buoyancy, make_energy_step, \
     validate_thermal_bc
 from .common import (clamp, field_status_and_diagnostics,
                      iterate_with_divergence_guard, spacing_arrays,
-                     validate_grid_for_solver, z_constants)
+                     stretch_mode, validate_grid_for_solver, z_constants)
 from .params import (DT_CONSERVATIVE_LIMIT, MAX_DERIVATIVE_LIMIT,
                      MAX_DIVERGENCE_LIMIT, MAX_SECOND_DERIVATIVE_LIMIT,
                      MAX_VELOCITY_LIMIT, UPDATE_LIMIT, NSParams, StepResult,
@@ -44,7 +44,8 @@ def make_euler_step(grid: Grid, params: NSParams, dtype=None,
     StepResult).
 
     ``use_pallas=None`` (auto) enables the fused single-pass rolling kernel
-    on TPU backends for float32 uniform 3D grids with the built-in
+    on TPU backends for float32 3D grids (uniform, or tanh-stretched x/y
+    with the energy equation off) with the built-in
     (amplitude/decay) sources — including Boussinesq buoyancy, the energy
     equation, and thermal BCs, which are fused into the same pass; only
     custom ``source_func``/``heat_source_func`` callbacks (or an unsupported
@@ -73,20 +74,22 @@ def make_euler_step(grid: Grid, params: NSParams, dtype=None,
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
     if (use_pallas and dtype == jnp.float32 and grid.nz > 2
-            and grid.is_uniform("x") and grid.is_uniform("y")
-            and grid.is_uniform("z")
-            and min(grid.dx0, grid.dy0, grid.dz0) > 1e-10
+            and grid.dz0 > 1e-10
             and params.source_func is None
             and params.heat_source_func is None):
-        from ...ops.pallas.euler_kernels import make_euler_fused
-        fused = make_euler_fused(
-            grid.nz, grid.ny, grid.nx, grid.dx0, grid.dy0, grid.dz0,
-            grid.xmin, grid.ymin, params.mu, params.pressure_coupling,
-            alpha=params.alpha, beta=params.beta, T_ref=params.T_ref,
-            gravity=params.gravity, thermal_bc=params.thermal_bc,
-            dtype=dtype, interpret=pallas_interpret)
-        if fused is not None:
-            return _make_fused_euler_step(fused, params, dtype)
+        # z is uniform here (validate_grid_for_solver); x/y may be
+        # stretched — per-point coefficients then ride pinned VMEM inputs.
+        stretch, fuse_ok = stretch_mode(grid, params)
+        if fuse_ok:
+            from ...ops.pallas.euler_kernels import make_euler_fused
+            fused = make_euler_fused(
+                grid.nz, grid.ny, grid.nx, grid.dx0, grid.dy0, grid.dz0,
+                grid.xmin, grid.ymin, params.mu, params.pressure_coupling,
+                alpha=params.alpha, beta=params.beta, T_ref=params.T_ref,
+                gravity=params.gravity, thermal_bc=params.thermal_bc,
+                stretch=stretch, dtype=dtype, interpret=pallas_interpret)
+            if fused is not None:
+                return _make_fused_euler_step(fused, params, dtype)
 
     inv_2dx, inv_2dy, inv_dx2, inv_dy2, spacing_ok = spacing_arrays(grid, dtype)
     inv_2dz, inv_dz2 = z_constants(grid)

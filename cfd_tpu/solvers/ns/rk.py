@@ -33,7 +33,7 @@ from ..energy import apply_thermal_bcs, compute_buoyancy, make_energy_step, \
     validate_thermal_bc
 from .common import (clamp, field_status_and_diagnostics,
                      iterate_with_divergence_guard, spacing_arrays,
-                     validate_grid_for_solver, z_constants)
+                     stretch_mode, validate_grid_for_solver, z_constants)
 from .params import (MAX_DERIVATIVE_LIMIT, MAX_DIVERGENCE_LIMIT,
                      MAX_SECOND_DERIVATIVE_LIMIT, MAX_VELOCITY_LIMIT,
                      NSParams, StepResult, source_terms)
@@ -195,24 +195,29 @@ def _make_rk_step(grid: Grid, params: NSParams, order: int, dtype=None,
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
     if (use_pallas and dtype == jnp.float32 and grid.nz > 2
-            and grid.is_uniform("x") and grid.is_uniform("y")
-            and grid.is_uniform("z")
-            and min(grid.dx0, grid.dy0, grid.dz0) > 1e-10
+            and grid.dz0 > 1e-10
             and params.source_func is None
             and params.heat_source_func is None):
-        from ...ops.pallas.rk_kernels import make_rk_stage
-        kw = dict(alpha=params.alpha, beta=params.beta, T_ref=params.T_ref,
-                  gravity=params.gravity, thermal_bc=params.thermal_bc,
-                  dtype=dtype, interpret=pallas_interpret)
-        mid = make_rk_stage(grid.nz, grid.ny, grid.nx, grid.dx0, grid.dy0,
-                            grid.dz0, grid.xmin, grid.ymin, params.mu,
-                            params.pressure_coupling, final=False, **kw)
-        fin = make_rk_stage(grid.nz, grid.ny, grid.nx, grid.dx0, grid.dy0,
-                            grid.dz0, grid.xmin, grid.ymin, params.mu,
-                            params.pressure_coupling, final=True, **kw)
-        if mid is not None and fin is not None:
-            return _make_fused_rk_step(mid, fin, params, order, grid.nz,
-                                       dtype)
+        # z is uniform here (validate_grid_for_solver); stretched x/y
+        # coefficients ride pinned VMEM inputs (ops/pallas/stretch.py).
+        stretch, fuse_ok = stretch_mode(grid, params)
+        if fuse_ok:
+            from ...ops.pallas.rk_kernels import make_rk_stage
+            kw = dict(alpha=params.alpha, beta=params.beta,
+                      T_ref=params.T_ref, gravity=params.gravity,
+                      thermal_bc=params.thermal_bc, stretch=stretch,
+                      dtype=dtype, interpret=pallas_interpret)
+            mid = make_rk_stage(grid.nz, grid.ny, grid.nx, grid.dx0,
+                                grid.dy0, grid.dz0, grid.xmin, grid.ymin,
+                                params.mu, params.pressure_coupling,
+                                final=False, **kw)
+            fin = make_rk_stage(grid.nz, grid.ny, grid.nx, grid.dx0,
+                                grid.dy0, grid.dz0, grid.xmin, grid.ymin,
+                                params.mu, params.pressure_coupling,
+                                final=True, **kw)
+            if mid is not None and fin is not None:
+                return _make_fused_rk_step(mid, fin, params, order, grid.nz,
+                                           dtype)
 
     rhs = make_momentum_rhs(grid, params, dtype)
     energy_step = make_energy_step(grid, params.alpha, params.heat_source_func)

@@ -27,12 +27,16 @@ N = 128
 STEPS = 50
 
 
-def traj_diff(mk, dt, convection=False):
+def traj_diff(mk, dt, convection=False, stretched=False):
     """RMS and max |Δu| between fused and jnp 50-step trajectories."""
     from cfd_tpu.boundary.types import (BCType, DirichletValues,
                                         ThermalBCConfig)
 
-    grid = Grid.uniform(N, N, N, zmin=0.0, zmax=1.0)
+    if stretched:
+        grid = Grid.stretched(N, N, N, zmin=0.0, zmax=1.0, beta=1.5,
+                              stretch_axes="xy")
+    else:
+        grid = Grid.uniform(N, N, N, zmin=0.0, zmax=1.0)
     kw = dict(source_amplitude_u=0.0, source_amplitude_v=0.0, mu=0.01)
     if convection:
         kw.update(alpha=1e-3, beta=0.05, T_ref=300.0,
@@ -77,6 +81,10 @@ CONFIGS = {
         lambda: traj_diff(make_euler_step, 1e-4, convection=True),
     "rk2": lambda: traj_diff(make_rk2_step, 1e-4),
     "rk4": lambda: traj_diff(make_rk4_step, 1e-4),
+    "euler_stretched":
+        lambda: traj_diff(make_euler_step, 1e-4, stretched=True),
+    "rk2_stretched":
+        lambda: traj_diff(make_rk2_step, 1e-4, stretched=True),
 }
 
 PATH = "TPUVAL_r03.json"

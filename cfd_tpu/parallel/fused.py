@@ -62,6 +62,33 @@ def _mesh_y_size(mesh: Mesh):
     return mesh.shape["y"]
 
 
+def _stretch_reason(grid: Grid, params: NSParams) -> str | None:
+    """Uniform-spacing gate shared by the sharded euler/RK fused paths.
+
+    z must be uniform (the kernels stream z with compiled constants);
+    stretched x/y qualifies via the per-point coefficient pins — shard-
+    invariant under z-decomposition, so the single-chip pins replicate
+    verbatim — unless the energy equation is on (it requires uniform
+    grids, `energy_solver.c:55-91`)."""
+    if not grid.is_uniform("z"):
+        return "fused kernels need uniform z spacing"
+    if grid.is_uniform("x") and grid.is_uniform("y"):
+        return None
+    if params.energy_enabled:
+        return "stretched x/y with the energy equation uses the jnp path"
+    from ..ops.pallas.stretch import stretch_spacing_ok
+    if not stretch_spacing_ok(grid.dx, grid.dy):
+        return "stretched spacing below the 1e-10 validity guard"
+    return None
+
+
+def _stretch_tuple(grid: Grid):
+    """The kernels' ``stretch=`` argument: None on uniform x/y."""
+    if grid.is_uniform("x") and grid.is_uniform("y"):
+        return None
+    return (grid.dx, grid.dy, grid.x, grid.y)
+
+
 def fused_sharded_unsupported_reason(grid: Grid, params: NSParams,
                                      mesh: Mesh, dtype) -> str | None:
     """None when the fused shard_map path applies, else a human reason."""
@@ -408,9 +435,9 @@ def fused_sharded_euler_unsupported_reason(grid: Grid, params: NSParams,
     if not euler_kernel_supported(grid.nz // n + 2, grid.ny, grid.nx):
         return (f"local block ({grid.nz // n}+2, {grid.ny}, {grid.nx}) "
                 "outside rolling-kernel support (nx%128, ny%8, VMEM)")
-    if not (grid.is_uniform("x") and grid.is_uniform("y")
-            and grid.is_uniform("z")):
-        return "fused euler needs uniform spacing"
+    reason = _stretch_reason(grid, params)
+    if reason is not None:
+        return reason
     if params.source_func is not None or params.heat_source_func is not None:
         return "custom source callables use the jnp path"
     return None
@@ -445,7 +472,7 @@ def make_fused_sharded_euler_step(grid: Grid, params: NSParams, mesh: Mesh,
         grid.xmin, grid.ymin, params.mu, params.pressure_coupling,
         alpha=params.alpha, beta=params.beta, T_ref=params.T_ref,
         gravity=params.gravity, thermal_bc=params.thermal_bc,
-        dtype=dtype, interpret=interpret)
+        stretch=_stretch_tuple(grid), dtype=dtype, interpret=interpret)
     if kernel is None:
         raise ValueError("fused sharded euler: kernel build failed")
 
@@ -565,9 +592,9 @@ def fused_sharded_rk_unsupported_reason(grid: Grid, params: NSParams,
     if not rk_kernel_supported(grid.nz // n + 2, grid.ny, grid.nx):
         return (f"local block ({grid.nz // n}+2, {grid.ny}, {grid.nx}) "
                 "outside rolling-kernel support (nx%128, ny%8, VMEM)")
-    if not (grid.is_uniform("x") and grid.is_uniform("y")
-            and grid.is_uniform("z")):
-        return "fused rk needs uniform spacing"
+    reason = _stretch_reason(grid, params)
+    if reason is not None:
+        return reason
     if params.source_func is not None or params.heat_source_func is not None:
         return "custom source callables use the jnp path"
     return None
@@ -597,7 +624,8 @@ def make_fused_sharded_rk_step(grid: Grid, params: NSParams, mesh: Mesh,
     from ..ops.pallas.rk_kernels import make_rk_stage
     thermal_kw = dict(alpha=params.alpha, beta=params.beta,
                       T_ref=params.T_ref, gravity=params.gravity,
-                      thermal_bc=params.thermal_bc)
+                      thermal_bc=params.thermal_bc,
+                      stretch=_stretch_tuple(grid))
     mid = make_rk_stage(nzl + 2, ny, nx, grid.dx0, grid.dy0, grid.dz0,
                         grid.xmin, grid.ymin, params.mu,
                         params.pressure_coupling, final=False,

@@ -554,3 +554,104 @@ def test_fused_sharded_2d_convection_matches_jnp():
                                    atol=5e-6, err_msg=name)
     np.testing.assert_allclose(np.asarray(fs.p), np.asarray(fr.p),
                                atol=5e-5)
+
+
+def test_fused_sharded_euler_stretched_matches_jnp():
+    """Stretched x/y grid through the fused sharded Euler path: the per-
+    point coefficient pins are shard-invariant under z-decomposition, so
+    the sharded kernel must match the single-device jnp per-point-spacing
+    step (`solvers/ns/common.spacing_arrays`)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from cfd_tpu import FlowField, Grid
+    from cfd_tpu.parallel import make_mesh, make_sharded_step
+    from cfd_tpu.solvers.ns import NSParams
+    from cfd_tpu.solvers.ns.euler import make_euler_step
+
+    g = Grid.stretched(128, 16, 24, zmin=0.0, zmax=1.0, beta=1.5,
+                       stretch_axes="xy")
+    params = NSParams(source_amplitude_u=0.05, source_amplitude_v=0.02)
+    rng = np.random.default_rng(21)
+    f = FlowField.initialize(g, dtype=jnp.float32)
+    f = f.replace(u=jnp.asarray(rng.normal(0, 0.2, g.shape), jnp.float32),
+                  v=jnp.asarray(rng.normal(0, 0.2, g.shape), jnp.float32),
+                  w=jnp.asarray(rng.normal(0, 0.2, g.shape), jnp.float32),
+                  p=jnp.asarray(rng.normal(0, 0.2, g.shape), jnp.float32))
+
+    ref = jax.jit(make_euler_step(g, params, dtype=jnp.float32,
+                                  use_pallas=False))
+    fr, rr = ref(f, 5e-5, 1)
+
+    mesh = make_mesh(axes=("z",))
+    step, place = make_sharded_step(g, params, mesh, "explicit_euler",
+                                    use_pallas=True, strict=True,
+                                    dtype=jnp.float32)
+    ff, rf = step(place(f), 5e-5, 1)
+    assert int(rr.status) == int(rf.status) == 0
+    for name in ("u", "v", "w", "p", "rho", "T"):
+        np.testing.assert_allclose(np.asarray(getattr(ff, name)),
+                                   np.asarray(getattr(fr, name)),
+                                   atol=5e-6, err_msg=name)
+    assert len(ff.u.sharding.device_set) == 8
+
+
+@pytest.mark.heavy
+def test_fused_sharded_rk2_stretched_matches_jnp():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from cfd_tpu import FlowField, Grid
+    from cfd_tpu.parallel import make_mesh, make_sharded_step
+    from cfd_tpu.solvers.ns import NSParams
+    from cfd_tpu.solvers.ns.rk import make_rk2_step
+
+    g = Grid.stretched(128, 16, 24, zmin=0.0, zmax=1.0, beta=1.5,
+                       stretch_axes="xy")
+    params = NSParams(source_amplitude_u=0.05, source_amplitude_v=0.02)
+    rng = np.random.default_rng(22)
+    f = FlowField.initialize(g, dtype=jnp.float32)
+    f = f.replace(u=jnp.asarray(rng.normal(0, 0.2, g.shape), jnp.float32),
+                  v=jnp.asarray(rng.normal(0, 0.2, g.shape), jnp.float32),
+                  w=jnp.asarray(rng.normal(0, 0.2, g.shape), jnp.float32),
+                  p=jnp.asarray(rng.normal(0, 0.2, g.shape), jnp.float32))
+
+    ref = jax.jit(make_rk2_step(g, params, dtype=jnp.float32,
+                                use_pallas=False))
+    fr, rr = ref(f, 5e-5, 1)
+
+    mesh = make_mesh(axes=("z",))
+    step, place = make_sharded_step(g, params, mesh, "rk2",
+                                    use_pallas=True, strict=True,
+                                    dtype=jnp.float32)
+    ff, rf = step(place(f), 5e-5, 1)
+    assert int(rr.status) == int(rf.status) == 0
+    for name in ("u", "v", "w", "p"):
+        np.testing.assert_allclose(np.asarray(getattr(ff, name)),
+                                   np.asarray(getattr(fr, name)),
+                                   atol=1e-5, err_msg=name)
+
+
+def test_fused_sharded_stretched_energy_reason():
+    """Stretched x/y + energy equation must NOT engage the fused sharded
+    path (energy requires uniform grids); strict=False falls back, and the
+    reason names the conflict."""
+    import jax.numpy as jnp
+
+    from cfd_tpu import Grid
+    from cfd_tpu.parallel import make_mesh
+    from cfd_tpu.parallel.fused import (
+        fused_sharded_euler_unsupported_reason,
+        fused_sharded_rk_unsupported_reason)
+    from cfd_tpu.solvers.ns import NSParams
+
+    g = Grid.stretched(128, 16, 24, zmin=0.0, zmax=1.0, beta=1.5,
+                       stretch_axes="xy")
+    params = NSParams(alpha=1e-3)
+    mesh = make_mesh(axes=("z",))
+    for fn in (fused_sharded_euler_unsupported_reason,
+               fused_sharded_rk_unsupported_reason):
+        reason = fn(g, params, mesh, jnp.float32)
+        assert reason is not None and "stretched" in reason

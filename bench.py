@@ -128,16 +128,23 @@ def run_smallgrid_ms(nx: int = 100, ny: int = 50, steps: int = 500) -> float:
     return elapsed / steps * 1e3
 
 
-def run_euler_3d(n: int = 256, steps: int = 10) -> float:
+def run_euler_3d(n: int = 256, steps: int = 10,
+                 stretched: bool = False) -> float:
     """Fused single-pass Euler MLUPS at n³ (the integrator's own
-    throughput, no pressure solve — `ops/pallas/euler_kernels.py`)."""
+    throughput, no pressure solve — `ops/pallas/euler_kernels.py`).
+    ``stretched=True`` times the tanh-stretched-x/y variant whose per-point
+    coefficients ride pinned VMEM planes (`ops/pallas/stretch.py`)."""
     import jax.numpy as jnp
 
     from cfd_tpu import Grid
     from cfd_tpu.solvers.ns import NSParams
     from cfd_tpu.solvers.ns.euler import make_euler_step
 
-    grid = Grid.uniform(n, n, n, zmin=0.0, zmax=1.0)
+    if stretched:
+        grid = Grid.stretched(n, n, n, zmin=0.0, zmax=1.0, beta=1.5,
+                              stretch_axes="xy")
+    else:
+        grid = Grid.uniform(n, n, n, zmin=0.0, zmax=1.0)
     params = NSParams(source_amplitude_u=0.0, source_amplitude_v=0.0,
                       mu=0.01)
     step = make_euler_step(grid, params, dtype=jnp.float32, use_pallas=True)
@@ -563,6 +570,8 @@ def main():
     row(lambda: (lambda ms: (round(ms, 4), round(0.8 / ms, 2)))(
         run_euler_ms()), "euler_ms_100x50", "vs_baseline_euler")
     row(lambda: round(run_euler_3d(), 1), "euler_mlups_256")
+    row(lambda: round(run_euler_3d(stretched=True), 1),
+        "euler_stretched_mlups_256")
     row(lambda: round(run_euler_2d(), 1), "euler_mlups_2048_2d")
     row(lambda: round(run_rk_3d(2), 1), "rk2_mlups_256")
     row(lambda: round(run_rk_3d(4), 1), "rk4_mlups_256")

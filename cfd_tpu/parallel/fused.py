@@ -76,6 +76,9 @@ def _stretch_reason(grid: Grid, params: NSParams) -> str | None:
         return None
     if params.energy_enabled:
         return "stretched x/y with the energy equation uses the jnp path"
+    if params.nonuniform_scheme == "consistent":
+        return ("stretched x/y with nonuniform_scheme='consistent' uses "
+                "the jnp path (kernels implement the parity stencils)")
     from ..ops.pallas.stretch import stretch_spacing_ok
     if not stretch_spacing_ok(grid.dx, grid.dy):
         return "stretched spacing below the 1e-10 validity guard"

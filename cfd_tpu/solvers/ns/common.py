@@ -46,6 +46,91 @@ def spacing_arrays(grid: Grid, dtype):
     return inv_2dx, inv_2dy, inv_dx2, inv_dy2, jnp.asarray(ok)
 
 
+def consistent_triples(spacing):
+    """Exact 3-point nonuniform derivative weights, one sextuple of
+    length-n numpy arrays (wm, wc, wp, lm, lc, lp).
+
+    At interior point i with h_m = x[i]−x[i−1], h_p = x[i+1]−x[i]:
+
+      f'  ≈ wm·f[i−1] + wc·f[i] + wp·f[i+1],
+            wm = −h_p/(h_m·s), wc = (h_p−h_m)/(h_m·h_p), wp = h_m/(h_p·s)
+      f'' ≈ lm·f[i−1] + lc·f[i] + lp·f[i+1],
+            lm = 2/(h_m·s),    lc = −2/(h_m·h_p),        lp = 2/(h_p·s)
+
+    with s = h_m + h_p — exact for quadratics on ANY grid and O(h²) on
+    smoothly graded (tanh) grids, vs the reference's forward-spacing
+    stencils which are only O(h)-consistent off uniform grids.  Edge
+    entries substitute the edge spacing for the missing one-sided gap
+    (finite values only; solvers consume interior points).  Numpy on
+    purpose (build-time constants must not be jnp — docs/design.md)."""
+    h = np.asarray(spacing, np.float64)
+    hm = np.concatenate([h[:1], h])       # h_m at point i = h[i-1]
+    hp = np.concatenate([h, h[-1:]])      # h_p at point i = h[i]
+    s = hm + hp
+    return (-hp / (hm * s), (hp - hm) / (hm * hp), hm / (hp * s),
+            2.0 / (hm * s), -2.0 / (hm * hp), 2.0 / (hp * s))
+
+
+def spacing_operators(grid: Grid, dtype, scheme: str = "parity"):
+    """(d1x, d1y, d2x, d2y, spacing_ok): x/y derivative operators as
+    functions of the shifted views ``(f_minus, f_center, f_plus)``.
+
+    ``scheme="parity"`` (default) reproduces the reference's per-point
+    forward-spacing stencils (`solver_explicit_euler.c:409`,
+    `spacing_arrays`).  ``scheme="consistent"`` — a framework extension
+    beyond the limitation the reference documents at
+    `poiseuille_stretched_grid.c:5-10` — uses the exact 3-point
+    nonuniform weights (`consistent_triples`); on uniform grids the two
+    schemes coincide and the parity path is used verbatim."""
+    if scheme not in ("parity", "consistent"):
+        raise CFDError(Status.ERROR_INVALID,
+                       f"nonuniform_scheme must be 'parity' or "
+                       f"'consistent', got {scheme!r}")
+    if scheme == "parity" or (grid.is_uniform("x") and grid.is_uniform("y")):
+        inv_2dx, inv_2dy, inv_dx2, inv_dy2, ok = spacing_arrays(grid, dtype)
+
+        def d1x(fm, fc, fp):
+            return (fp - fm) * inv_2dx
+
+        def d1y(fm, fc, fp):
+            return (fp - fm) * inv_2dy
+
+        def d2x(fm, fc, fp):
+            return (fp - 2.0 * fc + fm) * inv_dx2
+
+        def d2y(fm, fc, fp):
+            return (fp - 2.0 * fc + fm) * inv_dy2
+
+        return d1x, d1y, d2x, d2y, ok
+
+    np_dtype = np.dtype(jnp.zeros((), dtype).dtype)
+    xw = [np.asarray(a, np_dtype)[None, None, :]
+          for a in consistent_triples(grid.dx)]
+    yw = [np.asarray(a, np_dtype)[None, :, None]
+          for a in consistent_triples(grid.dy)]
+    wxm, wxc, wxp, lxm, lxc, lxp = xw
+    wym, wyc, wyp, lym, lyc, lyp = yw
+
+    hx = np.concatenate([grid.dx, grid.dx[-1:]])
+    hy = np.concatenate([grid.dy, grid.dy[-1:]])
+    ok = jnp.asarray((np.abs(hx)[None, None, :] >= 1e-10)
+                     & (np.abs(hy)[None, :, None] >= 1e-10))
+
+    def d1x(fm, fc, fp):
+        return fm * wxm + fc * wxc + fp * wxp
+
+    def d1y(fm, fc, fp):
+        return fm * wym + fc * wyc + fp * wyp
+
+    def d2x(fm, fc, fp):
+        return fm * lxm + fc * lxc + fp * lxp
+
+    def d2y(fm, fc, fp):
+        return fm * lym + fc * lyc + fp * lyp
+
+    return d1x, d1y, d2x, d2y, ok
+
+
 def z_constants(grid: Grid):
     """Branch-free z constants (inv_2dz, inv_dz2); zeros in 2D."""
     if grid.nz > 1:
@@ -58,11 +143,13 @@ def stretch_mode(grid: Grid, params: NSParams):
     dispatchers.  Uniform x/y → (None, spacing-valid); stretched x/y →
     a ``(dx, dy, x, y)`` numpy tuple for the kernels' pinned coefficient
     inputs (`ops/pallas/stretch.py`), provided every per-point spacing
-    passes the |h| > 1e-10 guard and the energy equation is off (it
-    requires uniform grids, `energy_solver.c:55-91`)."""
+    passes the |h| > 1e-10 guard, the energy equation is off (it
+    requires uniform grids, `energy_solver.c:55-91`), and the scheme is
+    parity (the kernels implement the reference's forward-spacing
+    stencils; ``nonuniform_scheme="consistent"`` keeps the jnp path)."""
     if grid.is_uniform("x") and grid.is_uniform("y"):
         return None, min(grid.dx0, grid.dy0) > 1e-10
-    if params.energy_enabled:
+    if params.energy_enabled or params.nonuniform_scheme == "consistent":
         return None, False
     from ...ops.pallas.stretch import stretch_spacing_ok
     if not stretch_spacing_ok(grid.dx, grid.dy):

@@ -29,7 +29,7 @@ from ...ops import stencils
 from ..energy import apply_thermal_bcs, compute_buoyancy, make_energy_step, \
     validate_thermal_bc
 from .common import (clamp, field_status_and_diagnostics,
-                     iterate_with_divergence_guard, spacing_arrays,
+                     iterate_with_divergence_guard, spacing_operators,
                      stretch_mode, validate_grid_for_solver, z_constants)
 from .params import (DT_CONSERVATIVE_LIMIT, MAX_DERIVATIVE_LIMIT,
                      MAX_DIVERGENCE_LIMIT, MAX_SECOND_DERIVATIVE_LIMIT,
@@ -91,7 +91,8 @@ def make_euler_step(grid: Grid, params: NSParams, dtype=None,
             if fused is not None:
                 return _make_fused_euler_step(fused, params, dtype)
 
-    inv_2dx, inv_2dy, inv_dx2, inv_dy2, spacing_ok = spacing_arrays(grid, dtype)
+    d1x, d1y, d2x, d2y, spacing_ok = spacing_operators(
+        grid, dtype, params.nonuniform_scheme)
     inv_2dz, inv_dz2 = z_constants(grid)
     coords = grid.coordinate_arrays(dtype)
     energy_step = make_energy_step(grid, params.alpha, params.heat_source_func)
@@ -103,24 +104,33 @@ def make_euler_step(grid: Grid, params: NSParams, dtype=None,
         d1 = functools.partial(clamp, limit=MAX_DERIVATIVE_LIMIT)
         d2 = functools.partial(clamp, limit=MAX_SECOND_DERIVATIVE_LIMIT)
 
-        du_dx = d1(stencils.ddx(u, inv_2dx))
-        du_dy = d1(stencils.ddy(u, inv_2dy))
+        def shifts(f):
+            return (stencils.sx_m(f), stencils.sx_p(f),
+                    stencils.sy_m(f), stencils.sy_p(f))
+
+        ul, ur, ud, uu = shifts(u)
+        vl, vr, vd, vu = shifts(v)
+        wl, wr, wd, wu = shifts(w)
+        pl, pr, pd, pu = shifts(p)
+
+        du_dx = d1(d1x(ul, u, ur))
+        du_dy = d1(d1y(ud, u, uu))
         du_dz = d1(stencils.ddz(u, inv_2dz))
-        dv_dx = d1(stencils.ddx(v, inv_2dx))
-        dv_dy = d1(stencils.ddy(v, inv_2dy))
+        dv_dx = d1(d1x(vl, v, vr))
+        dv_dy = d1(d1y(vd, v, vu))
         dv_dz = d1(stencils.ddz(v, inv_2dz))
-        dw_dx = d1(stencils.ddx(w, inv_2dx))
-        dw_dy = d1(stencils.ddy(w, inv_2dy))
+        dw_dx = d1(d1x(wl, w, wr))
+        dw_dy = d1(d1y(wd, w, wu))
         dw_dz = d1(stencils.ddz(w, inv_2dz))
-        dp_dx = d1(stencils.ddx(p, inv_2dx))
-        dp_dy = d1(stencils.ddy(p, inv_2dy))
+        dp_dx = d1(d1x(pl, p, pr))
+        dp_dy = d1(d1y(pd, p, pu))
         dp_dz = d1(stencils.ddz(p, inv_2dz))
 
-        lap_u = (d2(stencils.d2dx2(u, inv_dx2)) + d2(stencils.d2dy2(u, inv_dy2))
+        lap_u = (d2(d2x(ul, u, ur)) + d2(d2y(ud, u, uu))
                  + d2(stencils.d2dz2(u, inv_dz2)))
-        lap_v = (d2(stencils.d2dx2(v, inv_dx2)) + d2(stencils.d2dy2(v, inv_dy2))
+        lap_v = (d2(d2x(vl, v, vr)) + d2(d2y(vd, v, vu))
                  + d2(stencils.d2dz2(v, inv_dz2)))
-        lap_w = (d2(stencils.d2dx2(w, inv_dx2)) + d2(stencils.d2dy2(w, inv_dy2))
+        lap_w = (d2(d2x(wl, w, wr)) + d2(d2y(wd, w, wu))
                  + d2(stencils.d2dz2(w, inv_dz2)))
 
         nu = jnp.minimum(params.mu / jnp.maximum(rho, 1e-10), 1.0)

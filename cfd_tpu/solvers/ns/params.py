@@ -79,6 +79,13 @@ class NSParams:
     gravity: Tuple[float, float, float] = (0.0, 0.0, 0.0)
     heat_source_func: Optional[Callable] = None
     thermal_bc: ThermalBCConfig = ThermalBCConfig()
+    # Framework extension (no reference counterpart): x/y derivative
+    # stencils on stretched grids.  "parity" = the reference's per-point
+    # forward-spacing formulas (`solver_explicit_euler.c:409` — only
+    # O(h)-consistent off uniform grids); "consistent" = exact 3-point
+    # nonuniform weights (O(h²) on smoothly graded grids; identical to
+    # parity on uniform grids).  See `common.spacing_operators`.
+    nonuniform_scheme: str = "parity"
 
     def replace(self, **kw) -> "NSParams":
         return dataclasses.replace(self, **kw)

@@ -32,7 +32,7 @@ from ...ops import stencils
 from ..energy import apply_thermal_bcs, compute_buoyancy, make_energy_step, \
     validate_thermal_bc
 from .common import (clamp, field_status_and_diagnostics,
-                     iterate_with_divergence_guard, spacing_arrays,
+                     iterate_with_divergence_guard, spacing_operators,
                      stretch_mode, validate_grid_for_solver, z_constants)
 from .params import (MAX_DERIVATIVE_LIMIT, MAX_DIVERGENCE_LIMIT,
                      MAX_SECOND_DERIVATIVE_LIMIT, MAX_VELOCITY_LIMIT,
@@ -52,7 +52,8 @@ def _periodic_shifts(f):
 def make_momentum_rhs(grid: Grid, params: NSParams, dtype):
     """The shared semi-discrete RHS: (u,v,w,p,rho,T, iter, dt) →
     (rhs_u, rhs_v, rhs_w, rhs_p), nonzero on interior points only."""
-    inv_2dx, inv_2dy, inv_dx2, inv_dy2, spacing_ok = spacing_arrays(grid, dtype)
+    d1x, d1y, d2x, d2y, spacing_ok = spacing_operators(
+        grid, dtype, params.nonuniform_scheme)
     inv_2dz, inv_dz2 = z_constants(grid)
     coords = grid.coordinate_arrays(dtype)
 
@@ -68,27 +69,24 @@ def make_momentum_rhs(grid: Grid, params: NSParams, dtype):
         wl, wr, wd, wu, wb, wf = _periodic_shifts(w)
         pl, pr, pd, pu, pb, pf = _periodic_shifts(p)
 
-        du_dx = d1((ur - ul) * inv_2dx)
-        du_dy = d1((uu - ud) * inv_2dy)
+        du_dx = d1(d1x(ul, u, ur))
+        du_dy = d1(d1y(ud, u, uu))
         du_dz = d1((uf - ub) * inv_2dz)
-        dv_dx = d1((vr - vl) * inv_2dx)
-        dv_dy = d1((vu - vd) * inv_2dy)
+        dv_dx = d1(d1x(vl, v, vr))
+        dv_dy = d1(d1y(vd, v, vu))
         dv_dz = d1((vf - vb) * inv_2dz)
-        dw_dx = d1((wr - wl) * inv_2dx)
-        dw_dy = d1((wu - wd) * inv_2dy)
+        dw_dx = d1(d1x(wl, w, wr))
+        dw_dy = d1(d1y(wd, w, wu))
         dw_dz = d1((wf - wb) * inv_2dz)
-        dp_dx = d1((pr - pl) * inv_2dx)
-        dp_dy = d1((pu - pd) * inv_2dy)
+        dp_dx = d1(d1x(pl, p, pr))
+        dp_dy = d1(d1y(pd, p, pu))
         dp_dz = d1((pf - pb) * inv_2dz)
 
-        lap_u = (d2((ur - 2 * u + ul) * inv_dx2)
-                 + d2((uu - 2 * u + ud) * inv_dy2)
+        lap_u = (d2(d2x(ul, u, ur)) + d2(d2y(ud, u, uu))
                  + d2((uf - 2 * u + ub) * inv_dz2))
-        lap_v = (d2((vr - 2 * v + vl) * inv_dx2)
-                 + d2((vu - 2 * v + vd) * inv_dy2)
+        lap_v = (d2(d2x(vl, v, vr)) + d2(d2y(vd, v, vu))
                  + d2((vf - 2 * v + vb) * inv_dz2))
-        lap_w = (d2((wr - 2 * w + wl) * inv_dx2)
-                 + d2((wu - 2 * w + wd) * inv_dy2)
+        lap_w = (d2(d2x(wl, w, wr)) + d2(d2y(wd, w, wu))
                  + d2((wf - 2 * w + wb) * inv_dz2))
 
         nu = jnp.minimum(params.mu / jnp.maximum(rho, 1e-10), 1.0)

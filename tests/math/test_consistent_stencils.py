@@ -1,0 +1,136 @@
+"""The opt-in consistent nonuniform derivative scheme
+(`NSParams.nonuniform_scheme="consistent"`, `common.spacing_operators`).
+
+The reference's per-point forward-spacing stencils
+(`solver_explicit_euler.c:409`) are only O(h)-consistent off uniform
+grids — its own stretched example documents the limitation
+(`poiseuille_stretched_grid.c:5-10`).  The consistent scheme is a
+framework extension: exact 3-point nonuniform weights, identical to
+parity on uniform grids.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import cfd_tpu.ops.stencils as st
+from cfd_tpu import FlowField, Grid
+from cfd_tpu.core.status import CFDError
+from cfd_tpu.solvers.ns import NSParams
+from cfd_tpu.solvers.ns.common import consistent_triples, spacing_operators
+from cfd_tpu.solvers.ns.euler import make_euler_step
+from cfd_tpu.solvers.ns.rk import make_rk2_step
+
+
+def test_consistent_exact_for_quadratics():
+    g = Grid.stretched(32, 24, beta=1.8)
+    d1x, d1y, d2x, d2y, ok = spacing_operators(g, jnp.float64, "consistent")
+    x, y = np.asarray(g.x), np.asarray(g.y)
+
+    F = jnp.asarray((3.0 * x ** 2 + 2.0 * x + 1.0)[None, None, :]
+                    * np.ones((1, 24, 1)))
+    d2v = np.asarray(d2x(st.sx_m(F), F, st.sx_p(F)))[0, 5, 1:-1]
+    np.testing.assert_allclose(d2v, 6.0, atol=1e-8)
+    d1v = np.asarray(d1x(st.sx_m(F), F, st.sx_p(F)))[0, 5, 1:-1]
+    np.testing.assert_allclose(d1v, 6.0 * x[1:-1] + 2.0, atol=1e-8)
+
+    G2 = jnp.asarray((y ** 2 - 0.3 * y)[None, :, None] * np.ones((1, 1, 32)))
+    d2yv = np.asarray(d2y(st.sy_m(G2), G2, st.sy_p(G2)))[0, 1:-1, 7]
+    np.testing.assert_allclose(d2yv, 2.0, atol=1e-8)
+    d1yv = np.asarray(d1y(st.sy_m(G2), G2, st.sy_p(G2)))[0, 1:-1, 7]
+    np.testing.assert_allclose(d1yv, 2.0 * y[1:-1] - 0.3, atol=1e-8)
+
+
+def test_parity_only_first_order_off_uniform():
+    """The reference's forward-spacing d² is NOT exact for quadratics on
+    a stretched grid — the asymmetry error the consistent scheme removes."""
+    g = Grid.stretched(64, 8, beta=1.8)
+    d1x, _, d2x, _, _ = spacing_operators(g, jnp.float64, "parity")
+    x = np.asarray(g.x)
+    F = jnp.asarray((x ** 2)[None, None, :] * np.ones((1, 8, 1)))
+    d2v = np.asarray(d2x(st.sx_m(F), F, st.sx_p(F)))[0, 2, 1:-1]
+    assert np.abs(d2v - 2.0).max() > 0.05
+
+
+def test_uniform_consistent_is_parity_path():
+    g = Grid.uniform(16, 16)
+    a = spacing_operators(g, jnp.float64, "parity")
+    b = spacing_operators(g, jnp.float64, "consistent")
+    Z = jnp.asarray(np.random.default_rng(0).normal(size=(1, 16, 16)))
+    for i in range(4):
+        np.testing.assert_array_equal(
+            np.asarray(a[i](st.sx_m(Z), Z, st.sx_p(Z))),
+            np.asarray(b[i](st.sx_m(Z), Z, st.sx_p(Z))))
+
+
+def test_invalid_scheme_raises():
+    with pytest.raises(CFDError):
+        spacing_operators(Grid.uniform(8, 8), jnp.float64, "magic")
+
+
+def test_triples_reduce_to_uniform_formulas():
+    h = 0.125
+    wm, wc, wp, lm, lc, lp = consistent_triples(np.full(15, h))
+    np.testing.assert_allclose(wm, -1.0 / (2 * h))
+    np.testing.assert_allclose(wc, 0.0, atol=1e-14)
+    np.testing.assert_allclose(wp, 1.0 / (2 * h))
+    np.testing.assert_allclose(lm, 1.0 / h ** 2)
+    np.testing.assert_allclose(lc, -2.0 / h ** 2)
+    np.testing.assert_allclose(lp, 1.0 / h ** 2)
+
+
+@pytest.mark.parametrize("maker", [make_euler_step, make_rk2_step],
+                         ids=["euler", "rk2"])
+def test_consistent_step_runs_and_differs_on_stretched(maker):
+    g = Grid.stretched(32, 24, zmin=0.0, zmax=1.0, nz=6, beta=1.5,
+                       stretch_axes="xy")
+    rng = np.random.default_rng(3)
+    f = FlowField.initialize(g)
+    f = f.replace(u=jnp.asarray(rng.normal(0, 0.2, g.shape), f.u.dtype),
+                  v=jnp.asarray(rng.normal(0, 0.2, g.shape), f.u.dtype))
+    outs = {}
+    for scheme in ("parity", "consistent"):
+        step = jax.jit(maker(g, NSParams(nonuniform_scheme=scheme),
+                             use_pallas=False))
+        fo, res = step(f, 5e-5, 0)
+        assert int(res.status) == 0
+        assert np.isfinite(np.asarray(fo.u)).all()
+        outs[scheme] = np.asarray(fo.u)
+    assert np.abs(outs["parity"] - outs["consistent"]).max() > 1e-12
+
+
+def test_consistent_stretched_keeps_jnp_path_in_fused_gates():
+    from cfd_tpu.parallel import make_mesh
+    from cfd_tpu.parallel.fused import fused_sharded_euler_unsupported_reason
+    from cfd_tpu.solvers.ns.common import stretch_mode
+
+    g = Grid.stretched(128, 16, 24, zmin=0.0, zmax=1.0, beta=1.5,
+                       stretch_axes="xy")
+    p = NSParams(nonuniform_scheme="consistent")
+    stretch, fuse_ok = stretch_mode(g, p)
+    assert stretch is None and not fuse_ok
+    reason = fused_sharded_euler_unsupported_reason(
+        g, p, make_mesh(axes=("z",)), jnp.float32)
+    assert reason is not None and "consistent" in reason
+
+
+def test_consistent_convergence_order_on_stretched():
+    """Truncation-error order on tanh-stretched grids, measured on sin:
+    consistent ≈ O(h²) (smooth grading), parity ≈ O(h)."""
+    def max_err(n, scheme):
+        g = Grid.stretched(n, 8, beta=1.5)
+        _, _, d2x, _, _ = spacing_operators(g, jnp.float64, scheme)
+        x = np.asarray(g.x)
+        F = jnp.asarray(np.sin(2 * np.pi * x)[None, None, :]
+                        * np.ones((1, 8, 1)))
+        got = np.asarray(d2x(st.sx_m(F), F, st.sx_p(F)))[0, 3, 1:-1]
+        want = -(2 * np.pi) ** 2 * np.sin(2 * np.pi * x[1:-1])
+        return np.abs(got - want).max()
+
+    orders = {}
+    for scheme in ("parity", "consistent"):
+        e1, e2 = max_err(65, scheme), max_err(129, scheme)
+        orders[scheme] = np.log2(e1 / e2)
+    assert orders["consistent"] > 1.7, orders
+    assert orders["parity"] < 1.3, orders

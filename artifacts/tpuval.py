@@ -27,7 +27,7 @@ N = 128
 STEPS = 50
 
 
-def traj_diff(mk, dt, convection=False, stretched=False):
+def traj_diff(mk, dt, convection=False, stretched=False, scheme="parity"):
     """RMS and max |Δu| between fused and jnp 50-step trajectories."""
     from cfd_tpu.boundary.types import (BCType, DirichletValues,
                                         ThermalBCConfig)
@@ -37,7 +37,8 @@ def traj_diff(mk, dt, convection=False, stretched=False):
                               stretch_axes="xy")
     else:
         grid = Grid.uniform(N, N, N, zmin=0.0, zmax=1.0)
-    kw = dict(source_amplitude_u=0.0, source_amplitude_v=0.0, mu=0.01)
+    kw = dict(source_amplitude_u=0.0, source_amplitude_v=0.0, mu=0.01,
+              nonuniform_scheme=scheme)
     if convection:
         kw.update(alpha=1e-3, beta=0.05, T_ref=300.0,
                   gravity=(0.0, -9.81, 0.0),
@@ -85,6 +86,9 @@ CONFIGS = {
         lambda: traj_diff(make_euler_step, 1e-4, stretched=True),
     "rk2_stretched":
         lambda: traj_diff(make_rk2_step, 1e-4, stretched=True),
+    "euler_stretched_consistent":
+        lambda: traj_diff(make_euler_step, 1e-4, stretched=True,
+                          scheme="consistent"),
 }
 
 PATH = "TPUVAL_r03.json"

@@ -61,7 +61,7 @@ def make_euler_fused(nz, ny, nx, dx, dy, dz, xmin, ymin,
                      mu: float, pressure_coupling: float,
                      alpha: float = 0.0, beta: float = 0.0,
                      T_ref: float = 0.0, gravity=(0.0, 0.0, 0.0),
-                     thermal_bc=None, stretch=None,
+                     thermal_bc=None, stretch=None, scheme: str = "parity",
                      dtype=jnp.float32, interpret: bool = False):
     """Build fn(scalars=(cdt, src_u_eff, src_v_eff, time),
     u, v, w, p, T, rho) →
@@ -78,17 +78,21 @@ def make_euler_fused(nz, ny, nx, dx, dy, dz, xmin, ymin,
     source basis then ride three pinned VMEM inputs instead of compiled
     constants; z spacing stays uniform (validated by the solver layer)
     and the energy equation must be off (it requires uniform grids,
-    `energy_solver.c:55-91`)."""
+    `energy_solver.c:55-91`).  ``scheme="consistent"`` (with stretch)
+    uses the exact 3-point nonuniform weights instead — seven pins
+    (`.stretch.stretch_pins_consistent`)."""
     if not euler_kernel_supported(nz, ny, nx):
         return None
     if stretch is not None and alpha > 0.0:
         return None
     from ...boundary.types import BCType
     pins = ()
+    consistent = stretch is not None and scheme == "consistent"
     if stretch is not None:
-        from .stretch import stretch_pins
+        from .stretch import stretch_pins, stretch_pins_consistent
         dx_arr, dy_arr, x_coords, y_coords = stretch
-        pins = stretch_pins(ny, nx, dx_arr, dy_arr, x_coords, y_coords)
+        mk = stretch_pins_consistent if consistent else stretch_pins
+        pins = mk(ny, nx, dx_arr, dy_arr, x_coords, y_coords)
         inv_2dx = inv_2dy = inv_dx2 = inv_dy2 = None  # from pins in-body
     else:
         inv_2dx = 1.0 / (2.0 * dx)
@@ -129,6 +133,32 @@ def make_euler_fused(nz, ny, nx, dx, dy, dz, xmin, ymin,
                            _D2_LIMIT)
                     + clampv((shift_y(c, 1, ny) - 2.0 * c
                               + shift_y(c, -1, ny)) * cy2, _D2_LIMIT)
+                    + clampv((p - 2.0 * c + m) * inv_dz2, _D2_LIMIT))
+
+        return d1x, d1y, d1z, lap_clamped
+
+    def make_derivs_consistent(xw, yw):
+        """Exact 3-point nonuniform weights (pinned planes), term order
+        matching the jnp `common.spacing_operators` consistent path."""
+        wxm, wxc, wxp, lxm, lxc, lxp = xw
+        wym, wyc, wyp, lym, lyc, lyp = yw
+
+        def d1x(c):
+            return clampv(shift_x(c, -1) * wxm + c * wxc
+                          + shift_x(c, 1) * wxp, _D1_LIMIT)
+
+        def d1y(c):
+            return clampv(shift_y(c, -1, ny) * wym + c * wyc
+                          + shift_y(c, 1, ny) * wyp, _D1_LIMIT)
+
+        def d1z(m, p):
+            return clampv((p - m) * inv_2dz, _D1_LIMIT)
+
+        def lap_clamped(m, c, p):
+            return (clampv(shift_x(c, -1) * lxm + c * lxc
+                           + shift_x(c, 1) * lxp, _D2_LIMIT)
+                    + clampv(shift_y(c, -1, ny) * lym + c * lyc
+                             + shift_y(c, 1, ny) * lyp, _D2_LIMIT)
                     + clampv((p - 2.0 * c + m) * inv_dz2, _D2_LIMIT))
 
         return d1x, d1y, d1z, lap_clamped
@@ -179,12 +209,19 @@ def make_euler_fused(nz, ny, nx, dx, dy, dz, xmin, ymin,
         mask, jj, ii = plane_masks(ny, nx, dtype)
         maskb = mask > 0
 
-        if stretch is not None:
-            (c2x, cx2), (c2y, cy2), (sy, sx2) = pinned
+        if consistent:
+            ((wxm, wxp), (wxc, lxc), (lxm, lxp),
+             (wym, wyp), (wyc, lyc), (lym, lyp), (sy, sx2)) = pinned
+            d1x, d1y, d1z, lap_clamped = make_derivs_consistent(
+                (wxm, wxc, wxp, lxm, lxc, lxp),
+                (wym, wyc, wyp, lym, lyc, lyp))
         else:
-            c2x, cx2, c2y, cy2 = inv_2dx, inv_dx2, inv_2dy, inv_dy2
-            sy, sx2 = source_planes()
-        d1x, d1y, d1z, lap_clamped = make_derivs(c2x, cx2, c2y, cy2)
+            if stretch is not None:
+                (c2x, cx2), (c2y, cy2), (sy, sx2) = pinned
+            else:
+                c2x, cx2, c2y, cy2 = inv_2dx, inv_dx2, inv_2dy, inv_dy2
+                sy, sx2 = source_planes()
+            d1x, d1y, d1z, lap_clamped = make_derivs(c2x, cx2, c2y, cy2)
 
         du_dx, du_dy, du_dz = d1x(uc), d1y(uc), d1z(um, up)
         dv_dx, dv_dy, dv_dz = d1x(vc), d1y(vc), d1z(vm, vp)

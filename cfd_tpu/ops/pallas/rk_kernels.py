@@ -60,6 +60,7 @@ def make_rk_stage(nz, ny, nx, dx, dy, dz, xmin, ymin,
                   alpha: float = 0.0, beta: float = 0.0,
                   T_ref: float = 0.0, gravity=(0.0, 0.0, 0.0),
                   thermal_bc=None, global_nz=None, stretch=None,
+                  scheme: str = "parity",
                   dtype=jnp.float32, interpret: bool = False):
     """Build one RK stage pass.
 
@@ -81,8 +82,9 @@ def make_rk_stage(nz, ny, nx, dx, dy, dz, xmin, ymin,
     state halo field.  ``stretch``: per-point x/y spacing on stretched
     grids — a ``(dx_arr, dy_arr, x_coords, y_coords)`` numpy tuple; the
     coefficient/source-basis planes ride three extra pinned inputs
-    (`.stretch.stretch_pins`; energy must be off).  Returns None when
-    unsupported.
+    (`.stretch.stretch_pins`; energy must be off), or seven with
+    ``scheme="consistent"`` (exact 3-point nonuniform weights,
+    `.stretch.stretch_pins_consistent`).  Returns None when unsupported.
     """
     if not rk_kernel_supported(nz, ny, nx):
         return None
@@ -90,10 +92,12 @@ def make_rk_stage(nz, ny, nx, dx, dy, dz, xmin, ymin,
         return None
     from ...boundary.types import BCType
     coef_pins = ()
+    consistent = stretch is not None and scheme == "consistent"
     if stretch is not None:
-        from .stretch import stretch_pins
+        from .stretch import stretch_pins, stretch_pins_consistent
         dx_arr, dy_arr, x_coords, y_coords = stretch
-        coef_pins = stretch_pins(ny, nx, dx_arr, dy_arr, x_coords, y_coords)
+        mk = stretch_pins_consistent if consistent else stretch_pins
+        coef_pins = mk(ny, nx, dx_arr, dy_arr, x_coords, y_coords)
         inv_2dx = inv_2dy = inv_dx2 = inv_dy2 = None  # from pins in-body
     else:
         inv_2dx = 1.0 / (2.0 * dx)
@@ -154,11 +158,39 @@ def make_rk_stage(nz, ny, nx, dx, dy, dz, xmin, ymin,
         (q0u, q0v, q0w, q0p, rho, accu, accv, accw, accp) = planes
         (Tm, Tc, Tp) = halos[4]
         T = Tc
-        if stretch is not None:
-            (c2x, cx2), (c2y, cy2), (sy, sx2) = pinned[4:7]
+        if consistent:
+            ((wxm, wxp), (wxc, lxc), (lxm, lxp),
+             (wym, wyp), (wyc, lyc), (lym, lyp), (sy, sx2)) = pinned[4:11]
+
+            def dx1(fm, fc, fp):
+                return fm * wxm + fc * wxc + fp * wxp
+
+            def dy1(fm, fc, fp):
+                return fm * wym + fc * wyc + fp * wyp
+
+            def dx2(fm, fc, fp):
+                return fm * lxm + fc * lxc + fp * lxp
+
+            def dy2(fm, fc, fp):
+                return fm * lym + fc * lyc + fp * lyp
         else:
-            c2x, cx2, c2y, cy2 = inv_2dx, inv_dx2, inv_2dy, inv_dy2
-            sy, sx2 = source_planes()
+            if stretch is not None:
+                (c2x, cx2), (c2y, cy2), (sy, sx2) = pinned[4:7]
+            else:
+                c2x, cx2, c2y, cy2 = inv_2dx, inv_dx2, inv_2dy, inv_dy2
+                sy, sx2 = source_planes()
+
+            def dx1(fm, fc, fp):
+                return (fp - fm) * c2x
+
+            def dy1(fm, fc, fp):
+                return (fp - fm) * c2y
+
+            def dx2(fm, fc, fp):
+                return (fp - 2 * fc + fm) * cx2
+
+            def dy2(fm, fc, fp):
+                return (fp - 2 * fc + fm) * cy2
 
         def neighbors(h, pin):
             """Periodic-interior 6-neighborhood of one stage field."""
@@ -184,27 +216,27 @@ def make_rk_stage(nz, ny, nx, dx, dy, dz, xmin, ymin,
         def d2(a):
             return clampv(a, _D2_LIMIT)
 
-        du_dx = d1((ur - ul) * c2x)
-        du_dy = d1((uu - ud) * c2y)
+        du_dx = d1(dx1(ul, u, ur))
+        du_dy = d1(dy1(ud, u, uu))
         du_dz = d1((uf - ub) * inv_2dz)
-        dv_dx = d1((vr - vl) * c2x)
-        dv_dy = d1((vu - vd) * c2y)
+        dv_dx = d1(dx1(vl, v, vr))
+        dv_dy = d1(dy1(vd, v, vu))
         dv_dz = d1((vf - vb) * inv_2dz)
-        dw_dx = d1((wr - wl) * c2x)
-        dw_dy = d1((wu - wd) * c2y)
+        dw_dx = d1(dx1(wl, w, wr))
+        dw_dy = d1(dy1(wd, w, wu))
         dw_dz = d1((wf - wb) * inv_2dz)
-        dp_dx = d1((pr_ - pl_) * c2x)
-        dp_dy = d1((pu_ - pd_) * c2y)
+        dp_dx = d1(dx1(pl_, p, pr_))
+        dp_dy = d1(dy1(pd_, p, pu_))
         dp_dz = d1((pf_ - pb_) * inv_2dz)
 
-        lap_u = (d2((ur - 2 * u + ul) * cx2)
-                 + d2((uu - 2 * u + ud) * cy2)
+        lap_u = (d2(dx2(ul, u, ur))
+                 + d2(dy2(ud, u, uu))
                  + d2((uf - 2 * u + ub) * inv_dz2))
-        lap_v = (d2((vr - 2 * v + vl) * cx2)
-                 + d2((vu - 2 * v + vd) * cy2)
+        lap_v = (d2(dx2(vl, v, vr))
+                 + d2(dy2(vd, v, vu))
                  + d2((vf - 2 * v + vb) * inv_dz2))
-        lap_w = (d2((wr - 2 * w + wl) * cx2)
-                 + d2((wu - 2 * w + wd) * cy2)
+        lap_w = (d2(dx2(wl, w, wr))
+                 + d2(dy2(wd, w, wu))
                  + d2((wf - 2 * w + wb) * inv_dz2))
 
         nu = jnp.minimum(dtype(mu) / jnp.maximum(rho, dtype(1e-10)),

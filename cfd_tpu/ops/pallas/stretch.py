@@ -42,23 +42,73 @@ def stretch_spacing_ok(dx_arr, dy_arr) -> bool:
             and float(np.min(np.abs(dy_arr))) > 1e-10)
 
 
+def _row(a, ny, nx, np_dtype):
+    return np.broadcast_to(np.asarray(a, np_dtype)[None, :], (ny, nx))
+
+
+def _col(a, ny, nx, np_dtype):
+    return np.broadcast_to(np.asarray(a, np_dtype)[:, None], (ny, nx))
+
+
+def _src_planes(ny, nx, x_coords, y_coords, np_dtype):
+    return np.stack([_col(np.sin(np.pi * np.asarray(y_coords, np.float64)),
+                          ny, nx, np_dtype),
+                     _row(np.sin(2.0 * np.pi
+                                 * np.asarray(x_coords, np.float64)),
+                          ny, nx, np_dtype)])
+
+
 def stretch_pins(ny, nx, dx_arr, dy_arr, x_coords, y_coords,
                  np_dtype=np.float32):
     """Build (coef_x, coef_y, src) numpy pins, each (2, ny, nx)."""
     dx = _padded(dx_arr)
     dy = _padded(dy_arr)
-
-    def row(a):
-        return np.broadcast_to(np.asarray(a, np_dtype)[None, :], (ny, nx))
-
-    def col(a):
-        return np.broadcast_to(np.asarray(a, np_dtype)[:, None], (ny, nx))
-
-    coef_x = np.stack([row(1.0 / (2.0 * dx)), row(1.0 / (dx * dx))])
-    coef_y = np.stack([col(1.0 / (2.0 * dy)), col(1.0 / (dy * dy))])
-    src = np.stack([col(np.sin(np.pi * np.asarray(y_coords, np.float64))),
-                    row(np.sin(2.0 * np.pi
-                               * np.asarray(x_coords, np.float64)))])
+    coef_x = np.stack([_row(1.0 / (2.0 * dx), ny, nx, np_dtype),
+                       _row(1.0 / (dx * dx), ny, nx, np_dtype)])
+    coef_y = np.stack([_col(1.0 / (2.0 * dy), ny, nx, np_dtype),
+                       _col(1.0 / (dy * dy), ny, nx, np_dtype)])
+    src = _src_planes(ny, nx, x_coords, y_coords, np_dtype)
     return (np.ascontiguousarray(coef_x, np_dtype),
             np.ascontiguousarray(coef_y, np_dtype),
             np.ascontiguousarray(src, np_dtype))
+
+
+def stretch_pins_consistent(ny, nx, dx_arr, dy_arr, x_coords, y_coords,
+                            np_dtype=np.float32):
+    """Pins for ``nonuniform_scheme="consistent"`` — the exact 3-point
+    nonuniform weights (`solvers/ns/common.consistent_triples`), seven
+    (2, ny, nx) pins:
+
+    0: (wxm, wxp)  1: (wxc, lxc)  2: (lxm, lxp)   — x weights (rows)
+    3: (wym, wyp)  4: (wyc, lyc)  5: (lym, lyp)   — y weights (cols)
+    6: (sin(πy), sin(2πx))                         — source basis
+
+    The weight formulas duplicate `solvers/ns/common.consistent_triples`
+    (ops/ stays below solvers/ in the layering); equality is pinned by
+    tests/math/test_consistent_stencils.py.
+    """
+    def triples(spacing):
+        h = np.asarray(spacing, np.float64)
+        hm = np.concatenate([h[:1], h])
+        hp = np.concatenate([h, h[-1:]])
+        s = hm + hp
+        return (-hp / (hm * s), (hp - hm) / (hm * hp), hm / (hp * s),
+                2.0 / (hm * s), -2.0 / (hm * hp), 2.0 / (hp * s))
+
+    wxm, wxc, wxp, lxm, lxc, lxp = triples(dx_arr)
+    wym, wyc, wyp, lym, lyc, lyp = triples(dy_arr)
+
+    def rows(a, b):
+        return np.ascontiguousarray(
+            np.stack([_row(a, ny, nx, np_dtype), _row(b, ny, nx, np_dtype)]),
+            np_dtype)
+
+    def cols(a, b):
+        return np.ascontiguousarray(
+            np.stack([_col(a, ny, nx, np_dtype), _col(b, ny, nx, np_dtype)]),
+            np_dtype)
+
+    return (rows(wxm, wxp), rows(wxc, lxc), rows(lxm, lxp),
+            cols(wym, wyp), cols(wyc, lyc), cols(lym, lyp),
+            np.ascontiguousarray(
+                _src_planes(ny, nx, x_coords, y_coords, np_dtype), np_dtype))

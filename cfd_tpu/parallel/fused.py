@@ -76,9 +76,6 @@ def _stretch_reason(grid: Grid, params: NSParams) -> str | None:
         return None
     if params.energy_enabled:
         return "stretched x/y with the energy equation uses the jnp path"
-    if params.nonuniform_scheme == "consistent":
-        return ("stretched x/y with nonuniform_scheme='consistent' uses "
-                "the jnp path (kernels implement the parity stencils)")
     from ..ops.pallas.stretch import stretch_spacing_ok
     if not stretch_spacing_ok(grid.dx, grid.dy):
         return "stretched spacing below the 1e-10 validity guard"
@@ -475,7 +472,8 @@ def make_fused_sharded_euler_step(grid: Grid, params: NSParams, mesh: Mesh,
         grid.xmin, grid.ymin, params.mu, params.pressure_coupling,
         alpha=params.alpha, beta=params.beta, T_ref=params.T_ref,
         gravity=params.gravity, thermal_bc=params.thermal_bc,
-        stretch=_stretch_tuple(grid), dtype=dtype, interpret=interpret)
+        stretch=_stretch_tuple(grid), scheme=params.nonuniform_scheme,
+        dtype=dtype, interpret=interpret)
     if kernel is None:
         raise ValueError("fused sharded euler: kernel build failed")
 
@@ -628,7 +626,8 @@ def make_fused_sharded_rk_step(grid: Grid, params: NSParams, mesh: Mesh,
     thermal_kw = dict(alpha=params.alpha, beta=params.beta,
                       T_ref=params.T_ref, gravity=params.gravity,
                       thermal_bc=params.thermal_bc,
-                      stretch=_stretch_tuple(grid))
+                      stretch=_stretch_tuple(grid),
+                      scheme=params.nonuniform_scheme)
     mid = make_rk_stage(nzl + 2, ny, nx, grid.dx0, grid.dy0, grid.dz0,
                         grid.xmin, grid.ymin, params.mu,
                         params.pressure_coupling, final=False,

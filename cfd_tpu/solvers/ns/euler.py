@@ -87,7 +87,8 @@ def make_euler_step(grid: Grid, params: NSParams, dtype=None,
                 grid.xmin, grid.ymin, params.mu, params.pressure_coupling,
                 alpha=params.alpha, beta=params.beta, T_ref=params.T_ref,
                 gravity=params.gravity, thermal_bc=params.thermal_bc,
-                stretch=stretch, dtype=dtype, interpret=pallas_interpret)
+                stretch=stretch, scheme=params.nonuniform_scheme,
+                dtype=dtype, interpret=pallas_interpret)
             if fused is not None:
                 return _make_fused_euler_step(fused, params, dtype)
 

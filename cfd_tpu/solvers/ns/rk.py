@@ -204,6 +204,7 @@ def _make_rk_step(grid: Grid, params: NSParams, order: int, dtype=None,
             kw = dict(alpha=params.alpha, beta=params.beta,
                       T_ref=params.T_ref, gravity=params.gravity,
                       thermal_bc=params.thermal_bc, stretch=stretch,
+                      scheme=params.nonuniform_scheme,
                       dtype=dtype, interpret=pallas_interpret)
             mid = make_rk_stage(grid.nz, grid.ny, grid.nx, grid.dx0,
                                 grid.dy0, grid.dz0, grid.xmin, grid.ymin,

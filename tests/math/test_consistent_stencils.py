@@ -100,7 +100,10 @@ def test_consistent_step_runs_and_differs_on_stretched(maker):
     assert np.abs(outs["parity"] - outs["consistent"]).max() > 1e-12
 
 
-def test_consistent_stretched_keeps_jnp_path_in_fused_gates():
+def test_consistent_stretched_qualifies_for_fused_gates():
+    """The fused kernels implement BOTH schemes (pinned weight planes),
+    so consistent+stretched engages the fast paths — single-chip gate and
+    the sharded reason function."""
     from cfd_tpu.parallel import make_mesh
     from cfd_tpu.parallel.fused import fused_sharded_euler_unsupported_reason
     from cfd_tpu.solvers.ns.common import stretch_mode
@@ -109,10 +112,36 @@ def test_consistent_stretched_keeps_jnp_path_in_fused_gates():
                        stretch_axes="xy")
     p = NSParams(nonuniform_scheme="consistent")
     stretch, fuse_ok = stretch_mode(g, p)
-    assert stretch is None and not fuse_ok
-    reason = fused_sharded_euler_unsupported_reason(
-        g, p, make_mesh(axes=("z",)), jnp.float32)
-    assert reason is not None and "consistent" in reason
+    assert stretch is not None and fuse_ok
+    assert fused_sharded_euler_unsupported_reason(
+        g, p, make_mesh(axes=("z",)), jnp.float32) is None
+
+
+@pytest.mark.parametrize("maker", [make_euler_step, make_rk2_step],
+                         ids=["euler", "rk2"])
+def test_consistent_fused_matches_jnp(maker):
+    """Interpret-mode fused kernels with the consistent weight pins vs
+    the jnp consistent path on a stretched x/y grid."""
+    g = Grid.stretched(128, 16, 8, zmin=0.0, zmax=1.0, beta=1.5,
+                       stretch_axes="xy")
+    params = NSParams(source_amplitude_u=0.08, source_amplitude_v=0.03,
+                      nonuniform_scheme="consistent")
+    ref = jax.jit(maker(g, params, dtype=jnp.float32, use_pallas=False))
+    fus = jax.jit(maker(g, params, dtype=jnp.float32, use_pallas=True,
+                        pallas_interpret=True))
+    rng = np.random.default_rng(7)
+    f = FlowField.initialize(g, dtype=jnp.float32)
+    f = f.replace(u=jnp.asarray(rng.normal(0, 0.2, g.shape), jnp.float32),
+                  v=jnp.asarray(rng.normal(0, 0.2, g.shape), jnp.float32),
+                  w=jnp.asarray(rng.normal(0, 0.2, g.shape), jnp.float32),
+                  p=jnp.asarray(rng.normal(0, 0.2, g.shape), jnp.float32))
+    fr, rr = ref(f, 5e-5, 1)
+    ff, rf = fus(f, 5e-5, 1)
+    assert int(rr.status) == int(rf.status) == 0
+    for name in ("u", "v", "w", "p", "rho", "T"):
+        np.testing.assert_allclose(np.asarray(getattr(ff, name)),
+                                   np.asarray(getattr(fr, name)),
+                                   atol=2e-5, err_msg=name)
 
 
 def test_consistent_convergence_order_on_stretched():

@@ -655,3 +655,42 @@ def test_fused_sharded_stretched_energy_reason():
                fused_sharded_rk_unsupported_reason):
         reason = fn(g, params, mesh, jnp.float32)
         assert reason is not None and "stretched" in reason
+
+
+def test_fused_sharded_euler_consistent_scheme_matches_jnp():
+    """nonuniform_scheme='consistent' through the fused sharded Euler path
+    (the 7 weight pins replicate per shard like the parity pins)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from cfd_tpu import FlowField, Grid
+    from cfd_tpu.parallel import make_mesh, make_sharded_step
+    from cfd_tpu.solvers.ns import NSParams
+    from cfd_tpu.solvers.ns.euler import make_euler_step
+
+    g = Grid.stretched(128, 16, 24, zmin=0.0, zmax=1.0, beta=1.5,
+                       stretch_axes="xy")
+    params = NSParams(source_amplitude_u=0.05, source_amplitude_v=0.02,
+                      nonuniform_scheme="consistent")
+    rng = np.random.default_rng(31)
+    f = FlowField.initialize(g, dtype=jnp.float32)
+    f = f.replace(u=jnp.asarray(rng.normal(0, 0.2, g.shape), jnp.float32),
+                  v=jnp.asarray(rng.normal(0, 0.2, g.shape), jnp.float32),
+                  w=jnp.asarray(rng.normal(0, 0.2, g.shape), jnp.float32),
+                  p=jnp.asarray(rng.normal(0, 0.2, g.shape), jnp.float32))
+
+    ref = jax.jit(make_euler_step(g, params, dtype=jnp.float32,
+                                  use_pallas=False))
+    fr, rr = ref(f, 5e-5, 1)
+
+    mesh = make_mesh(axes=("z",))
+    step, place = make_sharded_step(g, params, mesh, "explicit_euler",
+                                    use_pallas=True, strict=True,
+                                    dtype=jnp.float32)
+    ff, rf = step(place(f), 5e-5, 1)
+    assert int(rr.status) == int(rf.status) == 0
+    for name in ("u", "v", "w", "p"):
+        np.testing.assert_allclose(np.asarray(getattr(ff, name)),
+                                   np.asarray(getattr(fr, name)),
+                                   atol=5e-6, err_msg=name)

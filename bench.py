@@ -129,7 +129,7 @@ def run_smallgrid_ms(nx: int = 100, ny: int = 50, steps: int = 500) -> float:
 
 
 def run_euler_3d(n: int = 256, steps: int = 10,
-                 stretched: bool = False) -> float:
+                 stretched: bool = False, scheme: str = "parity") -> float:
     """Fused single-pass Euler MLUPS at n³ (the integrator's own
     throughput, no pressure solve — `ops/pallas/euler_kernels.py`).
     ``stretched=True`` times the tanh-stretched-x/y variant whose per-point
@@ -146,7 +146,7 @@ def run_euler_3d(n: int = 256, steps: int = 10,
     else:
         grid = Grid.uniform(n, n, n, zmin=0.0, zmax=1.0)
     params = NSParams(source_amplitude_u=0.0, source_amplitude_v=0.0,
-                      mu=0.01)
+                      mu=0.01, nonuniform_scheme=scheme)
     step = make_euler_step(grid, params, dtype=jnp.float32, use_pallas=True)
     elapsed = _time_steps(step, _tg_field((n, n, n)), 1e-5, steps)
     return float(n) ** 3 * steps / elapsed / 1e6
@@ -572,6 +572,8 @@ def main():
     row(lambda: round(run_euler_3d(), 1), "euler_mlups_256")
     row(lambda: round(run_euler_3d(stretched=True), 1),
         "euler_stretched_mlups_256")
+    row(lambda: round(run_euler_3d(stretched=True, scheme="consistent"), 1),
+        "euler_stretched_consistent_mlups_256")
     row(lambda: round(run_euler_2d(), 1), "euler_mlups_2048_2d")
     row(lambda: round(run_rk_3d(2), 1), "rk2_mlups_256")
     row(lambda: round(run_rk_3d(4), 1), "rk4_mlups_256")

@@ -1,28 +1,84 @@
 """Poiseuille channel flow on tanh-stretched grids (port of
 examples/poiseuille_stretched_grid.c).
 
-Runs β ∈ {0, 1.5, 2} wall-clustered grids with a parabolic inlet and
-compares the developed profile against the analytic parabola.  The wall-
-clustered grids resolve the near-wall gradient better at equal point count.
+The reference runs this example as a *limitation demonstration*: its NS
+stencils assume uniform spacing (`poiseuille_stretched_grid.c:5-10`), so
+stretched grids make the answer worse.  Here the story has two acts:
+
+* ``nonuniform_scheme="parity"`` (default) reproduces that limitation —
+  the per-point forward-spacing stencils are only O(h)-consistent off
+  uniform grids;
+* ``nonuniform_scheme="consistent"`` (framework extension) uses the
+  exact 3-point nonuniform weights — spatially EXACT for the parabolic
+  profile on any grid — so the wall-clustered grid recovers uniform-grid
+  accuracy at equal point count.
+
+Body-forced periodic channel through the explicit-Euler integrator:
+du/dt = nu d2u/dy2 + G, no-slip walls, steady state u(y) = G/(2nu) y(H-y).
 """
 
 import numpy as np
 
-from cfd_tpu import Grid
+import jax
+import jax.numpy as jnp
+from jax import lax
 
-U_MAX = 1.0
-H = 1.0
+from cfd_tpu import FlowField, Grid
+from cfd_tpu.boundary import apply_neumann_scalar, apply_periodic_scalar
+from cfd_tpu.solvers.ns import NSParams
+from cfd_tpu.solvers.ns.euler import make_euler_step
 
-for beta in (0.0, 1.5, 2.0):
-    grid = Grid.stretched(41, 21, xmax=4.0, ymax=H, beta=beta)
+NU, G, H = 0.2, 1.0, 1.0
+NX, NY = 8, 17
+DT, STEPS = 1e-4, 15000  # ~3 diffusive times: effectively steady
+
+
+def source(X, Y, Z, t):
+    return (jnp.full(X.shape, G, X.dtype), jnp.zeros_like(X),
+            jnp.zeros_like(X))
+
+
+def run(beta, scheme):
+    if beta:
+        grid = Grid.stretched(NX, NY, xmax=4.0, ymax=H, beta=beta,
+                              stretch_axes="y")
+    else:
+        grid = Grid.uniform(NX, NY, xmax=4.0, ymax=H)
+    params = NSParams(mu=NU, source_amplitude_u=0.0, source_amplitude_v=0.0,
+                      source_func=source, nonuniform_scheme=scheme)
+    step = make_euler_step(grid, params)
+
+    def body(field, i):
+        u = apply_periodic_scalar(field.u)
+        v = apply_periodic_scalar(field.v)
+        u = u.at[0, 0, :].set(0.0).at[0, -1, :].set(0.0)
+        v = v.at[0, 0, :].set(0.0).at[0, -1, :].set(0.0)
+        field = field.replace(u=u, v=v, p=apply_neumann_scalar(field.p))
+        field, _ = step(field, DT, i)
+        return field, None
+
+    @jax.jit
+    def go(f):
+        return lax.scan(body, f, jnp.arange(STEPS))[0]
+
+    field = go(FlowField.quiescent(NX, NY, pressure=0.0))
     y = np.asarray(grid.y)
-    u_exact = 4 * U_MAX * (y / H) * (1 - y / H)
-    # Near-wall resolution: spacing of the first off-wall cell.
-    print(f"beta={beta:3.1f}: first wall cell dy={grid.dy[0]:.4f}, "
-          f"center dy={grid.dy[len(grid.dy) // 2]:.4f}, "
-          f"wall-gradient sample u(y1)={u_exact[1]:.4f}")
+    u = np.asarray(field.u)[0, :, NX // 2]
+    exact = G / (2.0 * NU) * y * (H - y)
+    l2 = np.sqrt(np.mean((u - exact) ** 2)) / np.abs(exact).max()
+    return l2, grid
 
-print("\n(the uniform-grid solver run itself is covered by "
-      "tests/validation/test_poiseuille.py; stretched-grid *solver* support "
-      "follows the reference: Euler/RK accept per-point dx/dy, the "
-      "projection solver requires uniform spacing)")
+
+print(f"Body-forced Poiseuille channel, ny={NY}, {STEPS} Euler steps\n")
+l2_u, gu = run(0.0, "parity")
+print(f"uniform grid                     rel L2 = {l2_u:.4f}")
+for beta in (1.5, 2.0):
+    l2_p, g = run(beta, "parity")
+    l2_c, _ = run(beta, "consistent")
+    print(f"beta={beta}: first wall cell dy={g.dy[0]:.4f} "
+          f"(uniform {1.0 / (NY - 1):.4f})")
+    print(f"  parity (reference semantics) rel L2 = {l2_p:.4f}")
+    print(f"  consistent (extension)       rel L2 = {l2_c:.4f}")
+print("\nThe consistent scheme removes the stretched-grid penalty the "
+      "reference documents; see tests/validation/test_pulsatile_channel.py "
+      "for the oscillatory (Womersley) version of this comparison.")

@@ -45,13 +45,20 @@ def static_bool(x, default: bool = True) -> bool:
         return default
 
 
-def validate_energy_grid(grid: Grid) -> None:
-    """Uniform-spacing requirement (`energy_solver.c:55-91`)."""
+def validate_energy_grid(grid: Grid, scheme: str = "parity") -> None:
+    """Uniform-spacing requirement (`energy_solver.c:55-91`).
+
+    Framework extension: ``nonuniform_scheme="consistent"`` lifts the
+    x/y restriction — the exact 3-point nonuniform weights make the
+    advection-diffusion stencils well-defined on tanh-stretched grids
+    (z must stay uniform, as for the momentum integrators)."""
     if grid.nx < 3 or grid.ny < 3:
         raise CFDError(Status.ERROR_INVALID, "energy_solver: grid too small")
-    if not grid.is_uniform("x") or not grid.is_uniform("y"):
+    if scheme != "consistent" and (not grid.is_uniform("x")
+                                   or not grid.is_uniform("y")):
         raise CFDError(Status.ERROR_UNSUPPORTED,
-                       "energy_solver: non-uniform dx/dy not supported")
+                       "energy_solver: non-uniform dx/dy not supported "
+                       "(opt into NSParams(nonuniform_scheme='consistent'))")
     if grid.nz > 1 and not grid.is_uniform("z"):
         raise CFDError(Status.ERROR_UNSUPPORTED,
                        "energy_solver: non-uniform dz not supported")
@@ -80,20 +87,61 @@ def validate_thermal_bc(config: ThermalBCConfig, grid: Grid) -> None:
         raise CFDError(Status.ERROR_INVALID, "grid too small for periodic z")
 
 
-def make_energy_step(grid: Grid, alpha: float, heat_source=None):
+def make_energy_step(grid: Grid, alpha: float, heat_source=None,
+                     scheme: str = "parity"):
     """Build T-update closure; returns None when the energy equation is
-    disabled (α ≤ 0 — `energy_solver.c:37-39`; traced α keeps it on)."""
+    disabled (α ≤ 0 — `energy_solver.c:37-39`; traced α keeps it on).
+
+    ``scheme="consistent"`` enables tanh-stretched x/y grids via the
+    exact 3-point nonuniform weights (`ns.common.consistent_triples`);
+    on uniform grids both schemes use the identical uniform constants."""
     if not static_bool(alpha > 0.0):
         return None
-    validate_energy_grid(grid)
+    validate_energy_grid(grid, scheme)
+
+    inv_2dz = 1.0 / (2.0 * grid.dz0) if grid.nz > 1 else 0.0
+    inv_dz2 = grid.inv_dz2 if grid.nz > 1 else 0.0
+    coords = grid.coordinate_arrays() if heat_source is not None else None
+
+    stretched = not (grid.is_uniform("x") and grid.is_uniform("y"))
+    if stretched:
+        import numpy as np
+
+        from .ns.common import consistent_triples
+        xw = [np.asarray(a)[None, None, :]
+              for a in consistent_triples(grid.dx)]
+        yw = [np.asarray(a)[None, :, None]
+              for a in consistent_triples(grid.dy)]
+
+        def step(T, u, v, w, dt, time):
+            wxm, wxc, wxp, lxm, lxc, lxp = [jnp.asarray(a, T.dtype)
+                                            for a in xw]
+            wym, wyc, wyp, lym, lyc, lyp = [jnp.asarray(a, T.dtype)
+                                            for a in yw]
+            Txm, Txp = stencils.sx_m(T), stencils.sx_p(T)
+            Tym, Typ = stencils.sy_m(T), stencils.sy_p(T)
+            dT_dx = Txm * wxm + T * wxc + Txp * wxp
+            dT_dy = Tym * wym + T * wyc + Typ * wyp
+            dT_dz = stencils.ddz(T, inv_2dz)
+            advection = u * dT_dx + v * dT_dy + w * dT_dz
+            diffusion = (Txm * lxm + T * lxc + Txp * lxp
+                         + Tym * lym + T * lyc + Typ * lyp
+                         + stencils.d2dz2(T, inv_dz2))
+            diffusion = alpha * diffusion
+            if heat_source is not None:
+                X, Y, Z = coords
+                Q = heat_source(X, Y, Z, time)
+            else:
+                Q = 0.0
+            T_new = T + dt * (-advection + diffusion + Q)
+            return stencils.set_interior(T, T_new)
+
+        return step
 
     inv_2dx = 1.0 / (2.0 * grid.dx0)
     inv_2dy = 1.0 / (2.0 * grid.dy0)
     inv_dx2 = 1.0 / grid.dx0 ** 2
     inv_dy2 = 1.0 / grid.dy0 ** 2
-    inv_2dz = 1.0 / (2.0 * grid.dz0) if grid.nz > 1 else 0.0
-    inv_dz2 = grid.inv_dz2 if grid.nz > 1 else 0.0
-    coords = grid.coordinate_arrays() if heat_source is not None else None
 
     def step(T, u, v, w, dt, time):
         dT_dx = stencils.ddx(T, inv_2dx)

@@ -96,7 +96,8 @@ def make_euler_step(grid: Grid, params: NSParams, dtype=None,
         grid, dtype, params.nonuniform_scheme)
     inv_2dz, inv_dz2 = z_constants(grid)
     coords = grid.coordinate_arrays(dtype)
-    energy_step = make_energy_step(grid, params.alpha, params.heat_source_func)
+    energy_step = make_energy_step(grid, params.alpha, params.heat_source_func,
+                                   scheme=params.nonuniform_scheme)
 
     def step(field: FlowField, dt, iter_idx):
         cdt = jnp.minimum(dt, DT_CONSERVATIVE_LIMIT)

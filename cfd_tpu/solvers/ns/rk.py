@@ -219,7 +219,8 @@ def _make_rk_step(grid: Grid, params: NSParams, order: int, dtype=None,
                                            dtype)
 
     rhs = make_momentum_rhs(grid, params, dtype)
-    energy_step = make_energy_step(grid, params.alpha, params.heat_source_func)
+    energy_step = make_energy_step(grid, params.alpha, params.heat_source_func,
+                                   scheme=params.nonuniform_scheme)
 
     def stage_state(q0, k, factor):
         """Q = Q⁰ + factor·k with velocity clamping (apply_stage_update,

@@ -163,3 +163,85 @@ def test_consistent_convergence_order_on_stretched():
         orders[scheme] = np.log2(e1 / e2)
     assert orders["consistent"] > 1.7, orders
     assert orders["parity"] < 1.3, orders
+
+
+def test_energy_on_stretched_requires_consistent():
+    """Reference parity: energy + stretched grid raises; the consistent
+    scheme (extension) lifts the restriction (`energy_solver.c:55-91`)."""
+    from cfd_tpu.solvers.energy import make_energy_step
+
+    g = Grid.stretched(32, 24, beta=1.5)
+    with pytest.raises(CFDError):
+        make_energy_step(g, alpha=0.1)
+    assert make_energy_step(g, alpha=0.1, scheme="consistent") is not None
+    # z must stay uniform even in consistent mode
+    gz = Grid.stretched(32, 24, 8, zmax=1.0, beta=1.5, stretch_axes="z")
+    with pytest.raises(CFDError):
+        make_energy_step(gz, alpha=0.1, scheme="consistent")
+
+
+def test_energy_consistent_diffusion_exact_for_quadratic():
+    """One energy step with u=v=w=0 on a stretched grid: the consistent
+    Laplacian is exact for quadratic T, so dT = dt*alpha*(Txx+Tyy)."""
+    from cfd_tpu.solvers.energy import make_energy_step
+
+    g = Grid.stretched(32, 24, beta=1.8)
+    alpha, dt = 0.3, 1e-3
+    step = make_energy_step(g, alpha=alpha, scheme="consistent")
+    x, y = np.asarray(g.x), np.asarray(g.y)
+    T0 = (2.0 * x[None, None, :] ** 2 + 3.0 * y[None, :, None] ** 2
+          + 0.5 * x[None, None, :] - y[None, :, None] + 300.0)
+    T0 = jnp.asarray(np.broadcast_to(T0, (1, 24, 32)))
+    z = jnp.zeros_like(T0)
+    T1 = step(T0, z, z, z, dt, 0.0)
+    dT = np.asarray(T1 - T0)[0, 1:-1, 1:-1]
+    np.testing.assert_allclose(dT, dt * alpha * (2 * 2.0 + 2 * 3.0),
+                               atol=1e-10)
+
+
+def test_energy_consistent_advection_exact_for_linear():
+    from cfd_tpu.solvers.energy import make_energy_step
+
+    g = Grid.stretched(32, 24, beta=1.5)
+    dt = 1e-3
+    step = make_energy_step(g, alpha=1e-12, scheme="consistent")
+    x, y = np.asarray(g.x), np.asarray(g.y)
+    T0 = jnp.asarray(np.broadcast_to(
+        4.0 * x[None, None, :] - 2.0 * y[None, :, None], (1, 24, 32)))
+    u = jnp.full_like(T0, 0.7)
+    v = jnp.full_like(T0, -0.2)
+    w = jnp.zeros_like(T0)
+    T1 = step(T0, u, v, w, dt, 0.0)
+    dT = np.asarray(T1 - T0)[0, 1:-1, 1:-1]
+    np.testing.assert_allclose(dT, -dt * (0.7 * 4.0 + (-0.2) * (-2.0)),
+                               atol=1e-9)
+
+
+def test_euler_convection_on_stretched_consistent_runs():
+    """Full natural-convection configuration (Boussinesq + energy +
+    thermal BCs) through the Euler integrator on a wall-clustered grid —
+    impossible in the reference (energy requires uniform grids)."""
+    from cfd_tpu.boundary.types import (BCType, DirichletValues,
+                                        ThermalBCConfig)
+
+    thermal = ThermalBCConfig(
+        left=BCType.DIRICHLET, right=BCType.DIRICHLET,
+        bottom=BCType.NEUMANN, top=BCType.NEUMANN,
+        dirichlet_values=DirichletValues(left=305.0, right=295.0))
+    g = Grid.stretched(48, 32, beta=1.5)
+    params = NSParams(source_amplitude_u=0.0, source_amplitude_v=0.0,
+                      alpha=1e-3, beta=0.05, T_ref=300.0,
+                      gravity=(0.0, -9.81, 0.0), thermal_bc=thermal,
+                      nonuniform_scheme="consistent")
+    step = jax.jit(make_euler_step(g, params))
+    f = FlowField.initialize(g)
+    f = f.replace(T=jnp.full_like(f.T, 300.0))
+    for i in range(20):
+        f, res = step(f, 5e-5, i)
+    assert int(res.status) == 0
+    T = np.asarray(f.T)
+    assert np.isfinite(T).all()
+    # Dirichlet walls hold their values; buoyancy has started a flow
+    np.testing.assert_allclose(T[0, 1:-1, 0], 305.0)
+    np.testing.assert_allclose(T[0, 1:-1, -1], 295.0)
+    assert np.abs(np.asarray(f.v)).max() > 0.0

@@ -245,3 +245,27 @@ def test_euler_convection_on_stretched_consistent_runs():
     np.testing.assert_allclose(T[0, 1:-1, 0], 305.0)
     np.testing.assert_allclose(T[0, 1:-1, -1], 295.0)
     assert np.abs(np.asarray(f.v)).max() > 0.0
+
+
+def test_consistent_stretched_euler_gradients_fd():
+    """Reverse-mode gradients flow through the consistent weights
+    (numpy build-time constants) — FD-checked on a 3-step rollout."""
+    if not jax.config.jax_enable_x64:
+        pytest.skip("needs float64 for the FD check")
+    g = Grid.stretched(32, 24, beta=1.5)
+    params = NSParams(source_amplitude_u=0.05, source_amplitude_v=0.0,
+                      nonuniform_scheme="consistent")
+    step = make_euler_step(g, params, differentiable=True)
+    f0 = FlowField.initialize(g)
+
+    def loss(u0):
+        f = f0.replace(u=u0)
+        for i in range(3):
+            f, _ = step(f, 5e-5, i)
+        return jnp.sum(f.u ** 2)
+
+    gr = jax.grad(loss)(f0.u)
+    eps = 1e-6
+    du = jnp.zeros_like(f0.u).at[0, 10, 12].set(eps)
+    fd = (loss(f0.u + du) - loss(f0.u - du)) / (2 * eps)
+    np.testing.assert_allclose(float(gr[0, 10, 12]), float(fd), rtol=1e-6)

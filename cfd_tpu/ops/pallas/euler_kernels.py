@@ -83,11 +83,13 @@ def make_euler_fused(nz, ny, nx, dx, dy, dz, xmin, ymin,
     (`.stretch.stretch_pins_consistent`)."""
     if not euler_kernel_supported(nz, ny, nx):
         return None
-    if stretch is not None and alpha > 0.0:
+    consistent = stretch is not None and scheme == "consistent"
+    if stretch is not None and alpha > 0.0 and not consistent:
+        # parity + stretched + energy is invalid (energy_solver.c:55-91);
+        # the consistent weights make the thermal stencils well-defined.
         return None
     from ...boundary.types import BCType
     pins = ()
-    consistent = stretch is not None and scheme == "consistent"
     if stretch is not None:
         from .stretch import stretch_pins, stretch_pins_consistent
         dx_arr, dy_arr, x_coords, y_coords = stretch
@@ -264,13 +266,23 @@ def make_euler_fused(nz, ny, nx, dx, dy, dz, xmin, ymin,
         # Energy: T advected by the UPDATED velocities, diffused by
         # alpha, interior-only and unguarded (`energy_solver.c:120-160`).
         if energy_on:
-            dT_dx = (shift_x(Tc, 1) - shift_x(Tc, -1)) * inv_2dx
-            dT_dy = (shift_y(Tc, 1, ny) - shift_y(Tc, -1, ny)) * inv_2dy
+            Txm, Txp = shift_x(Tc, -1), shift_x(Tc, 1)
+            Tym, Typ = shift_y(Tc, -1, ny), shift_y(Tc, 1, ny)
+            if consistent:
+                # unclamped consistent stencils, term order matching the
+                # jnp `energy.make_energy_step` stretched branch
+                dT_dx = Txm * wxm + Tc * wxc + Txp * wxp
+                dT_dy = Tym * wym + Tc * wyc + Typ * wyp
+                lapT = (Txm * lxm + Tc * lxc + Txp * lxp
+                        + Tym * lym + Tc * lyc + Typ * lyp
+                        + (Tp - 2.0 * Tc + Tm) * inv_dz2)
+            else:
+                dT_dx = (Txp - Txm) * inv_2dx
+                dT_dy = (Typ - Tym) * inv_2dy
+                lapT = ((Txp - 2.0 * Tc + Txm) * inv_dx2
+                        + (Typ - 2.0 * Tc + Tym) * inv_dy2
+                        + (Tp - 2.0 * Tc + Tm) * inv_dz2)
             dT_dz = (Tp - Tm) * inv_2dz
-            lapT = ((shift_x(Tc, 1) - 2.0 * Tc + shift_x(Tc, -1)) * inv_dx2
-                    + (shift_y(Tc, 1, ny) - 2.0 * Tc
-                       + shift_y(Tc, -1, ny)) * inv_dy2
-                    + (Tp - 2.0 * Tc + Tm) * inv_dz2)
             adv = u_out * dT_dx + v_out * dT_dy + w_out * dT_dz
             T_upd = jnp.where(maskb,
                               Tc + cdt * (-adv + dtype(alpha) * lapT), Tc)

@@ -74,8 +74,9 @@ def _stretch_reason(grid: Grid, params: NSParams) -> str | None:
         return "fused kernels need uniform z spacing"
     if grid.is_uniform("x") and grid.is_uniform("y"):
         return None
-    if params.energy_enabled:
-        return "stretched x/y with the energy equation uses the jnp path"
+    if params.energy_enabled and params.nonuniform_scheme != "consistent":
+        return ("stretched x/y with the energy equation needs "
+                "nonuniform_scheme='consistent'")
     from ..ops.pallas.stretch import stretch_spacing_ok
     if not stretch_spacing_ok(grid.dx, grid.dy):
         return "stretched spacing below the 1e-10 validity guard"

@@ -143,13 +143,14 @@ def stretch_mode(grid: Grid, params: NSParams):
     dispatchers.  Uniform x/y → (None, spacing-valid); stretched x/y →
     a ``(dx, dy, x, y)`` numpy tuple for the kernels' pinned coefficient
     inputs (`ops/pallas/stretch.py`), provided every per-point spacing
-    passes the |h| > 1e-10 guard and the energy equation is off (it
-    requires uniform grids, `energy_solver.c:55-91`).  Both
-    ``nonuniform_scheme`` values qualify — the kernels implement the
-    parity AND consistent stencils (callers pass the scheme through)."""
+    passes the |h| > 1e-10 guard.  Both ``nonuniform_scheme`` values
+    qualify — the kernels implement the parity AND consistent stencils
+    (callers pass the scheme through).  Energy + stretched requires the
+    consistent scheme (parity thermal stencils are invalid off uniform
+    grids, `energy_solver.c:55-91`)."""
     if grid.is_uniform("x") and grid.is_uniform("y"):
         return None, min(grid.dx0, grid.dy0) > 1e-10
-    if params.energy_enabled:
+    if params.energy_enabled and params.nonuniform_scheme != "consistent":
         return None, False
     from ...ops.pallas.stretch import stretch_spacing_ok
     if not stretch_spacing_ok(grid.dx, grid.dy):

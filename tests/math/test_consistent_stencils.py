@@ -269,3 +269,87 @@ def test_consistent_stretched_euler_gradients_fd():
     du = jnp.zeros_like(f0.u).at[0, 10, 12].set(eps)
     fd = (loss(f0.u + du) - loss(f0.u - du)) / (2 * eps)
     np.testing.assert_allclose(float(gr[0, 10, 12]), float(fd), rtol=1e-6)
+
+
+def _convection_params(scheme="consistent"):
+    from cfd_tpu.boundary.types import (BCType, DirichletValues,
+                                        ThermalBCConfig)
+    return NSParams(
+        source_amplitude_u=0.0, source_amplitude_v=0.0,
+        alpha=1e-3, beta=0.05, T_ref=300.0, gravity=(0.0, -9.81, 0.0),
+        thermal_bc=ThermalBCConfig(
+            left=BCType.DIRICHLET, right=BCType.DIRICHLET,
+            bottom=BCType.NEUMANN, top=BCType.NEUMANN,
+            dirichlet_values=DirichletValues(left=305.0, right=295.0)),
+        nonuniform_scheme=scheme)
+
+
+@pytest.mark.parametrize("maker", [make_euler_step, make_rk2_step],
+                         ids=["euler", "rk2"])
+def test_consistent_convection_fused_matches_jnp(maker):
+    """Energy + Boussinesq + thermal BCs on a stretched grid through the
+    fused kernels (consistent weights drive the thermal stencils too)."""
+    g = Grid.stretched(128, 16, 8, zmin=0.0, zmax=1.0, beta=1.5,
+                       stretch_axes="xy")
+    params = _convection_params()
+    ref = jax.jit(maker(g, params, dtype=jnp.float32, use_pallas=False))
+    fus = jax.jit(maker(g, params, dtype=jnp.float32, use_pallas=True,
+                        pallas_interpret=True))
+    rng = np.random.default_rng(17)
+    f = FlowField.initialize(g, dtype=jnp.float32)
+    f = f.replace(u=jnp.asarray(rng.normal(0, 0.2, g.shape), jnp.float32),
+                  v=jnp.asarray(rng.normal(0, 0.2, g.shape), jnp.float32),
+                  w=jnp.asarray(rng.normal(0, 0.2, g.shape), jnp.float32),
+                  T=jnp.asarray(300 + rng.normal(0, 1, g.shape),
+                                jnp.float32))
+    fr, rr = ref(f, 5e-5, 1)
+    ff, rf = fus(f, 5e-5, 1)
+    assert int(rr.status) == int(rf.status) == 0
+    for name in ("u", "v", "w", "p", "rho", "T"):
+        np.testing.assert_allclose(np.asarray(getattr(ff, name)),
+                                   np.asarray(getattr(fr, name)),
+                                   atol=2e-5, err_msg=name)
+
+
+def test_consistent_convection_sharded_matches_jnp():
+    from cfd_tpu.parallel import make_mesh, make_sharded_step
+
+    g = Grid.stretched(128, 16, 24, zmin=0.0, zmax=1.0, beta=1.5,
+                       stretch_axes="xy")
+    params = _convection_params()
+    rng = np.random.default_rng(19)
+    f = FlowField.initialize(g, dtype=jnp.float32)
+    f = f.replace(u=jnp.asarray(rng.normal(0, 0.2, g.shape), jnp.float32),
+                  v=jnp.asarray(rng.normal(0, 0.2, g.shape), jnp.float32),
+                  T=jnp.asarray(300 + rng.normal(0, 1, g.shape),
+                                jnp.float32))
+    ref = jax.jit(make_euler_step(g, params, dtype=jnp.float32,
+                                  use_pallas=False))
+    fr, rr = ref(f, 5e-5, 1)
+
+    mesh = make_mesh(axes=("z",))
+    step, place = make_sharded_step(g, params, mesh, "explicit_euler",
+                                    use_pallas=True, strict=True,
+                                    dtype=jnp.float32)
+    ff, rf = step(place(f), 5e-5, 1)
+    assert int(rr.status) == int(rf.status) == 0
+    for name in ("u", "v", "w", "p"):
+        np.testing.assert_allclose(np.asarray(getattr(ff, name)),
+                                   np.asarray(getattr(fr, name)),
+                                   atol=5e-6, err_msg=name)
+    # T ~ 300 in f32: one ulp is 3.05e-5
+    np.testing.assert_allclose(np.asarray(ff.T), np.asarray(fr.T),
+                               atol=1e-4, err_msg="T")
+
+
+def test_parity_stretched_energy_still_refuses_fused():
+    """parity + stretched + energy must not engage the kernels (it raises
+    in the solver factory before any kernel question arises)."""
+    from cfd_tpu.ops.pallas.euler_kernels import make_euler_fused
+
+    g = Grid.stretched(128, 16, 8, zmin=0.0, zmax=1.0, beta=1.5,
+                       stretch_axes="xy")
+    k = make_euler_fused(8, 16, 128, g.dx0, g.dy0, g.dz0, g.xmin, g.ymin,
+                         0.01, 0.1, alpha=0.1,
+                         stretch=(g.dx, g.dy, g.x, g.y), scheme="parity")
+    assert k is None

@@ -77,6 +77,28 @@ class Simulation:
         solver.init(grid, params)
         return cls(grid, field, params, solver, registry, OutputRegistry())
 
+    @classmethod
+    def from_grid(cls, grid: Grid, solver_type: Optional[str] = None,
+                  params: Optional[NSParams] = None) -> "Simulation":
+        """``create`` for a caller-built grid (framework extension: the
+        reference's `init_simulation` is uniform-only, `simulation_api.c:121`
+        + `grid_initialize_uniform`; stretched runs there assemble the
+        solver by hand as `poiseuille_stretched_grid.c` does).  Use with
+        `Grid.stretched(...)` — e.g. wall-clustered grids with
+        ``NSParams(nonuniform_scheme="consistent")``."""
+        from ..core.runtime import init as cfd_init
+        cfd_init()
+        field = FlowField.initialize(grid)
+        if params is None:
+            params = NSParams(dt=0.001, cfl=0.2, mu=0.01, max_iter=1)
+        registry = create_registry()
+        solver = registry.create(solver_type or DEFAULT_SOLVER_TYPE)
+        if solver is None:
+            raise CFDError(Status.ERROR_NOT_FOUND,
+                           f"solver '{solver_type}' not registered")
+        solver.init(grid, params)
+        return cls(grid, field, params, solver, registry, OutputRegistry())
+
     # ---- solver management -------------------------------------------------
 
     def set_solver(self, solver: NSSolver) -> None:

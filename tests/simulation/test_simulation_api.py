@@ -146,3 +146,28 @@ def test_projection_multigrid_solver():
     for _ in range(3):
         sim.step()
     assert bool(sim.field.is_finite())
+
+
+def test_from_grid_stretched_consistent():
+    """Simulation.from_grid: the session object over a caller-built
+    (wall-clustered) grid with the consistent scheme — framework
+    extension; the reference's init_simulation is uniform-only."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from cfd_tpu import Grid
+    from cfd_tpu.api import Simulation
+    from cfd_tpu.solvers.ns import NSParams
+
+    g = Grid.stretched(48, 32, beta=1.5)
+    sim = Simulation.from_grid(
+        g, solver_type="explicit_euler",
+        params=NSParams(dt=1e-4, mu=0.01, max_iter=1,
+                        nonuniform_scheme="consistent"))
+    assert sim.grid is g
+    for i in range(5):
+        assert int(sim.step()) == 0
+    assert np.isfinite(np.asarray(sim.field.u)).all()
+    # registry swap still works on the custom grid
+    assert sim.set_solver_by_name("rk2") == 0
+    assert int(sim.step()) == 0

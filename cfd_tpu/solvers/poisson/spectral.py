@@ -146,7 +146,9 @@ def _make_btilde_pipeline(problem: PoissonProblem, precision):
             b = btilde[0]
             a = jnp.matmul(b, Fx.T, precision=prec)          # (ny, mx)
             a = jnp.matmul(Fy, a, precision=prec)            # (my, mx)
-            a = a / (vy[:, None] + vx[None, :])
+            # device-side broadcast (np here would bake an (ny, nx)
+            # constant into the HLO — 16 MB at 2048²)
+            a = a / (jnp.asarray(vy)[:, None] + jnp.asarray(vx)[None, :])
             a = jnp.matmul(Gy, a, precision=prec)            # (ny, mx)
             a = jnp.matmul(a, Gx.T, precision=prec)          # (ny, nx)
             return a[None]
@@ -154,7 +156,13 @@ def _make_btilde_pipeline(problem: PoissonProblem, precision):
         a = jnp.einsum("ax,zyx->zya", Fx, btilde, precision=prec)
         a = jnp.einsum("by,zyx->zbx", Fy, a, precision=prec)
         a = jnp.einsum("cz,zyx->cyx", Fz, a, precision=prec)
-        lam = vz[:, None, None] + vy[None, :, None] + vx[None, None, :]
+        # Build λ on device from the three small vectors — a numpy
+        # broadcast here would materialize an (nz, ny, nx) CONSTANT in
+        # the HLO (512 MB at 512³), which the remote compile service
+        # rejects with HTTP 413.
+        lam = (jnp.asarray(vz)[:, None, None]
+               + jnp.asarray(vy)[None, :, None]
+               + jnp.asarray(vx)[None, None, :])
         a = a / lam
         a = jnp.einsum("ax,zyx->zya", Gx, a, precision=prec)
         a = jnp.einsum("by,zyx->zbx", Gy, a, precision=prec)

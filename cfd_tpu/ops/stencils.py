@@ -173,6 +173,26 @@ def interior_mask(shape, dtype=jnp.float32):
     return m
 
 
+def checkerboard_mask(shape, parity):
+    """Interior checkerboard ((i+j+k) % 2 == parity), built from iota.
+
+    Traced on purpose: a full-shape boolean constant (the numpy
+    alternative) is ~135 MB at 513³ and lands verbatim in the compile
+    request — the remote compile service rejects large payloads.  Iota
+    masks are also the GSPMD-safe formulation (masked `where` instead of
+    shell `.at[]` writes)."""
+    nz, ny, nx = shape
+    j = jnp.expand_dims(jnp.arange(ny), (0, 2))
+    i = jnp.expand_dims(jnp.arange(nx), (0, 1))
+    k = (jnp.expand_dims(jnp.arange(nz), (1, 2)) if nz > 1
+         else jnp.zeros((1, 1, 1), jnp.int32))
+    color = ((i + j + k) % 2) == parity
+    interior = (j > 0) & (j < ny - 1) & (i > 0) & (i < nx - 1)
+    if nz > 1:
+        interior = interior & (k > 0) & (k < nz - 1)
+    return color & interior
+
+
 def set_interior(dst, src):
     """dst with its interior replaced by src's interior (boundaries kept)."""
     nz = dst.shape[-3]

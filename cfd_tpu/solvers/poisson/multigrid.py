@@ -44,25 +44,6 @@ class _Level:
     inv_dy2: float
     inv_dz2: float
     inv_factor: float
-    red: jax.Array
-    black: jax.Array
-
-
-def _checkerboard(shape, parity):
-    nz, ny, nx = shape
-    k = np.arange(nz)[:, None, None] if nz > 1 else np.zeros((1, 1, 1), int)
-    j = np.arange(ny)[None, :, None]
-    i = np.arange(nx)[None, None, :]
-    color = ((i + j + k) % 2) == parity
-    interior = np.zeros(shape, bool)
-    if nz > 1:
-        interior[1:-1, 1:-1, 1:-1] = True
-    else:
-        interior[:, 1:-1, 1:-1] = True
-    # numpy on purpose (trace-safety): a jnp constant created while an
-    # enclosing trace is active is a tracer and leaks across re-staging;
-    # consuming jnp ops convert per trace.
-    return color & interior
 
 
 def _build_levels(problem: PoissonProblem, min_size: int = 5,
@@ -78,8 +59,7 @@ def _build_levels(problem: PoissonProblem, min_size: int = 5,
         shape = (nz, ny, nx)
         levels.append(_Level(
             shape, inv_dx2, inv_dy2, inv_dz2,
-            1.0 / (2.0 * (inv_dx2 + inv_dy2 + inv_dz2)),
-            _checkerboard(shape, 0), _checkerboard(shape, 1)))
+            1.0 / (2.0 * (inv_dx2 + inv_dy2 + inv_dz2))))
         can = (nx - 1) % 2 == 0 and (ny - 1) % 2 == 0 and nx >= 2 * min_size - 1 \
             and ny >= 2 * min_size - 1
         if is_3d:
@@ -119,9 +99,15 @@ def _A(x, lv: _Level):
 
 
 def _rb_sweep(x, b, lv: _Level, order=("red", "black")):
-    """One red-black Gauss-Seidel sweep of A x = b (Dirichlet-0)."""
+    """One red-black Gauss-Seidel sweep of A x = b (Dirichlet-0).
+
+    Masks are built in-trace from iota (`stencils.checkerboard_mask`) —
+    captured full-shape numpy constants bloat the compile payload
+    (~135 MB bool per color at 513³) past the remote compile service's
+    request limit."""
+    from ...ops.stencils import checkerboard_mask
     for color in order:
-        mask = lv.red if color == "red" else lv.black
+        mask = checkerboard_mask(lv.shape, 0 if color == "red" else 1)
         nb = ((jnp.roll(x, -1, -1) + jnp.roll(x, 1, -1)) * lv.inv_dx2
               + (jnp.roll(x, -1, -2) + jnp.roll(x, 1, -2)) * lv.inv_dy2)
         if x.shape[0] > 1:

@@ -254,10 +254,13 @@ def make_redblack_sor(problem: PoissonProblem, params: PoissonParams):
     inv_dx2, inv_dy2 = problem.inv_dx2, problem.inv_dy2
     inv_dz2, inv_factor = problem.inv_dz2, problem.inv_factor
     omega = problem.resolve_omega(params.omega)
-    red = _checkerboard(problem, 0)
-    black = _checkerboard(problem, 1)
 
-    def half_sweep(x, rhs, mask):
+    def half_sweep(x, rhs, parity):
+        # iota mask built in-trace: a captured full-shape numpy constant
+        # bloats the compile payload (~135 MB bool at 513³; the remote
+        # compile service rejects large requests)
+        from ...ops.stencils import checkerboard_mask
+        mask = checkerboard_mask(problem.shape, parity)
         nb = ((jnp.roll(x, -1, -1) + jnp.roll(x, 1, -1)) * inv_dx2
               + (jnp.roll(x, -1, -2) + jnp.roll(x, 1, -2)) * inv_dy2)
         if problem.nz > 1:
@@ -266,8 +269,8 @@ def make_redblack_sor(problem: PoissonProblem, params: PoissonParams):
         return jnp.where(mask, x + omega * (gs - x), x)
 
     def sweep(x, rhs):
-        x = half_sweep(x, rhs, red)
-        return half_sweep(x, rhs, black)
+        x = half_sweep(x, rhs, 0)
+        return half_sweep(x, rhs, 1)
 
     def solve(x, rhs):
         return _common_while(problem, params, sweep, x, rhs)

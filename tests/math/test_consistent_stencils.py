@@ -401,3 +401,31 @@ def test_thermal_boundary_layer_stretched_beats_uniform():
     e_str = rel_err(17, 1.5)
     assert e_str < 0.02, e_str
     assert e_str < e_unif / 2.5, (e_str, e_unif)
+
+
+@pytest.mark.parametrize("scheme", ["parity", "consistent"])
+def test_hybrid_differentiable_on_stretched(scheme):
+    """differentiable=True + use_pallas=True on a stretched grid: fused
+    forward (interpret here), jnp adjoint via `.hybrid.pair_vjp` — the
+    gradient must match the pure-jnp differentiable step's."""
+    g = Grid.stretched(128, 16, 8, zmin=0.0, zmax=1.0, beta=1.5,
+                       stretch_axes="xy")
+    params = NSParams(source_amplitude_u=0.05, source_amplitude_v=0.0,
+                      nonuniform_scheme=scheme)
+    hybrid = make_euler_step(g, params, dtype=jnp.float32,
+                             differentiable=True, use_pallas=True,
+                             pallas_interpret=True)
+    ref = make_euler_step(g, params, dtype=jnp.float32,
+                          differentiable=True)
+    f0 = FlowField.initialize(g, dtype=jnp.float32)
+
+    def loss_of(step):
+        def loss(u0):
+            f, _ = step(f0.replace(u=u0), jnp.float32(5e-5), 0)
+            return jnp.sum(f.u ** 2)
+        return loss
+
+    gh = jax.grad(loss_of(hybrid))(f0.u)
+    gr = jax.grad(loss_of(ref))(f0.u)
+    np.testing.assert_allclose(np.asarray(gh), np.asarray(gr),
+                               atol=1e-5)

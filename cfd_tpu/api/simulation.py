@@ -62,20 +62,8 @@ class Simulation:
                solver_type: Optional[str] = None,
                params: Optional[NSParams] = None) -> "Simulation":
         """init_simulation[_with_solver] (`simulation_api.c:24-140`)."""
-        # Lazy global init, as init_simulation lazy-calls cfd_init (`:26`).
-        from ..core.runtime import init as cfd_init
-        cfd_init()
         grid = Grid.uniform(nx, ny, nz, xmin, xmax, ymin, ymax, zmin, zmax)
-        field = FlowField.initialize(grid)
-        if params is None:
-            params = NSParams(dt=0.001, cfl=0.2, mu=0.01, max_iter=1)
-        registry = create_registry()
-        solver = registry.create(solver_type or DEFAULT_SOLVER_TYPE)
-        if solver is None:
-            raise CFDError(Status.ERROR_NOT_FOUND,
-                           f"solver '{solver_type}' not registered")
-        solver.init(grid, params)
-        return cls(grid, field, params, solver, registry, OutputRegistry())
+        return cls.from_grid(grid, solver_type, params)
 
     @classmethod
     def from_grid(cls, grid: Grid, solver_type: Optional[str] = None,
@@ -86,16 +74,18 @@ class Simulation:
         solver by hand as `poiseuille_stretched_grid.c` does).  Use with
         `Grid.stretched(...)` — e.g. wall-clustered grids with
         ``NSParams(nonuniform_scheme="consistent")``."""
+        # Lazy global init, as init_simulation lazy-calls cfd_init (`:26`).
         from ..core.runtime import init as cfd_init
         cfd_init()
         field = FlowField.initialize(grid)
         if params is None:
             params = NSParams(dt=0.001, cfl=0.2, mu=0.01, max_iter=1)
         registry = create_registry()
-        solver = registry.create(solver_type or DEFAULT_SOLVER_TYPE)
+        name = solver_type or DEFAULT_SOLVER_TYPE
+        solver = registry.create(name)
         if solver is None:
             raise CFDError(Status.ERROR_NOT_FOUND,
-                           f"solver '{solver_type}' not registered")
+                           f"solver '{name}' not registered")
         solver.init(grid, params)
         return cls(grid, field, params, solver, registry, OutputRegistry())
 

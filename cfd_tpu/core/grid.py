@@ -106,13 +106,13 @@ class Grid:
         only keep the uniform-z layout the NS integrators require (and
         that the fused kernels' per-point coefficient pins support).
         """
-        if abs(beta) < 1e-10:
-            return cls.uniform(nx, ny, nz, xmin, xmax, ymin, ymax, zmin, zmax)
-        cls._validate(nx, ny, nz, xmin, xmax, ymin, ymax, zmin, zmax)
         bad = set(stretch_axes) - set("xyz")
         if bad or not stretch_axes:
             raise ValueError(f"stretch_axes must name axes from 'xyz', "
                              f"got {stretch_axes!r}")
+        if abs(beta) < 1e-10:
+            return cls.uniform(nx, ny, nz, xmin, xmax, ymin, ymax, zmin, zmax)
+        cls._validate(nx, ny, nz, xmin, xmax, ymin, ymax, zmin, zmax)
 
         tb = np.tanh(beta)
 

@@ -29,7 +29,10 @@ Gating (callers fall back to the jnp step): float32, uniform z,
 nz ≥ 3, nx % 128 == 0, ny % 8 == 0, default sources only (the decayed
 amplitudes enter as scalars), no custom heat-source callable.  Stretched
 x/y grids are supported via pinned per-point coefficient planes
-(``stretch=``, `.stretch.stretch_pins`) with the energy equation off.
+(``stretch=``, `.stretch.stretch_pins`); ``scheme="consistent"`` swaps
+in the exact 3-point nonuniform weights (7 pins) and also enables the
+fused energy equation on stretched grids — parity+stretched+energy
+stays invalid (`energy_solver.c:55-91`).
 
 Consistency vs the jnp step is enforced by tests/math/test_euler_fused.py.
 """
@@ -51,10 +54,14 @@ _DIV_LIMIT = 10.0
 _UPDATE_LIMIT = 1.0
 
 
-def euler_kernel_supported(nz: int, ny: int, nx: int) -> bool:
+def euler_kernel_supported(nz: int, ny: int, nx: int,
+                           n_pinned: int = 0) -> bool:
     # 5 halo inputs (u, v, w, p, T), 1 plane input (rho), 6 outputs
-    # + 3 shell snapshot buffers.
-    return rolling_supported(nz, ny, nx, 5, 1, 6 + 3)
+    # + 3 shell snapshot buffers + any stretch coefficient pins
+    # (`solvers.ns.common.stretch_pin_count` — keep capacity gates in
+    # sync with the actual build or marginal grids raise instead of
+    # falling back).
+    return rolling_supported(nz, ny, nx, 5, 1, 6 + 3 + n_pinned)
 
 
 def make_euler_fused(nz, ny, nx, dx, dy, dz, xmin, ymin,
@@ -76,14 +83,16 @@ def make_euler_fused(nz, ny, nx, dx, dy, dz, xmin, ymin,
     ``(dx_arr, dy_arr, x_coords, y_coords)`` numpy tuple (see
     `.stretch.stretch_pins`).  The 1/(2h), 1/h² coefficients and the
     source basis then ride three pinned VMEM inputs instead of compiled
-    constants; z spacing stays uniform (validated by the solver layer)
-    and the energy equation must be off (it requires uniform grids,
-    `energy_solver.c:55-91`).  ``scheme="consistent"`` (with stretch)
-    uses the exact 3-point nonuniform weights instead — seven pins
-    (`.stretch.stretch_pins_consistent`)."""
-    if not euler_kernel_supported(nz, ny, nx):
-        return None
+    constants; z spacing stays uniform (validated by the solver layer).
+    ``scheme="consistent"`` (with stretch) uses the exact 3-point
+    nonuniform weights instead — seven pins
+    (`.stretch.stretch_pins_consistent`) — and supports ``alpha > 0``
+    (the thermal stencils reuse the weight pins); parity + stretch +
+    energy returns None (`energy_solver.c:55-91`)."""
     consistent = stretch is not None and scheme == "consistent"
+    n_pins = 0 if stretch is None else (7 if consistent else 3)
+    if not euler_kernel_supported(nz, ny, nx, n_pins):
+        return None
     if stretch is not None and alpha > 0.0 and not consistent:
         # parity + stretched + energy is invalid (energy_solver.c:55-91);
         # the consistent weights make the thermal stencils well-defined.
@@ -94,7 +103,8 @@ def make_euler_fused(nz, ny, nx, dx, dy, dz, xmin, ymin,
         from .stretch import stretch_pins, stretch_pins_consistent
         dx_arr, dy_arr, x_coords, y_coords = stretch
         mk = stretch_pins_consistent if consistent else stretch_pins
-        pins = mk(ny, nx, dx_arr, dy_arr, x_coords, y_coords)
+        pins = mk(ny, nx, dx_arr, dy_arr, x_coords, y_coords,
+                  np_dtype=jnp.zeros((), dtype).dtype)
         inv_2dx = inv_2dy = inv_dx2 = inv_dy2 = None  # from pins in-body
     else:
         inv_2dx = 1.0 / (2.0 * dx)

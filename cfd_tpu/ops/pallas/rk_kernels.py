@@ -31,8 +31,9 @@ the fused Euler kernel.
 
 Gating matches the fused Euler kernel: float32, uniform z, nz ≥ 3,
 aligned dims, default sources, no custom heat source; stretched x/y via
-pinned coefficient planes (energy off).  Consistency vs the jnp step:
-tests/math/test_rk_fused.py.
+pinned coefficient planes (parity 3 pins, consistent 7 — consistent
+also carries the energy equation on stretched grids).  Consistency vs
+the jnp step: tests/math/test_rk_fused.py.
 """
 
 from __future__ import annotations
@@ -49,10 +50,12 @@ _VEL_LIMIT = 100.0
 _DIV_LIMIT = 10.0
 
 
-def rk_kernel_supported(nz: int, ny: int, nx: int) -> bool:
+def rk_kernel_supported(nz: int, ny: int, nx: int,
+                        n_coef_pins: int = 0) -> bool:
     # worst case (final stage): 5 halos, 9 planes, 6 outs + 6 shell
-    # snapshots + 4 pinned
-    return rolling_supported(nz, ny, nx, 5, 9, 6 + 6 + 4)
+    # snapshots + 4 z-wrap pins + any stretch coefficient pins
+    # (`solvers.ns.common.stretch_pin_count`)
+    return rolling_supported(nz, ny, nx, 5, 9, 6 + 6 + 4 + n_coef_pins)
 
 
 def make_rk_stage(nz, ny, nx, dx, dy, dz, xmin, ymin,
@@ -82,13 +85,15 @@ def make_rk_stage(nz, ny, nx, dx, dy, dz, xmin, ymin,
     state halo field.  ``stretch``: per-point x/y spacing on stretched
     grids — a ``(dx_arr, dy_arr, x_coords, y_coords)`` numpy tuple; the
     coefficient/source-basis planes ride three extra pinned inputs
-    (`.stretch.stretch_pins`; energy must be off), or seven with
-    ``scheme="consistent"`` (exact 3-point nonuniform weights,
-    `.stretch.stretch_pins_consistent`).  Returns None when unsupported.
+    (`.stretch.stretch_pins`), or seven with ``scheme="consistent"``
+    (exact 3-point nonuniform weights,
+    `.stretch.stretch_pins_consistent` — the only mode that permits
+    ``alpha > 0`` on stretched grids).  Returns None when unsupported.
     """
-    if not rk_kernel_supported(nz, ny, nx):
-        return None
     consistent = stretch is not None and scheme == "consistent"
+    n_coef = 0 if stretch is None else (7 if consistent else 3)
+    if not rk_kernel_supported(nz, ny, nx, n_coef):
+        return None
     if stretch is not None and alpha > 0.0 and not consistent:
         # parity + stretched + energy is invalid (energy_solver.c:55-91)
         return None
@@ -98,7 +103,8 @@ def make_rk_stage(nz, ny, nx, dx, dy, dz, xmin, ymin,
         from .stretch import stretch_pins, stretch_pins_consistent
         dx_arr, dy_arr, x_coords, y_coords = stretch
         mk = stretch_pins_consistent if consistent else stretch_pins
-        coef_pins = mk(ny, nx, dx_arr, dy_arr, x_coords, y_coords)
+        coef_pins = mk(ny, nx, dx_arr, dy_arr, x_coords, y_coords,
+                       np_dtype=jnp.zeros((), dtype).dtype)
         inv_2dx = inv_2dy = inv_dx2 = inv_dy2 = None  # from pins in-body
     else:
         inv_2dx = 1.0 / (2.0 * dx)

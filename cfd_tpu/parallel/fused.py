@@ -63,31 +63,23 @@ def _mesh_y_size(mesh: Mesh):
 
 
 def _stretch_reason(grid: Grid, params: NSParams) -> str | None:
-    """Uniform-spacing gate shared by the sharded euler/RK fused paths.
+    """Spacing gate for the sharded euler/RK fused paths — delegates to
+    `solvers.ns.common.stretch_gate` (ONE predicate set for single-chip
+    and sharded dispatch) plus the z-uniformity the streaming kernels
+    require.  Stretched x/y pins are shard-invariant under
+    z-decomposition, so the single-chip pins replicate verbatim."""
+    from ..solvers.ns.common import stretch_gate
 
-    z must be uniform (the kernels stream z with compiled constants);
-    stretched x/y qualifies via the per-point coefficient pins — shard-
-    invariant under z-decomposition, so the single-chip pins replicate
-    verbatim — unless the energy equation is on (it requires uniform
-    grids, `energy_solver.c:55-91`)."""
     if not grid.is_uniform("z"):
         return "fused kernels need uniform z spacing"
-    if grid.is_uniform("x") and grid.is_uniform("y"):
-        return None
-    if params.energy_enabled and params.nonuniform_scheme != "consistent":
-        return ("stretched x/y with the energy equation needs "
-                "nonuniform_scheme='consistent'")
-    from ..ops.pallas.stretch import stretch_spacing_ok
-    if not stretch_spacing_ok(grid.dx, grid.dy):
-        return "stretched spacing below the 1e-10 validity guard"
-    return None
+    _, reason = stretch_gate(grid, params)
+    return reason
 
 
-def _stretch_tuple(grid: Grid):
+def _stretch_tuple(grid: Grid, params: NSParams):
     """The kernels' ``stretch=`` argument: None on uniform x/y."""
-    if grid.is_uniform("x") and grid.is_uniform("y"):
-        return None
-    return (grid.dx, grid.dy, grid.x, grid.y)
+    from ..solvers.ns.common import stretch_gate
+    return stretch_gate(grid, params)[0]
 
 
 def fused_sharded_unsupported_reason(grid: Grid, params: NSParams,
@@ -433,7 +425,9 @@ def fused_sharded_euler_unsupported_reason(grid: Grid, params: NSParams,
     if grid.nz % n != 0 or grid.nz // n < 3:
         return (f"nz={grid.nz} must be divisible by {n} shards with >= 3 "
                 "planes per shard")
-    if not euler_kernel_supported(grid.nz // n + 2, grid.ny, grid.nx):
+    from ..solvers.ns.common import stretch_pin_count
+    if not euler_kernel_supported(grid.nz // n + 2, grid.ny, grid.nx,
+                                  stretch_pin_count(grid, params)):
         return (f"local block ({grid.nz // n}+2, {grid.ny}, {grid.nx}) "
                 "outside rolling-kernel support (nx%128, ny%8, VMEM)")
     reason = _stretch_reason(grid, params)
@@ -473,7 +467,7 @@ def make_fused_sharded_euler_step(grid: Grid, params: NSParams, mesh: Mesh,
         grid.xmin, grid.ymin, params.mu, params.pressure_coupling,
         alpha=params.alpha, beta=params.beta, T_ref=params.T_ref,
         gravity=params.gravity, thermal_bc=params.thermal_bc,
-        stretch=_stretch_tuple(grid), scheme=params.nonuniform_scheme,
+        stretch=_stretch_tuple(grid, params), scheme=params.nonuniform_scheme,
         dtype=dtype, interpret=interpret)
     if kernel is None:
         raise ValueError("fused sharded euler: kernel build failed")
@@ -591,7 +585,9 @@ def fused_sharded_rk_unsupported_reason(grid: Grid, params: NSParams,
     if grid.nz % n != 0 or grid.nz // n < 3:
         return (f"nz={grid.nz} must be divisible by {n} shards with >= 3 "
                 "planes per shard")
-    if not rk_kernel_supported(grid.nz // n + 2, grid.ny, grid.nx):
+    from ..solvers.ns.common import stretch_pin_count
+    if not rk_kernel_supported(grid.nz // n + 2, grid.ny, grid.nx,
+                               stretch_pin_count(grid, params)):
         return (f"local block ({grid.nz // n}+2, {grid.ny}, {grid.nx}) "
                 "outside rolling-kernel support (nx%128, ny%8, VMEM)")
     reason = _stretch_reason(grid, params)
@@ -627,7 +623,7 @@ def make_fused_sharded_rk_step(grid: Grid, params: NSParams, mesh: Mesh,
     thermal_kw = dict(alpha=params.alpha, beta=params.beta,
                       T_ref=params.T_ref, gravity=params.gravity,
                       thermal_bc=params.thermal_bc,
-                      stretch=_stretch_tuple(grid),
+                      stretch=_stretch_tuple(grid, params),
                       scheme=params.nonuniform_scheme)
     mid = make_rk_stage(nzl + 2, ny, nx, grid.dx0, grid.dy0, grid.dz0,
                         grid.xmin, grid.ymin, params.mu,

@@ -82,9 +82,14 @@ def make_sharded_step(grid: Grid, params: NSParams, mesh: Mesh,
             reason = fused_sharded_euler_unsupported_reason(grid, params,
                                                             mesh, dtype)
             if reason is None:
-                return finish(make_fused_sharded_euler_step(
-                    grid, params, mesh, dtype=dtype,
-                    interpret=kw.get("pallas_interpret")))
+                # Build failures past the generic gate fall back rather
+                # than raise, unless strict (mirrors projection).
+                try:
+                    return finish(make_fused_sharded_euler_step(
+                        grid, params, mesh, dtype=dtype,
+                        interpret=kw.get("pallas_interpret")))
+                except ValueError as e:
+                    reason = str(e)
             fallback(reason)
         elif method in ("rk2", "rk4"):
             from .fused import (fused_sharded_rk_unsupported_reason,
@@ -92,9 +97,13 @@ def make_sharded_step(grid: Grid, params: NSParams, mesh: Mesh,
             reason = fused_sharded_rk_unsupported_reason(grid, params,
                                                          mesh, dtype)
             if reason is None:
-                return finish(make_fused_sharded_rk_step(
-                    grid, params, mesh, order=2 if method == "rk2" else 4,
-                    dtype=dtype, interpret=kw.get("pallas_interpret")))
+                try:
+                    return finish(make_fused_sharded_rk_step(
+                        grid, params, mesh,
+                        order=2 if method == "rk2" else 4,
+                        dtype=dtype, interpret=kw.get("pallas_interpret")))
+                except ValueError as e:
+                    reason = str(e)
             fallback(reason)
         elif method != "projection":
             fallback(f"no fused sharded {method} step")

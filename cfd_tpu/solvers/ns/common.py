@@ -138,24 +138,42 @@ def z_constants(grid: Grid):
     return 0.0, 0.0
 
 
-def stretch_mode(grid: Grid, params: NSParams):
-    """(stretch, fuse_ok) gate shared by the euler/RK fused-kernel
-    dispatchers.  Uniform x/y → (None, spacing-valid); stretched x/y →
-    a ``(dx, dy, x, y)`` numpy tuple for the kernels' pinned coefficient
-    inputs (`ops/pallas/stretch.py`), provided every per-point spacing
-    passes the |h| > 1e-10 guard.  Both ``nonuniform_scheme`` values
-    qualify — the kernels implement the parity AND consistent stencils
-    (callers pass the scheme through).  Energy + stretched requires the
-    consistent scheme (parity thermal stencils are invalid off uniform
-    grids, `energy_solver.c:55-91`)."""
+def stretch_gate(grid: Grid, params: NSParams):
+    """(stretch, reason) — THE spacing gate for the fused euler/RK paths,
+    single-chip and sharded (one predicate set, so dispatch can't drift).
+
+    ``stretch`` is the kernels' ``(dx, dy, x, y)`` numpy tuple for the
+    pinned coefficient inputs (`ops/pallas/stretch.py`), None on uniform
+    x/y.  ``reason`` is None when the fused kernels may engage, else the
+    human-readable disqualifier.  Both ``nonuniform_scheme`` values
+    qualify (the kernels implement parity AND consistent stencils);
+    energy + stretched requires the consistent scheme (parity thermal
+    stencils are invalid off uniform grids, `energy_solver.c:55-91`)."""
     if grid.is_uniform("x") and grid.is_uniform("y"):
-        return None, min(grid.dx0, grid.dy0) > 1e-10
+        if min(grid.dx0, grid.dy0) > 1e-10:
+            return None, None
+        return None, "degenerate grid spacing (|h| <= 1e-10)"
     if params.energy_enabled and params.nonuniform_scheme != "consistent":
-        return None, False
+        return None, ("stretched x/y with the energy equation needs "
+                      "nonuniform_scheme='consistent'")
     from ...ops.pallas.stretch import stretch_spacing_ok
     if not stretch_spacing_ok(grid.dx, grid.dy):
-        return None, False
-    return (grid.dx, grid.dy, grid.x, grid.y), True
+        return None, "stretched spacing below the 1e-10 validity guard"
+    return (grid.dx, grid.dy, grid.x, grid.y), None
+
+
+def stretch_pin_count(grid: Grid, params: NSParams) -> int:
+    """Extra pinned VMEM inputs the fused kernels consume for this
+    grid/scheme — used by capacity gates (`euler_kernel_supported`)."""
+    if grid.is_uniform("x") and grid.is_uniform("y"):
+        return 0
+    return 7 if params.nonuniform_scheme == "consistent" else 3
+
+
+def stretch_mode(grid: Grid, params: NSParams):
+    """(stretch, fuse_ok) — `stretch_gate` for boolean dispatchers."""
+    stretch, reason = stretch_gate(grid, params)
+    return stretch, reason is None
 
 
 def clamp(v, limit):

@@ -87,6 +87,15 @@ class NSParams:
     # parity on uniform grids).  See `common.spacing_operators`.
     nonuniform_scheme: str = "parity"
 
+    def __post_init__(self):
+        # Validate eagerly: the fused TPU dispatchers only test for
+        # "consistent", so a typo here would otherwise silently select
+        # the parity kernels.
+        if self.nonuniform_scheme not in ("parity", "consistent"):
+            raise ValueError(
+                f"nonuniform_scheme must be 'parity' or 'consistent', "
+                f"got {self.nonuniform_scheme!r}")
+
     def replace(self, **kw) -> "NSParams":
         return dataclasses.replace(self, **kw)
 

@@ -117,8 +117,10 @@ def test_consistent_stretched_qualifies_for_fused_gates():
         g, p, make_mesh(axes=("z",)), jnp.float32) is None
 
 
-@pytest.mark.parametrize("maker", [make_euler_step, make_rk2_step],
-                         ids=["euler", "rk2"])
+@pytest.mark.parametrize(
+    "maker", [make_euler_step,
+              pytest.param(make_rk2_step, marks=pytest.mark.heavy)],
+    ids=["euler", "rk2"])
 def test_consistent_fused_matches_jnp(maker):
     """Interpret-mode fused kernels with the consistent weight pins vs
     the jnp consistent path on a stretched x/y grid."""
@@ -284,8 +286,10 @@ def _convection_params(scheme="consistent"):
         nonuniform_scheme=scheme)
 
 
-@pytest.mark.parametrize("maker", [make_euler_step, make_rk2_step],
-                         ids=["euler", "rk2"])
+@pytest.mark.parametrize(
+    "maker", [make_euler_step,
+              pytest.param(make_rk2_step, marks=pytest.mark.heavy)],
+    ids=["euler", "rk2"])
 def test_consistent_convection_fused_matches_jnp(maker):
     """Energy + Boussinesq + thermal BCs on a stretched grid through the
     fused kernels (consistent weights drive the thermal stencils too)."""

@@ -44,15 +44,27 @@ class ProjectionKernels:
     def __init__(self, nz, ny, nx, dx, dy, dz, xmin, ymin,
                  dtype=jnp.float32, interpret=False, global_nz=None,
                  emit="btilde", with_sources=True,
-                 beta=0.0, T_ref=0.0, gravity=(0.0, 0.0, 0.0)):
+                 beta=0.0, T_ref=0.0, gravity=(0.0, 0.0, 0.0),
+                 global_ny=None):
         """``global_nz``: sharded (z-decomposed) mode — the kernels operate
         on a halo-padded local block of ``nz`` planes belonging to a global
         ``global_nz``-plane domain; the btilde kernel then takes the shard's
         global plane offset as an extra scalar so its Neumann face
         coefficients land on the *global* k = 1 and k = global_nz − 2
-        planes.  Used by ``cfd_tpu.parallel.fused`` inside ``shard_map``."""
+        planes.  Used by ``cfd_tpu.parallel.fused`` inside ``shard_map``.
+
+        ``global_ny``: additionally y-decomposed ((z, y) 2D device mesh) —
+        the local block carries 4 halo rows per side (keeping ny % 8) and
+        every per-component kernel takes the shard's global row offset
+        (global row of padded local row 0) as one more trailing scalar;
+        interior masks, the sin(πy) source coordinate, and the b̃ Neumann
+        face coefficients all evaluate at *global* row indices, so the
+        in-plane save/restore shells land on the true domain faces only."""
         self.shape = (nz, ny, nx)
         self.global_nz = global_nz
+        self.global_ny = global_ny
+        sharded_y = global_ny is not None
+        gny = ny if global_ny is None else global_ny
         buoy = beta != 0.0
         self.buoyant = buoy
         inv_2dx = 1.0 / (2.0 * dx)
@@ -64,18 +76,27 @@ class ProjectionKernels:
 
         # Masks and source-coordinate fields are rebuilt inside each kernel
         # body from iota (pallas kernels cannot capture array constants).
-        def interior_mask():
-            m, _, _ = plane_masks(ny, nx, dtype)
-            return m
+        # In y-sharded mode the row iota shifts by the shard's global row
+        # offset (a trailing scalar, exact in f32 below 2^24 rows).
+        def rows_cols(y_off=None):
+            jj = jax.lax.broadcasted_iota(jnp.int32, (ny, nx), 0)
+            ii = jax.lax.broadcasted_iota(jnp.int32, (ny, nx), 1)
+            if sharded_y:
+                jj = jj + y_off.astype(jnp.int32)
+            return jj, ii
 
-        def source_plane(component):
-            import jax as _jax
+        def interior_mask(y_off=None):
+            jj, ii = rows_cols(y_off)
+            return ((jj > 0) & (jj < gny - 1) & (ii > 0)
+                    & (ii < nx - 1)).astype(dtype)
+
+        def source_plane(component, y_off=None):
             if component == 0:
-                jj = _jax.lax.broadcasted_iota(jnp.int32, (ny, nx), 0)
+                jj, _ = rows_cols(y_off)
                 y = ymin + jj.astype(dtype) * dtype(dy)
                 return jnp.sin(jnp.asarray(jnp.pi, dtype) * y)
-            jj = _jax.lax.broadcasted_iota(jnp.int32, (ny, nx), 1)
-            x = xmin + jj.astype(dtype) * dtype(dx)
+            ii = jax.lax.broadcasted_iota(jnp.int32, (ny, nx), 1)
+            x = xmin + ii.astype(dtype) * dtype(dx)
             return jnp.sin(jnp.asarray(2.0 * jnp.pi, dtype) * x)
 
         def d1x(c):
@@ -100,13 +121,14 @@ class ProjectionKernels:
                −β·g[component]·(T−T_ref) joins the source."""
 
             def compute(k, scalars, halos, planes):
-                dt, nu, src_u, src_v = scalars
+                dt, nu, src_u, src_v = scalars[:4]
+                y_off = scalars[4] if sharded_y else None
                 fm, fc, fp = halos[0]
                 a, b = planes[:2]
-                mask = interior_mask()
+                mask = interior_mask(y_off)
                 if component == 0:
                     uc, vc, wc = fc, a, b
-                    src = src_u * source_plane(0)
+                    src = src_u * source_plane(0, y_off)
                 elif component == 1:
                     uc, vc, wc = a, fc, b
                     src = src_v * source_plane(1)
@@ -125,7 +147,8 @@ class ProjectionKernels:
 
             return make_rolling_stencil(
                 nz, ny, nx, 1, 3 if buoy else 2, 1, compute, dtype,
-                n_scalars=4, shell_passthrough=[0], interpret=interpret)
+                n_scalars=5 if sharded_y else 4,
+                shell_passthrough=[0], interpret=interpret)
 
         self.pred_u = make_predictor(0)
         self.pred_v = make_predictor(1)
@@ -134,12 +157,14 @@ class ProjectionKernels:
         def div_compute(k, scalars, halos, planes):
             (wm, wc, wp) = halos[0]
             us, vs = planes
-            mask = interior_mask()
+            y_off = scalars[1] if sharded_y else None
+            mask = interior_mask(y_off)
             div = d1x(us) + d1y(vs) + (wp - wm) * inv_2dz
             return [mask * scalars[0] * div], None
 
         self.divergence = make_rolling_stencil(
-            nz, ny, nx, 1, 2, 1, div_compute, dtype, n_scalars=1,
+            nz, ny, nx, 1, 2, 1, div_compute, dtype,
+            n_scalars=2 if sharded_y else 1,
             interpret=interpret)
 
         def btilde_compute(k, scalars, halos, planes):
@@ -149,15 +174,15 @@ class ProjectionKernels:
             Poisson rhs and the face-coefficient pass entirely."""
             (wm, wc, wp) = halos[0]
             us, vs, p = planes
-            mask = interior_mask()
+            n_base = 1 if global_nz is None else 2
+            y_off = scalars[n_base] if sharded_y else None
+            mask = interior_mask(y_off)
             div = d1x(us) + d1y(vs) + (wp - wm) * inv_2dz
-            import jax as _jax
-            jj = _jax.lax.broadcasted_iota(jnp.int32, (ny, nx), 0)
-            ii = _jax.lax.broadcasted_iota(jnp.int32, (ny, nx), 1)
+            jj, ii = rows_cols(y_off)
             coeff = (inv_dx2 * ((ii == 1).astype(dtype)
                                 + (ii == nx - 2).astype(dtype))
                      + inv_dy2 * ((jj == 1).astype(dtype)
-                                  + (jj == ny - 2).astype(dtype)))
+                                  + (jj == gny - 2).astype(dtype)))
             if inv_dz2:
                 if global_nz is None:
                     kg, nz_g = k, nz
@@ -172,19 +197,21 @@ class ProjectionKernels:
 
         self.btilde_k = make_rolling_stencil(
             nz, ny, nx, 1, 3, 1, btilde_compute, dtype,
-            n_scalars=1 if global_nz is None else 2,
+            n_scalars=(1 if global_nz is None else 2) + int(sharded_y),
             interpret=interpret)
 
         def corr_xy(component):
             def compute(k, scalars, halos, planes):
                 star, p = planes
-                mask = interior_mask()
+                y_off = scalars[1] if sharded_y else None
+                mask = interior_mask(y_off)
                 grad = d1x(p) if component == 0 else d1y(p)
                 corr = jnp.clip(star - scalars[0] * grad, -CLAMP, CLAMP)
                 return [mask * corr + (1.0 - mask) * star], None
 
             return make_rolling_stencil(
-                nz, ny, nx, 0, 2, 1, compute, dtype, n_scalars=1,
+                nz, ny, nx, 0, 2, 1, compute, dtype,
+                n_scalars=2 if sharded_y else 1,
                 shell_passthrough=[0], interpret=interpret)
 
         self.corr_u = corr_xy(0)
@@ -193,13 +220,15 @@ class ProjectionKernels:
         def corr_w_compute(k, scalars, halos, planes):
             pm, pc, pp = halos[0]
             (star,) = planes
-            mask = interior_mask()
+            y_off = scalars[1] if sharded_y else None
+            mask = interior_mask(y_off)
             corr = jnp.clip(star - scalars[0] * (pp - pm) * inv_2dz,
                             -CLAMP, CLAMP)
             return [mask * corr + (1.0 - mask) * star], None
 
         self.corr_w = make_rolling_stencil(
-            nz, ny, nx, 1, 1, 1, corr_w_compute, dtype, n_scalars=1,
+            nz, ny, nx, 1, 1, 1, corr_w_compute, dtype,
+            n_scalars=2 if sharded_y else 1,
             shell_passthrough=[1], interpret=interpret)
 
         self.ok = all(f is not None for f in
@@ -272,7 +301,7 @@ class ProjectionKernels:
             return [us, vs, ws, out], None
 
         self.pred_bt = None
-        if global_nz is None:
+        if global_nz is None and global_ny is None:
             self.pred_bt = make_rolling_stencil(
                 nz, ny, nx, 4 if buoy else 3, 1, 4, pred_bt_compute,
                 dtype, n_scalars=5,
@@ -296,7 +325,7 @@ class ProjectionKernels:
             return [u, v, w], (m2, jnp.max(pc), jnp.max(jnp.abs(pc)))
 
         self.corr_all = None
-        if global_nz is None:
+        if global_nz is None and global_ny is None:
             self.corr_all = make_rolling_stencil(
                 nz, ny, nx, 1, 3, 3, corr_all_compute, dtype, n_scalars=1,
                 reductions=("max", "max", "max"),
@@ -326,36 +355,50 @@ class ProjectionKernels:
         s = jnp.asarray(dt_over_rho)[None]
         return self.corr_all(s, p, us, vs, ws)
 
-    def predictor(self, u, v, w, dt, nu, src_u_amp, src_v_amp, T=None):
+    def _with_y(self, parts, y_offset):
+        """Append the global-row-offset scalar in y-sharded mode."""
+        if self.global_ny is None:
+            return jnp.stack(parts)
+        return jnp.stack(parts
+                         + [jnp.asarray(y_offset).astype(parts[0].dtype)])
+
+    def predictor(self, u, v, w, dt, nu, src_u_amp, src_v_amp, T=None,
+                  y_offset=None):
         """(u*, v*, w*) with caller shells preserved.  With buoyancy
-        compiled in, pass the step-start temperature ``T``."""
-        s = jnp.stack([jnp.asarray(dt), jnp.asarray(nu),
-                       jnp.asarray(src_u_amp), jnp.asarray(src_v_amp)])
+        compiled in, pass the step-start temperature ``T``; in y-sharded
+        mode (``global_ny`` set) pass ``y_offset`` — the global row index
+        of padded local row 0."""
+        s = self._with_y([jnp.asarray(dt), jnp.asarray(nu),
+                          jnp.asarray(src_u_amp), jnp.asarray(src_v_amp)],
+                         y_offset)
         extra = (T,) if self.buoyant else ()
         (us,) = self.pred_u(s, u, v, w, *extra)
         (vs,) = self.pred_v(s, v, u, w, *extra)
         (ws,) = self.pred_w(s, w, u, v, *extra)
         return us, vs, ws
 
-    def rhs(self, us, vs, ws, rho_over_dt):
-        (out,) = self.divergence(jnp.asarray(rho_over_dt)[None], ws, us, vs)
+    def rhs(self, us, vs, ws, rho_over_dt, y_offset=None):
+        s = self._with_y([jnp.asarray(rho_over_dt)], y_offset)
+        (out,) = self.divergence(s, ws, us, vs)
         return out
 
-    def btilde(self, us, vs, ws, p, rho_over_dt, z_offset=None):
+    def btilde(self, us, vs, ws, p, rho_over_dt, z_offset=None,
+               y_offset=None):
         """Fused spectral-solve input (zero shell, full shape).
 
         In sharded mode (``global_nz`` set) pass ``z_offset`` — the global
-        plane index of the shard's first real plane."""
-        if self.global_nz is None:
-            scal = jnp.asarray(rho_over_dt)[None]
-        else:
-            rod = jnp.asarray(rho_over_dt)
-            scal = jnp.stack([rod, jnp.asarray(z_offset).astype(rod.dtype)])
+        plane index of the shard's first real plane; in y-sharded mode
+        (``global_ny`` set) also ``y_offset``."""
+        rod = jnp.asarray(rho_over_dt)
+        parts = [rod]
+        if self.global_nz is not None:
+            parts.append(jnp.asarray(z_offset).astype(rod.dtype))
+        scal = self._with_y(parts, y_offset)
         (out,) = self.btilde_k(scal, ws, us, vs, p)
         return out
 
-    def corrector(self, us, vs, ws, p, dt_over_rho):
-        s = jnp.asarray(dt_over_rho)[None]
+    def corrector(self, us, vs, ws, p, dt_over_rho, y_offset=None):
+        s = self._with_y([jnp.asarray(dt_over_rho)], y_offset)
         (u,) = self.corr_u(s, us, p)
         (v,) = self.corr_v(s, vs, p)
         (w,) = self.corr_w(s, p, ws)

@@ -8,7 +8,10 @@ stays in the single-chip fast path:
 
 * fields are **z-decomposed** over a mesh axis ``'z'`` (x stays the lane
   dimension, y the sublane dimension — untouched, so every in-plane kernel
-  is bit-identical to the single-chip one);
+  is bit-identical to the single-chip one); the projection additionally
+  supports a **2D (z, y) device mesh** (`_make_fused_sharded_projection_zy_step`:
+  global-row-mode kernels + 4-row y halos + two-axis pencil DST) for pod
+  scales where z-planes alone run out;
 * each shard runs the **rolling-plane Pallas kernels** on its local block,
   halo-padded by one plane per side via two ``lax.ppermute``s over ICI
   (only the *7-point-halo* inputs are exchanged; plane-only inputs are
@@ -62,6 +65,18 @@ def _mesh_y_size(mesh: Mesh):
     return mesh.shape["y"]
 
 
+def _mesh_zy_sizes(mesh: Mesh):
+    """(Pz, Py) when the mesh spans only 'z' and/or 'y' axes (any other
+    axis must have size 1), else None.  Py is 1 when no 'y' axis exists —
+    the z-only decomposition is the Py == 1 special case."""
+    if "z" not in mesh.axis_names:
+        return None
+    for name in mesh.axis_names:
+        if name not in ("z", "y") and mesh.shape[name] != 1:
+            return None
+    return mesh.shape["z"], mesh.shape.get("y", 1)
+
+
 def _stretch_reason(grid: Grid, params: NSParams) -> str | None:
     """Spacing gate for the sharded euler/RK fused paths — delegates to
     `solvers.ns.common.stretch_gate` (ONE predicate set for single-chip
@@ -107,15 +122,26 @@ def fused_sharded_unsupported_reason(grid: Grid, params: NSParams,
             return (f"local block ({grid.ny // n}+8, {grid.nx}) outside "
                     "block-marching support (nx%128, rows%8, VMEM)")
         return None
-    n = _mesh_z_size(mesh)
-    if n is None:
-        return ("fused sharded projection needs a z-only mesh "
-                f"(got axes {dict(mesh.shape)})")
-    if grid.nz % n != 0 or grid.nz // n < 2:
-        return (f"nz={grid.nz} must be divisible by {n} shards with >= 2 "
+    sizes = _mesh_zy_sizes(mesh)
+    if sizes is None:
+        return ("fused sharded projection needs a mesh over ('z'[, 'y']) "
+                f"axes (got axes {dict(mesh.shape)})")
+    pz, py = sizes
+    if grid.nz % pz != 0 or grid.nz // pz < 2:
+        return (f"nz={grid.nz} must be divisible by {pz} shards with >= 2 "
                 "planes per shard")
-    if not projection_kernels_supported(grid.nz // n + 2, grid.ny, grid.nx):
-        return (f"local block ({grid.nz // n}+2, {grid.ny}, {grid.nx}) "
+    if py > 1:
+        nyl = grid.ny // py
+        if grid.ny % py != 0 or nyl < 8 or nyl % 8 != 0:
+            return (f"ny={grid.ny} must be divisible by {py} y-shards "
+                    "with a multiple of 8 (>= 8) rows per shard")
+        if not projection_kernels_supported(grid.nz // pz + 2, nyl + 8,
+                                            grid.nx):
+            return (f"local block ({grid.nz // pz}+2, {nyl}+8, {grid.nx}) "
+                    "outside rolling-kernel support (nx%128, VMEM)")
+        return None
+    if not projection_kernels_supported(grid.nz // pz + 2, grid.ny, grid.nx):
+        return (f"local block ({grid.nz // pz}+2, {grid.ny}, {grid.nx}) "
                 "outside rolling-kernel support (nx%128, ny%8, VMEM)")
     return None
 
@@ -153,8 +179,17 @@ def make_fused_sharded_projection_step(grid: Grid, params: NSParams,
         raise ValueError("fused sharded projection supports FFT_DIRECT "
                          f"and CG pressure solves (got {poisson_method})")
 
+    pz, py = _mesh_zy_sizes(mesh)
+    if py > 1:
+        if poisson_method == Method.CG:
+            raise ValueError("fused sharded CG pressure solve is "
+                             "z-decomposition-only (FFT_DIRECT supports "
+                             "(z, y) meshes)")
+        return _make_fused_sharded_projection_zy_step(
+            grid, params, mesh, dtype, interpret, pz, py)
+
     nz, ny, nx = grid.nz, grid.ny, grid.nx
-    n_shards = _mesh_z_size(mesh)
+    n_shards = pz
     nzl = nz // n_shards
 
     from ..ops.pallas.projection_kernels import ProjectionKernels
@@ -289,6 +324,153 @@ def make_fused_sharded_projection_step(grid: Grid, params: NSParams,
         return new_field, StepResult(
             iterations=jnp.int32(1), status=status,
             residual=p_res,
+            max_velocity=vmax, max_pressure=pmax, max_temperature=tmax)
+
+    return step
+
+
+def _make_fused_sharded_projection_zy_step(grid: Grid, params: NSParams,
+                                           mesh: Mesh, dtype,
+                                           interpret: bool,
+                                           pz: int, py: int):
+    """3D fused projection over a 2D (z, y) device mesh — the pod-scale
+    decomposition (z-only runs out of planes past nz/2 chips; SURVEY §2.9
+    names the fresh multi-axis design as the TPU answer to the reference's
+    missing MPI layer, `ROADMAP.md:88`).
+
+    Each shard holds (nz/Pz, ny/Py, nx).  Kernels run in global-row mode
+    (``ProjectionKernels(global_nz, global_ny)``): one halo plane per z
+    side rides the 'z' ring, four halo rows per y side ride the 'y' ring
+    (4 keeps the 8-row sublane alignment); y-padding runs first so the z
+    ring carries the corner rows too.  In-plane shells fall out of the
+    kernels' global-row masks; global z-shells are restored per edge
+    z-shard (the reference's save/restore idiom).  The pressure solve is
+    the two-axis pencil DST (four ``all_to_all``s,
+    `..solvers.poisson.spectral.make_btilde_pipeline_sharded_zy`).
+    """
+    nz, ny, nx = grid.nz, grid.ny, grid.nx
+    nzl, nyl = nz // pz, ny // py
+
+    from ..ops.pallas.projection_kernels import ProjectionKernels
+    pk = ProjectionKernels(nzl + 2, nyl + 8, nx, grid.dx0, grid.dy0,
+                           grid.dz0, grid.xmin, grid.ymin, dtype,
+                           beta=params.beta, T_ref=params.T_ref,
+                           gravity=params.gravity,
+                           interpret=interpret, global_nz=nz, global_ny=ny)
+    if not (pk.ok and pk.btilde_k is not None):
+        raise ValueError("fused sharded zy projection: kernel build failed")
+
+    problem = PoissonProblem(nx, ny, nz, grid.dx0, grid.dy0, grid.dz0)
+    from ..solvers.poisson.spectral import make_btilde_pipeline_sharded_zy
+    pencil = make_btilde_pipeline_sharded_zy(problem, pz, py, dtype)
+    energy_step = make_energy_step(grid, params.alpha,
+                                   params.heat_source_func)
+
+    fwd_z = [(i, i + 1) for i in range(pz - 1)]
+    bwd_z = [(i + 1, i) for i in range(pz - 1)]
+    fwd_y = [(i, i + 1) for i in range(py - 1)]
+    bwd_y = [(i + 1, i) for i in range(py - 1)]
+
+    def ypad(x):
+        """(K, nyl, nx) → (K, nyl+8, nx): 4 edge rows per side from the y
+        ring (edge shards get zeros — consumers mask on global row)."""
+        if py == 1:
+            return jnp.pad(x, ((0, 0), (4, 4), (0, 0)))
+        lo = lax.ppermute(x[:, -4:], "y", fwd_y)
+        hi = lax.ppermute(x[:, :4], "y", bwd_y)
+        return jnp.concatenate([lo, x, hi], axis=1)
+
+    def hpad(xp):
+        """Halo-pad z on an already y-padded block via the z ring — the
+        exchanged planes carry their y-halo rows, so corners arrive from
+        the diagonal shard in two hops."""
+        if pz == 1:
+            return jnp.pad(xp, ((1, 1), (0, 0), (0, 0)))
+        lo = lax.ppermute(xp[-1:], "z", fwd_z)
+        hi = lax.ppermute(xp[:1], "z", bwd_z)
+        return jnp.concatenate([lo, xp, hi], axis=0)
+
+    def zpad(xp):
+        """Zero-pad plane-only inputs (their pad planes are never read)."""
+        return jnp.pad(xp, ((1, 1), (0, 0), (0, 0)))
+
+    def unpad(o):
+        return o[1:-1, 4:-4]
+
+    def fix_shell(out, shell_src, first, last):
+        """Restore global z-shell planes (reference save/restore idiom)."""
+        out = out.at[0].set(jnp.where(first, shell_src[0], out[0]))
+        out = out.at[-1].set(jnp.where(last, shell_src[-1], out[-1]))
+        return out
+
+    def local_step(u, v, w, p, T, dt, rho0, su_amp, sv_amp):
+        zi = lax.axis_index("z")
+        first = zi == 0
+        last = zi == pz - 1
+        yi = lax.axis_index("y")
+        y_off = (yi * nyl - 4).astype(dtype)
+
+        s_pred = jnp.stack([dt, jnp.asarray(params.mu, dtype),
+                            su_amp, sv_amp, y_off])
+        up, vp, wp = ypad(u), ypad(v), ypad(w)
+        eT = (zpad(ypad(T.astype(dtype))),) if pk.buoyant else ()
+        us = unpad(pk.pred_u(s_pred, hpad(up), zpad(vp), zpad(wp), *eT)[0])
+        vs = unpad(pk.pred_v(s_pred, hpad(vp), zpad(up), zpad(wp), *eT)[0])
+        ws = unpad(pk.pred_w(s_pred, hpad(wp), zpad(up), zpad(vp), *eT)[0])
+        us = fix_shell(us, u, first, last)
+        vs = fix_shell(vs, v, first, last)
+        ws = fix_shell(ws, w, first, last)
+
+        bt = unpad(pk.btilde(zpad(ypad(us)), zpad(ypad(vs)),
+                             hpad(ypad(ws)), zpad(ypad(p)),
+                             rho0 / dt, z_offset=zi * nzl, y_offset=y_off))
+        zero = jnp.zeros_like(bt[0])
+        bt = fix_shell(bt, jnp.stack([zero, zero]), first, last)
+        p_new = pencil(bt)
+
+        s_corr = jnp.stack([dt / rho0, y_off])
+        pnp = ypad(p_new)
+        un = unpad(pk.corr_u(s_corr, zpad(ypad(us)), zpad(pnp))[0])
+        vn = unpad(pk.corr_v(s_corr, zpad(ypad(vs)), zpad(pnp))[0])
+        wn = unpad(pk.corr_w(s_corr, hpad(pnp), zpad(ypad(ws)))[0])
+        un = fix_shell(un, us, first, last)
+        vn = fix_shell(vn, vs, first, last)
+        wn = fix_shell(wn, ws, first, last)
+        return un, vn, wn, p_new
+
+    spec = P("z", "y", None)
+    smapped = jax.shard_map(
+        local_step, mesh=mesh,
+        in_specs=(spec, spec, spec, spec, spec, P(), P(), P(), P()),
+        out_specs=(spec, spec, spec, spec),
+        check_vma=False)
+
+    def step(field: FlowField, dt, iter_idx):
+        dt = jnp.asarray(dt, dtype)
+        rho0 = field.rho[0, 0, 0]
+        rho0 = jnp.where(rho0 < 1e-10, 1.0, rho0).astype(dtype)
+        decay = jnp.exp(jnp.asarray(
+            -params.source_decay_rate * iter_idx * dt, dtype))
+        su = jnp.asarray(params.source_amplitude_u, dtype) * decay
+        sv = jnp.asarray(params.source_amplitude_v, dtype) * decay
+
+        u, v, w, p = smapped(field.u, field.v, field.w, field.p, field.T,
+                             dt, rho0, su, sv)
+        new_field = field.replace(u=u, v=v, w=w, p=p)
+
+        if energy_step is not None:
+            T = energy_step(new_field.T, new_field.u, new_field.v,
+                            new_field.w, dt, iter_idx * dt)
+            new_field = new_field.replace(T=T)
+        if params.energy_enabled:
+            new_field = new_field.replace(
+                T=apply_thermal_bcs(new_field.T, params.thermal_bc))
+
+        finite, vmax, pmax, tmax = field_status_and_diagnostics(new_field)
+        status = jnp.where(~finite, jnp.int32(-6), jnp.int32(0))
+        return new_field, StepResult(
+            iterations=jnp.int32(1), status=status,
+            residual=jnp.zeros((), dtype),
             max_velocity=vmax, max_pressure=pmax, max_temperature=tmax)
 
     return step

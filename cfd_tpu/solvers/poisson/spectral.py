@@ -268,6 +268,111 @@ def make_btilde_pipeline_sharded(problem: PoissonProblem, axis_name: str,
     return pipeline
 
 
+def make_btilde_pipeline_sharded_zy(problem: PoissonProblem,
+                                    n_z: int, n_y: int, dtype=jnp.float32,
+                                    axis_z: str = "z", axis_y: str = "y",
+                                    precision=lax.Precision.HIGHEST):
+    """Two-axis pencil-transpose distributed DST for (z, y)-decomposed 3D
+    fields inside ``shard_map`` — the pod-scale generalization of
+    :func:`make_btilde_pipeline_sharded` (which shards z only).
+
+    Fields are decomposed (nz/Pz, ny/Py, nx) over a 2D device mesh; every
+    transform stage is a local MXU einsum and four ``all_to_all``s re-pencil
+    between stages (vs two in the 1D version):
+
+        block:     DSTx                           (x local)
+        a2a over z: split spectral-x, gather z    → z-pencil
+        z-pencil:  DSTz                           (z local)
+        a2a over y: split spectral-z, gather y    → y-pencil
+        y-pencil:  DSTy, ÷λ, DSTy⁻¹               (y local)
+        a2a over y: split y, gather spectral-z
+        z-pencil:  DSTz⁻¹
+        a2a over z: split z, gather spectral-x
+        block:     DSTx⁻¹
+
+    The spectral-x axis zero-pads to a multiple of ``Pz`` and the
+    spectral-z axis to a multiple of ``Py`` (zero forward rows → zero
+    coefficients; padded eigenvalues are 1 so 0/1 stays 0; zero inverse
+    columns drop them), keeping every split exact for any grid size.
+
+    Returns ``fn(btilde_local) -> x_local`` mapping the local
+    (nz/Pz, ny/Py, nx) zero-shell b̃ block to the local solution block with
+    its Neumann mirror shell in place.
+    """
+    if not spectral_supported(problem) or not problem.is_3d:
+        raise ValueError("zy-sharded spectral solver needs a 3D problem "
+                         "(nz>=3, dz>0)")
+    Pz, Py = int(n_z), int(n_y)
+    if problem.nz % Pz != 0:
+        raise ValueError(f"nz={problem.nz} not divisible by {Pz} z-shards")
+    if problem.ny % Py != 0:
+        raise ValueError(f"ny={problem.ny} not divisible by {Py} y-shards")
+
+    nx, ny, nz = problem.nx, problem.ny, problem.nz
+    mx, my, mz = nx - 2, ny - 2, nz - 2
+    mxp = ((mx + Pz - 1) // Pz) * Pz       # padded spectral-x size
+    mzp = ((mz + Py - 1) // Py) * Py       # padded spectral-z size
+    cx = mxp // Pz
+    cz = mzp // Py
+
+    lx = np.ones(mxp)
+    lx[:mx] = _dirichlet_eigenvalues(mx, problem.inv_dx2)
+    ly = _dirichlet_eigenvalues(my, problem.inv_dy2)
+    lz = np.ones(mzp)
+    lz[:mz] = _dirichlet_eigenvalues(mz, problem.inv_dz2)
+    scale = (2.0 / (mx + 1)) * (2.0 / (my + 1)) * (2.0 / (mz + 1))
+
+    def pad_cols(S):
+        return np.pad(S, ((0, 0), (1, 1)))
+
+    Fx = jnp.asarray(np.pad(pad_cols(_sine_matrix(mx)),
+                            ((0, mxp - mx), (0, 0))), dtype)
+    Fy = jnp.asarray(pad_cols(_sine_matrix(my)), dtype)
+    Fz = jnp.asarray(np.pad(pad_cols(_sine_matrix(mz)),
+                            ((0, mzp - mz), (0, 0))), dtype)
+    Gx = jnp.asarray(np.pad(_mirror_extended_inverse(mx, scale),
+                            ((0, 0), (0, mxp - mx))), dtype)
+    Gy = jnp.asarray(_mirror_extended_inverse(my, 1.0), dtype)
+    Gz = jnp.asarray(np.pad(_mirror_extended_inverse(mz, 1.0),
+                            ((0, 0), (0, mzp - mz))), dtype)
+    vx = jnp.asarray(lx, dtype)
+    vy = jnp.asarray(ly, dtype)
+    vz = jnp.asarray(lz, dtype)
+
+    def a2a(a, name, split, concat):
+        """tiled all_to_all, identity on singleton mesh axes (which
+        lax.all_to_all rejects when the axis size divides oddly… and is
+        pure overhead anyway)."""
+        n = Pz if name == axis_z else Py
+        if n == 1:
+            return a
+        return lax.all_to_all(a, name, split_axis=split, concat_axis=concat,
+                              tiled=True)
+
+    def pipeline(btilde_local):
+        prec = precision
+        zi = lax.axis_index(axis_z)
+        yi = lax.axis_index(axis_y)
+        a = jnp.einsum("ax,zyx->zya", Fx, btilde_local, precision=prec)
+        a = a2a(a, axis_z, 2, 0)                 # (nz, ny/Py, cx)
+        a = jnp.einsum("cz,zyx->cyx", Fz, a, precision=prec)
+        a = a2a(a, axis_y, 0, 1)                 # (cz, ny, cx)
+        a = jnp.einsum("by,zyx->zbx", Fy, a, precision=prec)
+        vz_loc = lax.dynamic_slice(vz, (yi * cz,), (cz,))
+        vx_loc = lax.dynamic_slice(vx, (zi * cx,), (cx,))
+        lam = (vz_loc[:, None, None] + vy[None, :, None]
+               + vx_loc[None, None, :])
+        a = a / lam
+        a = jnp.einsum("by,zyx->zbx", Gy, a, precision=prec)
+        a = a2a(a, axis_y, 1, 0)                 # (mzp, ny/Py, cx)
+        a = jnp.einsum("cz,zyx->cyx", Gz, a, precision=prec)
+        a = a2a(a, axis_z, 0, 2)                 # (nz/Pz, ny/Py, mxp)
+        a = jnp.einsum("ax,zyx->zya", Gx, a, precision=prec)
+        return a
+
+    return pipeline
+
+
 def make_btilde_pipeline_sharded_2d(problem: PoissonProblem, axis_name: str,
                                     n_shards: int, dtype=jnp.float32,
                                     precision=lax.Precision.HIGHEST):

@@ -146,7 +146,9 @@ def test_use_pallas_guard_fallback(grid):
     (never runs the manual-DMA kernels under GSPMD) and stays correct."""
     params = NSParams()
     f = _random_field(grid, seed=2)
-    mesh2d = make_mesh(axes=("z", "y"))   # y>1 → fused path must refuse
+    # (z, y) meshes are supported, but ny=16 over 4 y-shards leaves 4
+    # rows per shard (< 8, breaks sublane alignment) → must fall back.
+    mesh2d = make_mesh(axes=("z", "y"))
     assert fused_sharded_unsupported_reason(
         grid, params, mesh2d, jnp.float32) is not None
 
@@ -428,10 +430,16 @@ def test_fused_sharded_rk4_convection_matches_jnp():
 
 def test_strict_fallback_raises(grid):
     """use_pallas + strict=True surfaces the disqualifying reason instead
-    of silently running the 15x-slower GSPMD jnp path."""
+    of silently running the 15x-slower GSPMD jnp path.  (Projection now
+    accepts (z, y) meshes, so use euler — still z-only — and a projection
+    whose local y block is too thin for the zy kernels.)"""
     params = NSParams()
-    mesh2d = make_mesh(axes=("z", "y"))   # y>1 -> fused path must refuse
-    with pytest.raises(ValueError, match="z-only mesh"):
+    mesh2d = make_mesh(axes=("z", "y"))   # y>1 -> euler path must refuse
+    with pytest.raises(ValueError, match="euler unavailable"):
+        make_sharded_step(grid, params, mesh2d, "euler",
+                          use_pallas=True, strict=True, dtype=jnp.float32)
+    # ny=16 over 4 y-shards -> 4 rows/shard < 8: zy projection refuses too.
+    with pytest.raises(ValueError, match="y-shards"):
         make_sharded_step(grid, params, mesh2d, "projection",
                           use_pallas=True, strict=True, dtype=jnp.float32)
 
@@ -694,3 +702,135 @@ def test_fused_sharded_euler_consistent_scheme_matches_jnp():
         np.testing.assert_allclose(np.asarray(getattr(ff, name)),
                                    np.asarray(getattr(fr, name)),
                                    atol=5e-6, err_msg=name)
+
+
+# ---------------------------------------------------------------------------
+# (z, y) 2D-mesh decomposition — the pod-scale fused projection
+# ---------------------------------------------------------------------------
+
+def _zy_grid():
+    # nzl = 8/2 = 4 planes, nyl = 32/4 = 8 rows on a (2, 4) mesh
+    return Grid.uniform(128, 32, 8, zmin=0.0, zmax=1.0)
+
+
+def _zy_mesh(pz, py):
+    from jax.sharding import Mesh
+    return Mesh(np.array(jax.devices()[:pz * py]).reshape(pz, py),
+                ("z", "y"))
+
+
+def test_fused_sharded_zy_pencil_exact():
+    """Two-axis pencil DST (4 all_to_alls) is exact vs the single-device
+    pipeline, in f64, across mesh aspect ratios incl. degenerate axes."""
+    from jax import lax
+    from jax.sharding import PartitionSpec as P
+    from cfd_tpu.solvers.poisson.base import PoissonProblem
+    from cfd_tpu.solvers.poisson.spectral import (
+        _make_btilde_pipeline, make_btilde_pipeline_sharded_zy)
+
+    nz, ny, nx = 8, 16, 10
+    prob = PoissonProblem(nx=nx, ny=ny, nz=nz, dx=0.1, dy=0.1, dz=0.1)
+    rng = np.random.default_rng(7)
+    b = np.zeros((nz, ny, nx))
+    b[1:-1, 1:-1, 1:-1] = rng.normal(size=(nz - 2, ny - 2, nx - 2))
+    b = jnp.asarray(b)
+    ref = _make_btilde_pipeline(prob, lax.Precision.HIGHEST)(b)
+
+    for pz, py in ((2, 4), (4, 2), (8, 1), (1, 8), (2, 2)):
+        mesh = _zy_mesh(pz, py)
+        pipe = make_btilde_pipeline_sharded_zy(prob, pz, py,
+                                               dtype=jnp.float64)
+        f = jax.jit(jax.shard_map(pipe, mesh=mesh,
+                                  in_specs=P("z", "y", None),
+                                  out_specs=P("z", "y", None),
+                                  check_vma=False))
+        np.testing.assert_allclose(np.asarray(f(b)), np.asarray(ref),
+                                   atol=1e-12,
+                                   err_msg=f"mesh ({pz},{py})")
+
+
+def test_fused_sharded_zy_matches_jnp_single_device():
+    """3D fused projection over a (2, 4) (z, y) mesh — global-row-mode
+    kernels + two-stage (y then z) ring halos + two-axis pencil DST —
+    matches the single-device jnp step."""
+    g = _zy_grid()
+    params = NSParams()
+    f = _random_field(g, seed=41)
+    mesh = _zy_mesh(2, 4)
+    assert fused_sharded_unsupported_reason(
+        g, params, mesh, jnp.float32) is None
+
+    ref_step = jax.jit(make_projection_step(
+        g, params, dtype=jnp.float32, poisson_method=Method.FFT_DIRECT))
+    f_ref, rr = ref_step(f, 0.001, 0)
+
+    step, place = make_sharded_step(g, params, mesh, "projection",
+                                    use_pallas=True, strict=True,
+                                    dtype=jnp.float32)
+    f_out, rf = step(place(f), 0.001, 0)
+    assert int(rr.status) == int(rf.status) == 0
+    assert len(f_out.u.sharding.device_set) == 8
+    for name in ("u", "v", "w"):
+        np.testing.assert_allclose(np.asarray(getattr(f_out, name)),
+                                   np.asarray(getattr(f_ref, name)),
+                                   atol=5e-6, err_msg=name)
+    np.testing.assert_allclose(np.asarray(f_out.p), np.asarray(f_ref.p),
+                               atol=5e-5)
+
+
+def test_fused_sharded_zy_cg_refused():
+    """The fused sharded CG pressure solve is z-decomposition-only; asking
+    for it on a (z, y) mesh raises with the reason."""
+    g = _zy_grid()
+    mesh = _zy_mesh(2, 4)
+    with pytest.raises(ValueError, match="z-decomposition-only"):
+        make_fused_sharded_projection_step(
+            g, NSParams(), mesh, poisson_method=Method.CG, interpret=True)
+
+
+@pytest.mark.heavy
+def test_fused_sharded_zy_convection_multi_step():
+    """Energy + Boussinesq + sinusoidal sources through the zy-mesh fused
+    projection over several steps, across mesh aspect ratios — matches the
+    single-device jnp trajectory (the de Vahl Davis coupling on the 2D
+    device mesh)."""
+    from cfd_tpu.boundary.types import (BCType, DirichletValues,
+                                        ThermalBCConfig)
+
+    g = Grid.uniform(128, 64, 8, zmin=0.0, zmax=1.0)
+    thermal = ThermalBCConfig(
+        left=BCType.DIRICHLET, right=BCType.DIRICHLET,
+        bottom=BCType.NEUMANN, top=BCType.NEUMANN,
+        dirichlet_values=DirichletValues(left=305.0, right=295.0))
+    params = NSParams(alpha=1e-3, beta=0.05, T_ref=300.0,
+                      gravity=(0.0, -9.81, 0.05), thermal_bc=thermal)
+    rng = np.random.default_rng(43)
+    f = _random_field(g, seed=43)
+    f = f.replace(T=jnp.asarray(300.0 + rng.normal(0, 1.0, g.shape),
+                                jnp.float32))
+
+    ref_step = jax.jit(make_projection_step(
+        g, params, dtype=jnp.float32, poisson_method=Method.FFT_DIRECT))
+
+    def roll(step, place, f, n=3):
+        f = place(f)
+        for i in range(n):
+            f, res = step(f, 1e-3, i)
+            assert int(res.status) == 0
+        return f
+
+    f_ref = roll(ref_step, lambda x: x, f)
+    for pz, py in ((2, 4), (1, 8), (4, 2)):
+        mesh = _zy_mesh(pz, py)
+        step, place = make_sharded_step(g, params, mesh, "projection",
+                                        use_pallas=True, strict=True,
+                                        dtype=jnp.float32)
+        f_out = roll(step, place, f)
+        for name in ("u", "v", "w", "T"):
+            np.testing.assert_allclose(
+                np.asarray(getattr(f_out, name)),
+                np.asarray(getattr(f_ref, name)), atol=1e-5,
+                err_msg=f"{name} mesh ({pz},{py})")
+        np.testing.assert_allclose(np.asarray(f_out.p),
+                                   np.asarray(f_ref.p), atol=1e-4,
+                                   err_msg=f"p mesh ({pz},{py})")

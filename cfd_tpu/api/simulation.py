@@ -51,6 +51,7 @@ class Simulation:
         self.run_prefix: Optional[str] = None
         self.current_time: float = 0.0
         self.last_stats = NSStats()
+        self.mesh = None  # multi-chip placement; set by from_grid(mesh=...)
 
     # ---- construction ------------------------------------------------------
 
@@ -60,20 +61,28 @@ class Simulation:
                ymin: float = 0.0, ymax: float = 1.0,
                zmin: float = 0.0, zmax: float = 0.0,
                solver_type: Optional[str] = None,
-               params: Optional[NSParams] = None) -> "Simulation":
+               params: Optional[NSParams] = None,
+               mesh=None) -> "Simulation":
         """init_simulation[_with_solver] (`simulation_api.c:24-140`)."""
         grid = Grid.uniform(nx, ny, nz, xmin, xmax, ymin, ymax, zmin, zmax)
-        return cls.from_grid(grid, solver_type, params)
+        return cls.from_grid(grid, solver_type, params, mesh=mesh)
 
     @classmethod
     def from_grid(cls, grid: Grid, solver_type: Optional[str] = None,
-                  params: Optional[NSParams] = None) -> "Simulation":
+                  params: Optional[NSParams] = None,
+                  mesh=None) -> "Simulation":
         """``create`` for a caller-built grid (framework extension: the
         reference's `init_simulation` is uniform-only, `simulation_api.c:121`
         + `grid_initialize_uniform`; stretched runs there assemble the
         solver by hand as `poiseuille_stretched_grid.c` does).  Use with
         `Grid.stretched(...)` — e.g. wall-clustered grids with
-        ``NSParams(nonuniform_scheme="consistent")``."""
+        ``NSParams(nonuniform_scheme="consistent")``.
+
+        ``mesh`` (a `jax.sharding.Mesh`) runs the whole simulation
+        multi-chip: the field is sharded over the mesh and every solver
+        bound to this session builds its step/solve as one GSPMD program
+        (framework extension — the reference is single-node; SURVEY.md
+        §2.9)."""
         # Lazy global init, as init_simulation lazy-calls cfd_init (`:26`).
         from ..core.runtime import init as cfd_init
         cfd_init()
@@ -86,15 +95,22 @@ class Simulation:
         if solver is None:
             raise CFDError(Status.ERROR_NOT_FOUND,
                            f"solver '{name}' not registered")
+        solver.mesh = mesh
         solver.init(grid, params)
-        return cls(grid, field, params, solver, registry, OutputRegistry())
+        sim = cls(grid, solver.place(field), params, solver, registry,
+                  OutputRegistry())
+        sim.mesh = mesh
+        return sim
 
     # ---- solver management -------------------------------------------------
 
     def set_solver(self, solver: NSSolver) -> None:
-        """simulation_set_solver."""
+        """simulation_set_solver.  The session's mesh (if any) carries over
+        to the new solver, and the field is re-placed under it."""
+        solver.mesh = self.mesh
         solver.init(self.grid, self.params)
         self.solver = solver
+        self.field = solver.place(self.field)
 
     def set_solver_by_name(self, solver_type: str) -> int:
         """simulation_set_solver_by_name; -1 on unknown name."""
@@ -173,9 +189,12 @@ class Simulation:
         return Status.SUCCESS
 
     @classmethod
-    def load_checkpoint(cls, path: str) -> "Simulation":
+    def load_checkpoint(cls, path: str, mesh=None) -> "Simulation":
         """load_simulation_from_checkpoint: build a fresh simulation.
-        Callback fields restore as None by contract."""
+        Callback fields restore as None by contract.  ``mesh`` re-places
+        the restored state multi-chip (resuming on a different device
+        topology than the one that saved is fine: checkpoints are
+        placement-free host bytes)."""
         grid, field, params, t, solver_name, run_prefix, base_dir = \
             ckpt.read_checkpoint(path)
         registry = create_registry()
@@ -183,9 +202,11 @@ class Simulation:
         if solver is None:
             raise CFDError(Status.ERROR_NOT_FOUND,
                            "checkpoint solver not registered")
+        solver.mesh = mesh
         solver.init(grid, params)
-        sim = cls(grid, field, params, solver, registry, OutputRegistry(),
-                  base_dir or "artifacts")
+        sim = cls(grid, solver.place(field), params, solver, registry,
+                  OutputRegistry(), base_dir or "artifacts")
+        sim.mesh = mesh
         sim.current_time = t
         sim.run_prefix = run_prefix or None
         return sim
@@ -208,11 +229,12 @@ class Simulation:
         params = params.replace(
             source_func=self.params.source_func,
             heat_source_func=self.params.heat_source_func)
+        new_solver.mesh = self.mesh
         status = new_solver.init(grid, params)
         if status != Status.SUCCESS:
             return status
         self.grid = grid
-        self.field = field
+        self.field = new_solver.place(field)
         self.solver = new_solver
         self.params = params
         self.current_time = t

@@ -30,24 +30,16 @@ _BUILDERS = {
 }
 
 
-def make_sharded_step(grid: Grid, params: NSParams, mesh: Mesh,
-                      method: str = "projection", **kw):
-    """Build a jitted step whose outputs stay sharded over the mesh.
+def make_sharded_raw_step(grid: Grid, params: NSParams, mesh: Mesh,
+                          method: str = "projection", **kw):
+    """Build the *raw* (unjitted) sharded step.
 
-    Returns (step_fn, place_fn): ``place_fn(field)`` shards the initial
-    state; ``step_fn(field, dt, iter)`` runs one step with all collectives
-    inside the single XLA program.
-
-    ``use_pallas=True`` selects the fused multi-chip fast path (`.fused`:
-    shard_map + ring-halo rolling kernels; projection adds the
-    pencil-transpose DST or the ring-halo fused CG per ``poisson_method``,
-    and a y-decomposed 2D variant) for every integrator when the
-    mesh/grid qualify; otherwise it falls back to the GSPMD jnp step with
-    a logged warning — the single-chip manual-DMA kernels are never run
-    under GSPMD partitioning, where their shell passthrough would be
-    silently wrong at shard boundaries.
-    ``strict=True`` turns that silent fallback into a ValueError carrying
-    the disqualifying reason, for callers who *require* kernel speed.
+    Returns ``(raw_step, out_field_shardings, place_fn)``: callers jit
+    ``raw_step`` themselves — directly for single-step use, or inside a
+    larger program (e.g. `iterate_with_divergence_guard` for a sharded
+    multi-step solve, as the `Simulation` facade does) with
+    ``out_shardings`` built from ``out_field_shardings``.  Selection logic
+    and keywords are those of `make_sharded_step`.
     """
     import jax.numpy as jnp
 
@@ -71,8 +63,7 @@ def make_sharded_step(grid: Grid, params: NSParams, mesh: Mesh,
         sharding = field_sharding(mesh, grid.nz > 1)
         out_field = FlowField(u=sharding, v=sharding, w=sharding,
                               p=sharding, rho=sharding, T=sharding)
-        step = jax.jit(raw, out_shardings=(out_field, None))
-        return step, lambda field: shard_field(field, mesh)
+        return raw, out_field, lambda field: shard_field(field, mesh)
 
     if use_pallas:
         dtype = kw.get("dtype") or jnp.float32
@@ -137,14 +128,29 @@ def make_sharded_step(grid: Grid, params: NSParams, mesh: Mesh,
     # default must never engage under GSPMD partitioning (shard-boundary
     # shell passthrough / periodic wraps would be silently wrong).
     kw.setdefault("use_pallas", False)
-    raw_step = _BUILDERS[method](grid, params, **kw)
-    sharding = field_sharding(mesh, grid.nz > 1)
-    out_field = FlowField(u=sharding, v=sharding, w=sharding, p=sharding,
-                          rho=sharding, T=sharding)
+    return finish(_BUILDERS[method](grid, params, **kw))
 
-    step = jax.jit(raw_step, out_shardings=(out_field, None))
 
-    def place(field: FlowField) -> FlowField:
-        return shard_field(field, mesh)
+def make_sharded_step(grid: Grid, params: NSParams, mesh: Mesh,
+                      method: str = "projection", **kw):
+    """Build a jitted step whose outputs stay sharded over the mesh.
 
+    Returns (step_fn, place_fn): ``place_fn(field)`` shards the initial
+    state; ``step_fn(field, dt, iter)`` runs one step with all collectives
+    inside the single XLA program.
+
+    ``use_pallas=True`` selects the fused multi-chip fast path (`.fused`:
+    shard_map + ring-halo rolling kernels; projection adds the
+    pencil-transpose DST or the ring-halo fused CG per ``poisson_method``,
+    and a y-decomposed 2D variant) for every integrator when the
+    mesh/grid qualify; otherwise it falls back to the GSPMD jnp step with
+    a logged warning — the single-chip manual-DMA kernels are never run
+    under GSPMD partitioning, where their shell passthrough would be
+    silently wrong at shard boundaries.
+    ``strict=True`` turns that silent fallback into a ValueError carrying
+    the disqualifying reason, for callers who *require* kernel speed.
+    """
+    raw, out_field, place = make_sharded_raw_step(grid, params, mesh,
+                                                  method, **kw)
+    step = jax.jit(raw, out_shardings=(out_field, None))
     return step, place

@@ -69,33 +69,54 @@ class NSSolver:
                                 | Capability.PARALLEL)
     poisson_method: PoissonMethod = PoissonMethod.CG
     poisson_params: Optional[PoissonParams] = None
+    #: multi-chip placement: when set (a `jax.sharding.Mesh`), `init` builds
+    #: the step/solve closures through `parallel.make_sharded_raw_step`, so
+    #: both single steps and the whole guarded solve loop run as one GSPMD
+    #: program over the mesh (the facade's TPU-native stand-in for the
+    #: reference's per-solver backend matrix — SURVEY.md §2.9).
+    mesh: Optional[object] = None
 
     # bound at init()
     grid: Optional[Grid] = None
     params: Optional[NSParams] = None
     _step_fn: Optional[Callable] = None
     _solve_fn: Optional[Callable] = None
+    _place_fn: Optional[Callable] = None
 
     def init(self, grid: Grid, params: NSParams) -> Status:
         """Build jitted step/solve closures (mirrors solver_init)."""
         self.grid = grid
         self.params = params
-        if self.method == "projection":
+        out_shardings = None
+        if self.mesh is not None:
+            from ...parallel.sharded import make_sharded_raw_step
+            kw = {}
+            if self.method == "projection":
+                kw = dict(poisson_method=self.poisson_method,
+                          poisson_params=self.poisson_params)
+            raw_step, out_field, self._place_fn = make_sharded_raw_step(
+                grid, params, self.mesh, self.method, **kw)
+            out_shardings = (out_field, None)
+        elif self.method == "projection":
             raw_step = make_projection_step(
                 grid, params, poisson_method=self.poisson_method,
                 poisson_params=self.poisson_params)
         else:
             raw_step = _STEP_BUILDERS[self.method](grid, params)
-        self._step_fn = jax.jit(raw_step)
+        self._step_fn = jax.jit(raw_step, out_shardings=out_shardings)
 
         max_iter = params.max_iter
 
-        @jax.jit
         def solve(field, dt):
             return iterate_with_divergence_guard(raw_step, field, dt, max_iter)
 
-        self._solve_fn = solve
+        self._solve_fn = jax.jit(solve, out_shardings=out_shardings)
         return Status.SUCCESS
+
+    def place(self, field: FlowField) -> FlowField:
+        """Shard a host/single-device field over the solver's mesh (identity
+        when the solver is single-device)."""
+        return field if self._place_fn is None else self._place_fn(field)
 
     def _require_init(self):
         if self._step_fn is None:

@@ -51,3 +51,18 @@ if len(devices) in (2, 4, 8):
     assert bool(ff.is_finite())
     print(f"fused fast path: 3 steps, max|u| = {float(resf.max_velocity):.4f}"
           " (ring-halo kernels + distributed DST)")
+
+# --- Facade-level multi-chip ------------------------------------------------
+# The whole Simulation session (the reference's init_simulation /
+# run_simulation_step / run_simulation_solve surface) takes a mesh too:
+# where the reference selects a backend by solver-name suffix (_omp, _gpu),
+# parallelism here is a placement argument.  Checkpoints stay
+# placement-free bytes — save sharded, resume anywhere.
+from cfd_tpu.api.simulation import Simulation
+
+sim = Simulation.create(32, 32, 16, zmax=0.5, solver_type="projection",
+                        mesh=mesh)
+for _ in range(3):
+    assert int(sim.step()) == 0
+print(f"facade: 3 sharded steps, t = {sim.current_time:.3f}, "
+      f"field on {len(sim.field.u.sharding.device_set)} devices")

@@ -435,8 +435,8 @@ def test_strict_fallback_raises(grid):
     whose local y block is too thin for the zy kernels.)"""
     params = NSParams()
     mesh2d = make_mesh(axes=("z", "y"))   # y>1 -> euler path must refuse
-    with pytest.raises(ValueError, match="euler unavailable"):
-        make_sharded_step(grid, params, mesh2d, "euler",
+    with pytest.raises(ValueError, match="z-only mesh"):
+        make_sharded_step(grid, params, mesh2d, "explicit_euler",
                           use_pallas=True, strict=True, dtype=jnp.float32)
     # ny=16 over 4 y-shards -> 4 rows/shard < 8: zy projection refuses too.
     with pytest.raises(ValueError, match="y-shards"):

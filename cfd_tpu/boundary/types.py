@@ -319,3 +319,24 @@ def thermal_z_specs(config: "ThermalBCConfig",
 
     return (one(config.back, v.back, periodic[0], neumann[0]),
             one(config.front, v.front, periodic[1], neumann[1]))
+
+
+def thermal_y_specs(config: "ThermalBCConfig",
+                    periodic=("periodic", "periodic"),
+                    neumann=("neumann", "neumann")):
+    """(low, high) y-face specs for the bottom/top thermal BCs — the y-row
+    twin of `thermal_z_specs`, used by the (z, y) 2D-mesh shard_map
+    wrappers whose kernels skip the in-plane y faces (their wrap rows
+    live on the opposite y-edge shard; `energy_solver.h:65-87`)."""
+    v = config.dirichlet_values
+
+    def one(bc, value, per, neu):
+        bc = BCType(bc)
+        if bc == BCType.DIRICHLET:
+            return float(value)
+        if bc == BCType.NEUMANN:
+            return neu
+        return per
+
+    return (one(config.bottom, v.bottom, periodic[0], neumann[0]),
+            one(config.top, v.top, periodic[1], neumann[1]))

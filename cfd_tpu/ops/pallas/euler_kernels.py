@@ -69,10 +69,20 @@ def make_euler_fused(nz, ny, nx, dx, dy, dz, xmin, ymin,
                      alpha: float = 0.0, beta: float = 0.0,
                      T_ref: float = 0.0, gravity=(0.0, 0.0, 0.0),
                      thermal_bc=None, stretch=None, scheme: str = "parity",
-                     dtype=jnp.float32, interpret: bool = False):
-    """Build fn(scalars=(cdt, src_u_eff, src_v_eff, time),
+                     dtype=jnp.float32, interpret: bool = False,
+                     global_ny=None):
+    """Build fn(scalars=(cdt, src_u_eff, src_v_eff, time[, y_off]),
     u, v, w, p, T, rho) →
     (u', v', w', p', rho', T', m2max, pmax, pabsmax, tmax), or None.
+
+    ``global_ny``: global-row mode for (z, y) 2D-mesh sharding (the same
+    convention as `ProjectionKernels(global_ny=...)`): ``ny`` is the
+    local y-padded row count, a trailing ``y_off`` scalar gives the
+    global row of padded row 0, and every row-dependent decision
+    (interior mask, sin(πy) source) uses global rows.  The y boundary
+    dance (periodic wrap rows / thermal y faces) is SKIPPED in-kernel —
+    its source rows live on other shards; the shard_map wrapper restores
+    them (`parallel.fused`).  Mutually exclusive with ``stretch``.
 
     ``alpha > 0`` fuses the energy update; ``beta != 0`` the Boussinesq
     sources; ``thermal_bc`` (a ThermalBCConfig) the per-face T BCs —
@@ -93,6 +103,10 @@ def make_euler_fused(nz, ny, nx, dx, dy, dz, xmin, ymin,
     n_pins = 0 if stretch is None else (7 if consistent else 3)
     if not euler_kernel_supported(nz, ny, nx, n_pins):
         return None
+    sharded_y = global_ny is not None
+    if sharded_y and stretch is not None:
+        return None  # per-shard pin planes not wired; callers gate uniform
+    gny = ny if global_ny is None else global_ny
     if stretch is not None and alpha > 0.0 and not consistent:
         # parity + stretched + energy is invalid (energy_solver.c:55-91);
         # the consistent weights make the thermal stencils well-defined.
@@ -117,10 +131,11 @@ def make_euler_fused(nz, ny, nx, dx, dy, dz, xmin, ymin,
     def clampv(a, lim):
         return jnp.clip(a, -dtype(lim), dtype(lim))
 
-    def source_planes():
+    def source_planes(y_off=None):
         jj = jax.lax.broadcasted_iota(jnp.int32, (ny, nx), 0)
         ii = jax.lax.broadcasted_iota(jnp.int32, (ny, nx), 1)
-        y = ymin + jj.astype(dtype) * dtype(dy)
+        jjf = jj.astype(dtype) if y_off is None else jj.astype(dtype) + y_off
+        y = ymin + jjf * dtype(dy)
         x = xmin + ii.astype(dtype) * dtype(dx)
         return (jnp.sin(jnp.asarray(jnp.pi, dtype) * y),
                 jnp.sin(jnp.asarray(2.0 * jnp.pi, dtype) * x))
@@ -177,9 +192,13 @@ def make_euler_fused(nz, ny, nx, dx, dy, dz, xmin, ymin,
 
     def periodic_wrap(q, jj, ii):
         # x faces first, then y faces read the x-wrapped values
-        # (`core_impl.h:92-120` sequential order).
+        # (`core_impl.h:92-120` sequential order).  Global-row mode skips
+        # the y faces — their wrap rows live on the opposite y-edge shard
+        # and are restored by the shard_map wrapper.
         q = jnp.where(ii == 0, shift_x(q, -2), q)
         q = jnp.where(ii == nx - 1, shift_x(q, 2), q)
+        if sharded_y:
+            return q
         q2 = jnp.where(jj == 0, shift_y(q, -2, ny), q)
         q2 = jnp.where(jj == ny - 1, shift_y(q, 2, ny), q2)
         return q2
@@ -195,9 +214,12 @@ def make_euler_fused(nz, ny, nx, dx, dy, dz, xmin, ymin,
         faces = [
             (thermal_bc.left, ii == 0, shift_x(q, 1), v.left),
             (thermal_bc.right, ii == nx - 1, shift_x(q, -1), v.right),
-            (thermal_bc.bottom, jj == 0, None, v.bottom),
-            (thermal_bc.top, jj == ny - 1, None, v.top),
         ]
+        if not sharded_y:   # y faces are wrapper-restored in global mode
+            faces += [
+                (thermal_bc.bottom, jj == 0, None, v.bottom),
+                (thermal_bc.top, jj == ny - 1, None, v.top),
+            ]
         for i, (bc, where_mask, neumann_src, value) in enumerate(faces):
             bc = BCType(bc)
             if bc == BCType.PERIODIC:
@@ -210,7 +232,11 @@ def make_euler_fused(nz, ny, nx, dx, dy, dz, xmin, ymin,
         return q
 
     def compute(k, scalars, halos, planes, pinned=None):
-        cdt, src_u_eff, src_v_eff, _time = scalars
+        if sharded_y:
+            cdt, src_u_eff, src_v_eff, _time, y_off = scalars
+        else:
+            cdt, src_u_eff, src_v_eff, _time = scalars
+            y_off = None
         (um, uc, up) = halos[0]
         (vm, vc, vp) = halos[1]
         (wm, wc, wp) = halos[2]
@@ -219,7 +245,13 @@ def make_euler_fused(nz, ny, nx, dx, dy, dz, xmin, ymin,
         (rho,) = planes
         T = Tc
         mask, jj, ii = plane_masks(ny, nx, dtype)
-        maskb = mask > 0
+        if sharded_y:
+            # interior decided on GLOBAL rows; halo-row outputs discarded
+            jg = jj + y_off.astype(jnp.int32)
+            maskb = ((jg > 0) & (jg < gny - 1) & (ii > 0) & (ii < nx - 1))
+            jj = jg
+        else:
+            maskb = mask > 0
 
         if consistent:
             ((wxm, wxp), (wxc, lxc), (lxm, lxp),
@@ -232,7 +264,7 @@ def make_euler_fused(nz, ny, nx, dx, dy, dz, xmin, ymin,
                 (c2x, cx2), (c2y, cy2), (sy, sx2) = pinned
             else:
                 c2x, cx2, c2y, cy2 = inv_2dx, inv_dx2, inv_2dy, inv_dy2
-                sy, sx2 = source_planes()
+                sy, sx2 = source_planes(y_off)
             d1x, d1y, d1z, lap_clamped = make_derivs(c2x, cx2, c2y, cy2)
 
         du_dx, du_dy, du_dz = d1x(uc), d1y(uc), d1z(um, up)
@@ -321,7 +353,8 @@ def make_euler_fused(nz, ny, nx, dx, dy, dz, xmin, ymin,
                                 neumann=("p1", "pN2"))
 
     run = make_rolling_stencil(
-        nz, ny, nx, 5, 1, 6, compute, dtype, n_scalars=4,
+        nz, ny, nx, 5, 1, 6, compute, dtype,
+        n_scalars=5 if sharded_y else 4,
         reductions=("max", "max", "max", "max"),
         shell_passthrough=[0, 1, 2, None, None, None],
         shell_sources={3: ("pN2", "p1"), 4: ("pN2", "p1"), 5: t_src},

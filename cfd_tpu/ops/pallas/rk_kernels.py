@@ -62,8 +62,8 @@ def make_rk_stage(nz, ny, nx, dx, dy, dz, xmin, ymin,
                   mu: float, pressure_coupling: float, final: bool,
                   alpha: float = 0.0, beta: float = 0.0,
                   T_ref: float = 0.0, gravity=(0.0, 0.0, 0.0),
-                  thermal_bc=None, global_nz=None, stretch=None,
-                  scheme: str = "parity",
+                  thermal_bc=None, global_nz=None, global_ny=None,
+                  stretch=None, scheme: str = "parity",
                   dtype=jnp.float32, interpret: bool = False):
     """Build one RK stage pass.
 
@@ -72,6 +72,18 @@ def make_rk_stage(nz, ny, nx, dx, dy, dz, xmin, ymin,
     plane 0, so the periodic-interior z-wrap substitutions land on the
     GLOBAL k = 1 and k = global_nz − 2 planes.  Single-chip: omit (the
     wrapper passes z_offset = −1 so global k == local k).
+
+    ``global_ny``: (z, y) 2D-mesh mode — ``ny`` is the local y-padded row
+    count, a trailing ``y_off`` scalar (appended after z_offset) gives
+    the global row of padded row 0.  The y periodic-interior
+    substitutions key on global
+    rows and resolve INSIDE the 4-row halo *provided the wrapper's y-halo
+    exchange is a periodic ring* (the wraparound pair carries global rows
+    ny−4..ny−1 to the first shard and 0..3 to the last, so shift ∓3 at
+    global rows 1 / ny−2 lands on ny−2 / 1 exactly as the single-chip
+    circular roll does).  The y boundary dance (periodic face rows /
+    thermal y faces) is wrapper-restored.  Mutually exclusive with
+    ``stretch``.
 
     final=False: fn(scalars=(factor, acc_mix, weight, su, sv, cdt,
                     z_offset),
@@ -94,6 +106,9 @@ def make_rk_stage(nz, ny, nx, dx, dy, dz, xmin, ymin,
     n_coef = 0 if stretch is None else (7 if consistent else 3)
     if not rk_kernel_supported(nz, ny, nx, n_coef):
         return None
+    sharded_y = global_ny is not None
+    if sharded_y and stretch is not None:
+        return None  # per-shard pin planes not wired; callers gate uniform
     if stretch is not None and alpha > 0.0 and not consistent:
         # parity + stretched + energy is invalid (energy_solver.c:55-91)
         return None
@@ -117,17 +132,21 @@ def make_rk_stage(nz, ny, nx, dx, dy, dz, xmin, ymin,
     def clampv(a, lim):
         return jnp.clip(a, -dtype(lim), dtype(lim))
 
-    def source_planes():
+    def source_planes(y_off=None):
         jj = jax.lax.broadcasted_iota(jnp.int32, (ny, nx), 0)
         ii = jax.lax.broadcasted_iota(jnp.int32, (ny, nx), 1)
-        y = ymin + jj.astype(dtype) * dtype(dy)
+        jjf = jj.astype(dtype) if y_off is None else jj.astype(dtype) + y_off
+        y = ymin + jjf * dtype(dy)
         x = xmin + ii.astype(dtype) * dtype(dx)
         return (jnp.sin(jnp.asarray(jnp.pi, dtype) * y),
                 jnp.sin(jnp.asarray(2.0 * jnp.pi, dtype) * x))
 
     def periodic_wrap(q, jj, ii):
+        # global-row mode skips y faces (wrapper-restored cross-shard)
         q = jnp.where(ii == 0, shift_x(q, -2), q)
         q = jnp.where(ii == nx - 1, shift_x(q, 2), q)
+        if sharded_y:
+            return q
         q2 = jnp.where(jj == 0, shift_y(q, -2, ny), q)
         q2 = jnp.where(jj == ny - 1, shift_y(q, 2, ny), q2)
         return q2
@@ -140,9 +159,12 @@ def make_rk_stage(nz, ny, nx, dx, dy, dz, xmin, ymin,
         faces = [
             (thermal_bc.left, ii == 0, shift_x(q, 1), v.left),
             (thermal_bc.right, ii == nx - 1, shift_x(q, -1), v.right),
-            (thermal_bc.bottom, jj == 0, None, v.bottom),
-            (thermal_bc.top, jj == ny - 1, None, v.top),
         ]
+        if not sharded_y:   # y faces are wrapper-restored in global mode
+            faces += [
+                (thermal_bc.bottom, jj == 0, None, v.bottom),
+                (thermal_bc.top, jj == ny - 1, None, v.top),
+            ]
         for i, (bc, where_mask, neumann_src, value) in enumerate(faces):
             bc = BCType(bc)
             if bc == BCType.PERIODIC:
@@ -155,13 +177,25 @@ def make_rk_stage(nz, ny, nx, dx, dy, dz, xmin, ymin,
         return q
 
     gnz = nz if global_nz is None else global_nz
+    gny = ny if global_ny is None else global_ny
 
     def compute(k, scalars, halos, planes, pinned):
-        (factor, acc_mix, weight, src_u_eff, src_v_eff, cdt,
-         z_off) = scalars
+        if sharded_y:
+            (factor, acc_mix, weight, src_u_eff, src_v_eff, cdt,
+             z_off, y_off) = scalars
+        else:
+            (factor, acc_mix, weight, src_u_eff, src_v_eff, cdt,
+             z_off) = scalars
+            y_off = None
         gk = k + z_off.astype(jnp.int32)   # global plane index
         mask, jj, ii = plane_masks(ny, nx, dtype)
-        maskb = mask > 0
+        if sharded_y:
+            # interior + wrap substitutions decided on GLOBAL rows;
+            # halo-row outputs are discarded by the wrapper
+            jj = jj + y_off.astype(jnp.int32)
+            maskb = ((jj > 0) & (jj < gny - 1) & (ii > 0) & (ii < nx - 1))
+        else:
+            maskb = mask > 0
         (q0u, q0v, q0w, q0p, rho, accu, accv, accw, accp) = planes
         (Tm, Tc, Tp) = halos[4]
         T = Tc
@@ -185,7 +219,7 @@ def make_rk_stage(nz, ny, nx, dx, dy, dz, xmin, ymin,
                 (c2x, cx2), (c2y, cy2), (sy, sx2) = pinned[4:7]
             else:
                 c2x, cx2, c2y, cy2 = inv_2dx, inv_dx2, inv_2dy, inv_dy2
-                sy, sx2 = source_planes()
+                sy, sx2 = source_planes(y_off)
 
             def dx1(fm, fc, fp):
                 return (fp - fm) * c2x
@@ -206,7 +240,7 @@ def make_rk_stage(nz, ny, nx, dx, dy, dz, xmin, ymin,
             xl = jnp.where(ii == 1, shift_x(c, -3), shift_x(c, -1))
             xr = jnp.where(ii == nx - 2, shift_x(c, 3), shift_x(c, 1))
             yd = jnp.where(jj == 1, shift_y(c, -3, ny), shift_y(c, -1, ny))
-            yu = jnp.where(jj == ny - 2, shift_y(c, 3, ny),
+            yu = jnp.where(jj == gny - 2, shift_y(c, 3, ny),
                            shift_y(c, 1, ny))
             zmm = jnp.where(gk == 1, wrap_far, zm)
             zpp = jnp.where(gk == gnz - 2, wrap_near, zp)
@@ -327,7 +361,7 @@ def make_rk_stage(nz, ny, nx, dx, dy, dz, xmin, ymin,
             t_src = thermal_z_specs(thermal_bc, periodic=("pN2", "p1"),
                                     neumann=("p1", "pN2"))
         run = make_rolling_stencil(
-            nz, ny, nx, 5, 9, 6, compute, dtype, n_scalars=7,
+            nz, ny, nx, 5, 9, 6, compute, dtype, n_scalars=8 if sharded_y else 7,
             reductions=("max", "max", "max", "max"),
             shell_sources={0: ("pN2", "p1"), 1: ("pN2", "p1"),
                            2: ("pN2", "p1"), 3: ("pN2", "p1"),
@@ -337,7 +371,7 @@ def make_rk_stage(nz, ny, nx, dx, dy, dz, xmin, ymin,
             return run
         return lambda scalars, *fields: run(scalars, *fields, *coef_pins)
     run = make_rolling_stencil(
-        nz, ny, nx, 5, 9, 8, compute, dtype, n_scalars=7,
+        nz, ny, nx, 5, 9, 8, compute, dtype, n_scalars=8 if sharded_y else 7,
         shell_passthrough=[5, 6, 7, 8, None, None, None, None],
         n_pinned=4 + len(coef_pins), interpret=interpret)
     if run is None or not coef_pins:

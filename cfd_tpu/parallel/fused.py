@@ -77,6 +77,91 @@ def _mesh_zy_sizes(mesh: Mesh):
     return mesh.shape["z"], mesh.shape.get("y", 1)
 
 
+def _zy_halo_helpers(nzl: int, nyl: int, pz: int, py: int):
+    """Shared (z, y) 2D-mesh machinery for the fused euler/RK wrappers:
+
+    ``ypad``   — 4 halo rows per side over a PERIODIC y ring (the
+                 wraparound pair carries global rows ny−4..ny−1 / 0..3 to
+                 the edge shards, which is exactly what the RK kernels'
+                 periodic-interior shift∓3 substitutions need; harmless
+                 for Euler, whose face rows are mask-restored anyway);
+    ``hpad``   — one halo plane per side over the open z ring, applied to
+                 an already y-padded block so corners arrive in two hops;
+    ``unpad``  — drop the halo planes/rows;
+    ``wrap_y_rows`` / ``wrap_z_shell`` — post-kernel global boundary
+                 restore per face: "periodic" (cross-shard edge-to-edge
+                 ppermute), "neumann" (adjacent interior row/plane, local
+                 to the edge shard), or a float Dirichlet constant.
+                 Apply y first, then z — later faces own the corners
+                 (`core_impl.h:92-120` sequential order).
+    """
+    fwd_z = [(i, i + 1) for i in range(pz - 1)]
+    bwd_z = [(i + 1, i) for i in range(pz - 1)]
+    fwd_y = [(i, (i + 1) % py) for i in range(py)]
+    bwd_y = [((i + 1) % py, i) for i in range(py)]
+
+    def ypad(x):
+        if py == 1:
+            return jnp.concatenate([x[:, -4:], x, x[:, :4]], axis=1)
+        lo = lax.ppermute(x[:, -4:], "y", fwd_y)
+        hi = lax.ppermute(x[:, :4], "y", bwd_y)
+        return jnp.concatenate([lo, x, hi], axis=1)
+
+    def hpad(xp):
+        if pz == 1:
+            return jnp.pad(xp, ((1, 1), (0, 0), (0, 0)))
+        lo = lax.ppermute(xp[-1:], "z", fwd_z)
+        hi = lax.ppermute(xp[:1], "z", bwd_z)
+        return jnp.concatenate([lo, xp, hi], axis=0)
+
+    def unpad(o):
+        return o[1:-1, 4:-4]
+
+    def wrap_y_rows(out, firsty, lasty, yspec=("periodic", "periodic")):
+        lo_spec, hi_spec = yspec
+        if lo_spec == "periodic":
+            src_lo = out[:, nyl - 2:nyl - 1] if py == 1 else lax.ppermute(
+                out[:, nyl - 2:nyl - 1], "y", [(py - 1, 0)])
+        elif lo_spec == "neumann":
+            src_lo = out[:, 1:2]
+        else:
+            src_lo = jnp.full_like(out[:, 0:1], lo_spec)
+        if hi_spec == "periodic":
+            src_hi = out[:, 1:2] if py == 1 else lax.ppermute(
+                out[:, 1:2], "y", [(0, py - 1)])
+        elif hi_spec == "neumann":
+            src_hi = out[:, nyl - 2:nyl - 1]
+        else:
+            src_hi = jnp.full_like(out[:, 0:1], hi_spec)
+        out = out.at[:, 0:1].set(jnp.where(firsty, src_lo, out[:, 0:1]))
+        out = out.at[:, nyl - 1:nyl].set(
+            jnp.where(lasty, src_hi, out[:, nyl - 1:nyl]))
+        return out
+
+    def wrap_z_shell(out, first, last, zspec=("periodic", "periodic")):
+        lo_spec, hi_spec = zspec
+        if lo_spec == "periodic":
+            src_lo = out[nzl - 2:nzl - 1] if pz == 1 else lax.ppermute(
+                out[nzl - 2:nzl - 1], "z", [(pz - 1, 0)])
+        elif lo_spec == "neumann":
+            src_lo = out[1:2]
+        else:
+            src_lo = jnp.full_like(out[0:1], lo_spec)
+        if hi_spec == "periodic":
+            src_hi = out[1:2] if pz == 1 else lax.ppermute(
+                out[1:2], "z", [(0, pz - 1)])
+        elif hi_spec == "neumann":
+            src_hi = out[nzl - 2:nzl - 1]
+        else:
+            src_hi = jnp.full_like(out[0:1], hi_spec)
+        out = out.at[0:1].set(jnp.where(first, src_lo, out[0:1]))
+        out = out.at[nzl - 1:nzl].set(jnp.where(last, src_hi,
+                                                out[nzl - 1:nzl]))
+        return out
+
+    return ypad, hpad, unpad, wrap_y_rows, wrap_z_shell
+
+
 def _stretch_reason(grid: Grid, params: NSParams) -> str | None:
     """Spacing gate for the sharded euler/RK fused paths — delegates to
     `solvers.ns.common.stretch_gate` (ONE predicate set for single-chip
@@ -596,22 +681,35 @@ def fused_sharded_euler_unsupported_reason(grid: Grid, params: NSParams,
     """None when the fused shard_map Euler path applies, else a reason."""
     from ..ops.pallas.euler_kernels import euler_kernel_supported
 
-    n = _mesh_z_size(mesh)
-    if n is None:
-        return ("fused sharded euler needs a z-only mesh "
+    sizes = _mesh_zy_sizes(mesh)
+    if sizes is None:
+        return ("fused sharded euler needs a mesh over ('z'[, 'y']) axes "
                 f"(got axes {dict(mesh.shape)})")
+    pz, py = sizes
     if dtype != jnp.float32:
         return f"fused kernels are float32-only (got {dtype})"
     if grid.nz <= 2:
         return "fused sharded euler is 3D-only"
-    if grid.nz % n != 0 or grid.nz // n < 3:
-        return (f"nz={grid.nz} must be divisible by {n} shards with >= 3 "
+    if grid.nz % pz != 0 or grid.nz // pz < 3:
+        return (f"nz={grid.nz} must be divisible by {pz} shards with >= 3 "
                 "planes per shard")
-    from ..solvers.ns.common import stretch_pin_count
-    if not euler_kernel_supported(grid.nz // n + 2, grid.ny, grid.nx,
-                                  stretch_pin_count(grid, params)):
-        return (f"local block ({grid.nz // n}+2, {grid.ny}, {grid.nx}) "
-                "outside rolling-kernel support (nx%128, ny%8, VMEM)")
+    if py > 1:
+        if not (grid.is_uniform("x") and grid.is_uniform("y")):
+            return ("fused sharded euler on a (z, y) mesh needs uniform "
+                    "x/y spacing (stretch pins are z-decomposition-only)")
+        nyl = grid.ny // py
+        if grid.ny % py != 0 or nyl < 8 or nyl % 8 != 0:
+            return (f"ny={grid.ny} must be divisible by {py} y-shards "
+                    "with a multiple of 8 (>= 8) rows per shard")
+        if not euler_kernel_supported(grid.nz // pz + 2, nyl + 8, grid.nx):
+            return (f"local block ({grid.nz // pz}+2, {nyl}+8, {grid.nx}) "
+                    "outside rolling-kernel support (nx%128, VMEM)")
+    else:
+        from ..solvers.ns.common import stretch_pin_count
+        if not euler_kernel_supported(grid.nz // pz + 2, grid.ny, grid.nx,
+                                      stretch_pin_count(grid, params)):
+            return (f"local block ({grid.nz // pz}+2, {grid.ny}, {grid.nx}) "
+                    "outside rolling-kernel support (nx%128, ny%8, VMEM)")
     reason = _stretch_reason(grid, params)
     if reason is not None:
         return reason
@@ -640,7 +738,11 @@ def make_fused_sharded_euler_step(grid: Grid, params: NSParams, mesh: Mesh,
         interpret = mesh.devices.flat[0].platform != "tpu"
 
     nz, ny, nx = grid.nz, grid.ny, grid.nx
-    n_shards = _mesh_z_size(mesh)
+    pz, py = _mesh_zy_sizes(mesh)
+    if py > 1:
+        return _make_fused_sharded_euler_zy_step(
+            grid, params, mesh, dtype, interpret, pz, py)
+    n_shards = pz
     nzl = nz // n_shards
 
     from ..ops.pallas.euler_kernels import make_euler_fused
@@ -751,27 +853,141 @@ def make_fused_sharded_euler_step(grid: Grid, params: NSParams, mesh: Mesh,
     return step
 
 
+def _make_fused_sharded_euler_zy_step(grid: Grid, params: NSParams,
+                                      mesh: Mesh, dtype, interpret: bool,
+                                      pz: int, py: int):
+    """Fused Euler over a 2D (z, y) device mesh — the pod-scale
+    decomposition, following the zy projection design
+    (`_make_fused_sharded_projection_zy_step`): global-row-mode kernel
+    (``make_euler_fused(global_ny=...)``), four halo rows per y side, one
+    halo plane per z side, y-padding first so the z ring carries corner
+    rows.  The global boundary dance is restored post-kernel in reference
+    order x → y → z (later faces own corners,
+    `core_impl.h:92-120`): x faces wrap in-kernel; y-face rows of p/rho/T
+    (and T's thermal y faces) ride edge-to-edge y ppermutes; z-face
+    planes ride edge-to-edge z ppermutes reading the y-fixed planes.
+    Velocity shells keep the caller's input everywhere (save/restore
+    idiom): x/y faces via the kernel's global-row interior mask, z faces
+    via the per-edge-shard restore."""
+    nz, ny, nx = grid.nz, grid.ny, grid.nx
+    nzl, nyl = nz // pz, ny // py
+
+    from ..ops.pallas.euler_kernels import make_euler_fused
+    kernel = make_euler_fused(
+        nzl + 2, nyl + 8, nx, grid.dx0, grid.dy0, grid.dz0,
+        grid.xmin, grid.ymin, params.mu, params.pressure_coupling,
+        alpha=params.alpha, beta=params.beta, T_ref=params.T_ref,
+        gravity=params.gravity, thermal_bc=params.thermal_bc,
+        dtype=dtype, interpret=interpret, global_ny=ny)
+    if kernel is None:
+        raise ValueError("fused sharded zy euler: kernel build failed")
+
+    ypad, hpad, unpad, wrap_y_rows, wrap_z_shell = \
+        _zy_halo_helpers(nzl, nyl, pz, py)
+
+    def fix_vel_shell(out, src, first, last):
+        """Global z velocity shells restore the caller's input planes."""
+        out = out.at[0].set(jnp.where(first, src[0], out[0]))
+        out = out.at[-1].set(jnp.where(last, src[-1], out[-1]))
+        return out
+
+    t_yspec = ("periodic", "periodic")
+    t_zspec = ("periodic", "periodic")
+    if params.energy_enabled:
+        from ..boundary.types import thermal_y_specs, thermal_z_specs
+        t_yspec = thermal_y_specs(params.thermal_bc)
+        t_zspec = thermal_z_specs(params.thermal_bc)
+
+    def local_step(u, v, w, p, rho, T, cdt, su, sv, t):
+        zi = lax.axis_index("z")
+        first = zi == 0
+        last = zi == pz - 1
+        yi = lax.axis_index("y")
+        firsty = yi == 0
+        lasty = yi == py - 1
+        y_off = (yi * nyl - 4).astype(dtype)
+
+        scal = jnp.stack([cdt, su, sv, t, y_off])
+        outs = kernel(scal, hpad(ypad(u)), hpad(ypad(v)), hpad(ypad(w)),
+                      hpad(ypad(p)), hpad(ypad(T)),
+                      jnp.pad(rho, ((1, 1), (4, 4), (0, 0))))
+        un, vn, wn, pn, rn, Tn = (unpad(o) for o in outs[:6])
+        # x faces wrapped in-kernel; y rows, then z planes (corner owners)
+        pn = wrap_y_rows(pn, firsty, lasty)
+        rn = wrap_y_rows(rn, firsty, lasty)
+        Tn = wrap_y_rows(Tn, firsty, lasty, t_yspec)
+        un = fix_vel_shell(un, u, first, last)
+        vn = fix_vel_shell(vn, v, first, last)
+        wn = fix_vel_shell(wn, w, first, last)
+        pn = wrap_z_shell(pn, first, last)
+        rn = wrap_z_shell(rn, first, last)
+        Tn = wrap_z_shell(Tn, first, last, t_zspec)
+        return un, vn, wn, pn, rn, Tn
+
+    spec = P("z", "y", None)
+    smapped = jax.shard_map(
+        local_step, mesh=mesh,
+        in_specs=(spec,) * 6 + (P(), P(), P(), P()),
+        out_specs=(spec,) * 6,
+        check_vma=False)
+
+    from ..solvers.ns.params import DT_CONSERVATIVE_LIMIT
+
+    def step(field: FlowField, dt, iter_idx):
+        cdt = jnp.minimum(jnp.asarray(dt, dtype),
+                          jnp.asarray(DT_CONSERVATIVE_LIMIT, dtype))
+        t = jnp.asarray(iter_idx, dtype) * cdt
+        decay = jnp.exp(-jnp.asarray(params.source_decay_rate, dtype) * t)
+        su = jnp.asarray(params.source_amplitude_u, dtype) * decay
+        sv = jnp.asarray(params.source_amplitude_v, dtype) * decay
+
+        u, v, w, p, rho, T = smapped(field.u, field.v, field.w, field.p,
+                                     field.rho, field.T, cdt, su, sv, t)
+        new_field = field.replace(u=u, v=v, w=w, p=p, rho=rho, T=T)
+        finite, vmax, pmax, tmax = field_status_and_diagnostics(new_field)
+        status = jnp.where(~finite, jnp.int32(-6), jnp.int32(0))
+        return new_field, StepResult(
+            iterations=jnp.int32(1), status=status,
+            residual=jnp.zeros((), dtype),
+            max_velocity=vmax, max_pressure=pmax, max_temperature=tmax)
+
+    return step
+
+
 def fused_sharded_rk_unsupported_reason(grid: Grid, params: NSParams,
                                         mesh: Mesh, dtype) -> str | None:
     """None when the fused shard_map RK path applies, else a reason."""
     from ..ops.pallas.rk_kernels import rk_kernel_supported
 
-    n = _mesh_z_size(mesh)
-    if n is None:
-        return ("fused sharded rk needs a z-only mesh "
+    sizes = _mesh_zy_sizes(mesh)
+    if sizes is None:
+        return ("fused sharded rk needs a mesh over ('z'[, 'y']) axes "
                 f"(got axes {dict(mesh.shape)})")
+    pz, py = sizes
     if dtype != jnp.float32:
         return f"fused kernels are float32-only (got {dtype})"
     if grid.nz <= 2:
         return "fused sharded rk is 3D-only"
-    if grid.nz % n != 0 or grid.nz // n < 3:
-        return (f"nz={grid.nz} must be divisible by {n} shards with >= 3 "
+    if grid.nz % pz != 0 or grid.nz // pz < 3:
+        return (f"nz={grid.nz} must be divisible by {pz} shards with >= 3 "
                 "planes per shard")
-    from ..solvers.ns.common import stretch_pin_count
-    if not rk_kernel_supported(grid.nz // n + 2, grid.ny, grid.nx,
-                               stretch_pin_count(grid, params)):
-        return (f"local block ({grid.nz // n}+2, {grid.ny}, {grid.nx}) "
-                "outside rolling-kernel support (nx%128, ny%8, VMEM)")
+    if py > 1:
+        if not (grid.is_uniform("x") and grid.is_uniform("y")):
+            return ("fused sharded rk on a (z, y) mesh needs uniform "
+                    "x/y spacing (stretch pins are z-decomposition-only)")
+        nyl = grid.ny // py
+        if grid.ny % py != 0 or nyl < 8 or nyl % 8 != 0:
+            return (f"ny={grid.ny} must be divisible by {py} y-shards "
+                    "with a multiple of 8 (>= 8) rows per shard")
+        if not rk_kernel_supported(grid.nz // pz + 2, nyl + 8, grid.nx):
+            return (f"local block ({grid.nz // pz}+2, {nyl}+8, {grid.nx}) "
+                    "outside rolling-kernel support (nx%128, VMEM)")
+    else:
+        from ..solvers.ns.common import stretch_pin_count
+        if not rk_kernel_supported(grid.nz // pz + 2, grid.ny, grid.nx,
+                                   stretch_pin_count(grid, params)):
+            return (f"local block ({grid.nz // pz}+2, {grid.ny}, {grid.nx}) "
+                    "outside rolling-kernel support (nx%128, ny%8, VMEM)")
     reason = _stretch_reason(grid, params)
     if reason is not None:
         return reason
@@ -798,7 +1014,11 @@ def make_fused_sharded_rk_step(grid: Grid, params: NSParams, mesh: Mesh,
         interpret = mesh.devices.flat[0].platform != "tpu"
 
     nz, ny, nx = grid.nz, grid.ny, grid.nx
-    n_shards = _mesh_z_size(mesh)
+    pz, py = _mesh_zy_sizes(mesh)
+    if py > 1:
+        return _make_fused_sharded_rk_zy_step(
+            grid, params, mesh, order, dtype, interpret, pz, py)
+    n_shards = pz
     nzl = nz // n_shards
 
     from ..ops.pallas.rk_kernels import make_rk_stage
@@ -941,6 +1161,161 @@ def make_fused_sharded_rk_step(grid: Grid, params: NSParams, mesh: Mesh,
         return un, vn, wn, pn, rn, Tn
 
     spec = P("z", None, None)
+    smapped = jax.shard_map(
+        local_step, mesh=mesh,
+        in_specs=(spec,) * 6 + (P(), P(), P()),
+        out_specs=(spec,) * 6,
+        check_vma=False)
+
+    def step(field: FlowField, dt, iter_idx):
+        dtc = jnp.asarray(dt, dtype)
+        t = jnp.asarray(iter_idx, dtype) * dtc
+        decay = jnp.exp(-jnp.asarray(params.source_decay_rate, dtype) * t)
+        su = jnp.asarray(params.source_amplitude_u, dtype) * decay
+        sv = jnp.asarray(params.source_amplitude_v, dtype) * decay
+
+        u, v, w, p, rho, T = smapped(field.u, field.v, field.w, field.p,
+                                     field.rho, field.T, dtc, su, sv)
+        new_field = field.replace(u=u, v=v, w=w, p=p, rho=rho, T=T)
+        finite, vmax, pmax, tmax = field_status_and_diagnostics(new_field)
+        status = jnp.where(~finite, jnp.int32(-6), jnp.int32(0))
+        return new_field, StepResult(
+            iterations=jnp.int32(1), status=status,
+            residual=jnp.zeros((), dtype),
+            max_velocity=vmax, max_pressure=pmax, max_temperature=tmax)
+
+    return step
+
+
+def _make_fused_sharded_rk_zy_step(grid: Grid, params: NSParams,
+                                   mesh: Mesh, order: int, dtype,
+                                   interpret: bool, pz: int, py: int):
+    """Fused RK2/RK4 over a 2D (z, y) device mesh.
+
+    One shard_map stage-kernel pass per Butcher stage on global-row-mode
+    kernels (``make_rk_stage(global_nz, global_ny)``).  The y halo is a
+    PERIODIC 4-row ring — the wraparound pair hands the edge shards the
+    opposite edge's rows, which is exactly what the kernels'
+    periodic-interior shift∓3 y substitutions at global rows 1 / ny−2
+    resolve against (no extra y-wrap pins needed; the z wrap still rides
+    the per-z-column psum pins).  The final state's global boundary dance
+    runs post-kernel in x → y → z order: x faces wrap in-kernel, y-face
+    rows and z-face planes ride edge-to-edge ppermutes (z last owns the
+    corners), with T's faces resolving per the thermal config."""
+    nz, ny, nx = grid.nz, grid.ny, grid.nx
+    nzl, nyl = nz // pz, ny // py
+
+    from ..ops.pallas.rk_kernels import make_rk_stage
+    thermal_kw = dict(alpha=params.alpha, beta=params.beta,
+                      T_ref=params.T_ref, gravity=params.gravity,
+                      thermal_bc=params.thermal_bc)
+    mid = make_rk_stage(nzl + 2, nyl + 8, nx, grid.dx0, grid.dy0,
+                        grid.dz0, grid.xmin, grid.ymin, params.mu,
+                        params.pressure_coupling, final=False,
+                        global_nz=nz, global_ny=ny, dtype=dtype,
+                        interpret=interpret, **thermal_kw)
+    fin = make_rk_stage(nzl + 2, nyl + 8, nx, grid.dx0, grid.dy0,
+                        grid.dz0, grid.xmin, grid.ymin, params.mu,
+                        params.pressure_coupling, final=True,
+                        global_nz=nz, global_ny=ny, dtype=dtype,
+                        interpret=interpret, **thermal_kw)
+    if mid is None or fin is None:
+        raise ValueError("fused sharded zy rk: kernel build failed")
+
+    ypad, hpad, unpad, wrap_y_rows, wrap_z_shell = \
+        _zy_halo_helpers(nzl, nyl, pz, py)
+
+    def zy0pad(x):
+        """Zero-pad plane-only inputs to the kernel block shape (their
+        halo planes/rows are never read as data for owned outputs)."""
+        return jnp.pad(x, ((1, 1), (4, 4), (0, 0)))
+
+    def pins(state):
+        """(2, nyl+8, nx) per field: [global plane nz−2, global plane 1]
+        of this y-column, via ONE batched psum over the z ring; the pin
+        rows are read pointwise, so the y padding is plain zeros."""
+        if pz == 1:
+            both = [jnp.concatenate([s[nzl - 2:nzl - 1], s[1:2]], axis=0)
+                    for s in state]
+        else:
+            idx = lax.axis_index("z")
+            far = jnp.stack([jnp.where(idx == pz - 1, s[nzl - 2],
+                                       jnp.zeros_like(s[0]))
+                             for s in state])
+            near = jnp.stack([jnp.where(idx == 0, s[1],
+                                        jnp.zeros_like(s[0]))
+                              for s in state])
+            ps = lax.psum(jnp.stack([far, near]), "z")
+            both = [jnp.stack([ps[0, i], ps[1, i]])
+                    for i in range(len(state))]
+        return [jnp.pad(b, ((0, 0), (4, 4), (0, 0))) for b in both]
+
+    t_yspec = ("periodic", "periodic")
+    t_zspec = ("periodic", "periodic")
+    if params.energy_enabled:
+        from ..boundary.types import thermal_y_specs, thermal_z_specs
+        t_yspec = thermal_y_specs(params.thermal_bc)
+        t_zspec = thermal_z_specs(params.thermal_bc)
+
+    def local_step(u, v, w, p, rho, T, dtc, su, sv):
+        zi = lax.axis_index("z")
+        first = zi == 0
+        last = zi == pz - 1
+        yi = lax.axis_index("y")
+        firsty = yi == 0
+        lasty = yi == py - 1
+        zero = jnp.zeros((), dtype)
+        one = jnp.ones((), dtype)
+        z_off = (zi * nzl - 1).astype(dtype)
+        y_off = (yi * nyl - 4).astype(dtype)
+
+        def scal(factor, acc_mix, weight):
+            return jnp.stack([factor, acc_mix, weight, su, sv, dtc,
+                              z_off, y_off])
+
+        q0 = (u, v, w, p)
+        q0p = tuple(zy0pad(q) for q in q0)
+        rhop = zy0pad(rho)
+        Tp_ = hpad(ypad(T))
+        acc = tuple(jnp.zeros_like(q0p[0]) for _ in range(4))
+
+        def run_mid(state, acc, factor, weight):
+            outs = mid(scal(factor, zero, weight),
+                       *(hpad(ypad(s)) for s in state), Tp_, *q0p, rhop,
+                       *acc, *pins(state))
+            return (tuple(unpad(o) for o in outs[:4]),
+                    tuple(zy0pad(unpad(o)) for o in outs[4:8]))
+
+        if order == 2:
+            s1, a1 = run_mid(q0, acc, dtc, one)
+            outs = fin(scal(0.5 * dtc, one, zero),
+                       *(hpad(ypad(s)) for s in s1), Tp_, *q0p, rhop,
+                       *a1, *pins(s1))
+        else:
+            s1, a1 = run_mid(q0, acc, 0.5 * dtc, one)
+            s2, a2 = run_mid(s1, a1, 0.5 * dtc, 2.0 * one)
+            s3, a3 = run_mid(s2, a2, dtc, 2.0 * one)
+            outs = fin(scal(dtc / 6.0, one, zero),
+                       *(hpad(ypad(s)) for s in s3), Tp_, *q0p, rhop,
+                       *a3, *pins(s3))
+        un, vn, wn, pn, rn, Tn = (unpad(o) for o in outs[:6])
+        # RK wraps ALL variables: y rows first, then z planes (corner
+        # owners); T's faces honor the thermal config.
+        un = wrap_y_rows(un, firsty, lasty)
+        vn = wrap_y_rows(vn, firsty, lasty)
+        wn = wrap_y_rows(wn, firsty, lasty)
+        pn = wrap_y_rows(pn, firsty, lasty)
+        rn = wrap_y_rows(rn, firsty, lasty)
+        Tn = wrap_y_rows(Tn, firsty, lasty, t_yspec)
+        un = wrap_z_shell(un, first, last)
+        vn = wrap_z_shell(vn, first, last)
+        wn = wrap_z_shell(wn, first, last)
+        pn = wrap_z_shell(pn, first, last)
+        rn = wrap_z_shell(rn, first, last)
+        Tn = wrap_z_shell(Tn, first, last, t_zspec)
+        return un, vn, wn, pn, rn, Tn
+
+    spec = P("z", "y", None)
     smapped = jax.shard_map(
         local_step, mesh=mesh,
         in_specs=(spec,) * 6 + (P(), P(), P()),

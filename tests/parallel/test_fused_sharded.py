@@ -430,13 +430,13 @@ def test_fused_sharded_rk4_convection_matches_jnp():
 
 def test_strict_fallback_raises(grid):
     """use_pallas + strict=True surfaces the disqualifying reason instead
-    of silently running the 15x-slower GSPMD jnp path.  (Projection now
-    accepts (z, y) meshes, so use euler — still z-only — and a projection
-    whose local y block is too thin for the zy kernels.)"""
+    of silently running the 15x-slower GSPMD jnp path.  (Every integrator
+    now accepts (z, y) meshes, so disqualify on the local y block being
+    too thin for the zy kernels: ny=16 over 4 y-shards -> 4 rows/shard.)"""
     params = NSParams()
-    mesh2d = make_mesh(axes=("z", "y"))   # y>1 -> euler path must refuse
-    with pytest.raises(ValueError, match="z-only mesh"):
-        make_sharded_step(grid, params, mesh2d, "explicit_euler",
+    mesh2d = make_mesh(axes=("z", "y"))
+    with pytest.raises(ValueError, match="y-shards"):
+        make_sharded_step(grid, params, mesh2d, "rk2",
                           use_pallas=True, strict=True, dtype=jnp.float32)
     # ny=16 over 4 y-shards -> 4 rows/shard < 8: zy projection refuses too.
     with pytest.raises(ValueError, match="y-shards"):
@@ -834,3 +834,152 @@ def test_fused_sharded_zy_convection_multi_step():
         np.testing.assert_allclose(np.asarray(f_out.p),
                                    np.asarray(f_ref.p), atol=1e-4,
                                    err_msg=f"p mesh ({pz},{py})")
+
+
+def test_fused_sharded_zy_euler_matches_jnp_single_device():
+    """Fused Euler over a (2, 4) (z, y) mesh — global-row-mode single-pass
+    kernel + two-stage (y then z) ring halos + post-kernel x→y→z boundary
+    dance — matches the single-device jnp step, default sources on."""
+    from cfd_tpu.solvers.ns.euler import make_euler_step
+
+    g = _zy_grid()
+    params = NSParams()
+    f = _random_field(g, seed=47)
+    mesh = _zy_mesh(2, 4)
+
+    ref = jax.jit(make_euler_step(g, params, dtype=jnp.float32,
+                                  use_pallas=False))
+    fr, rr = ref(f, 1e-4, 2)
+
+    step, place = make_sharded_step(g, params, mesh, "explicit_euler",
+                                    use_pallas=True, strict=True,
+                                    dtype=jnp.float32)
+    ff, rf = step(place(f), 1e-4, 2)
+    assert int(rr.status) == int(rf.status) == 0
+    assert len(ff.u.sharding.device_set) == 8
+    for name in ("u", "v", "w", "p", "rho", "T"):
+        np.testing.assert_allclose(np.asarray(getattr(ff, name)),
+                                   np.asarray(getattr(fr, name)),
+                                   atol=1e-5, err_msg=name)
+
+
+@pytest.mark.heavy
+def test_fused_sharded_zy_euler_convection_multi_step():
+    """Energy + Boussinesq + mixed thermal faces through the zy-mesh fused
+    Euler over several steps, across mesh aspect ratios: thermal y faces
+    resolve per type post-kernel (Neumann local to the edge shard,
+    Dirichlet constant, periodic cross-shard), z faces own the corners."""
+    from cfd_tpu.boundary.types import (BCType, DirichletValues,
+                                        ThermalBCConfig)
+    from cfd_tpu.solvers.ns.euler import make_euler_step
+
+    g = Grid.uniform(128, 32, 16, zmin=0.0, zmax=1.0)
+    thermal = ThermalBCConfig(
+        left=BCType.DIRICHLET, right=BCType.DIRICHLET,
+        bottom=BCType.NEUMANN, top=BCType.DIRICHLET,
+        back=BCType.NEUMANN, front=BCType.DIRICHLET,
+        dirichlet_values=DirichletValues(left=305.0, right=295.0,
+                                         top=298.0, front=300.0))
+    params = NSParams(source_amplitude_u=0.0, source_amplitude_v=0.0,
+                      alpha=1e-3, beta=0.05, T_ref=300.0,
+                      gravity=(0.0, -9.81, 0.05), thermal_bc=thermal)
+    rng = np.random.default_rng(53)
+    f = _random_field(g, seed=53)
+    f = f.replace(T=jnp.asarray(300.0 + rng.normal(0, 1.0, g.shape),
+                                jnp.float32))
+
+    ref = jax.jit(make_euler_step(g, params, dtype=jnp.float32,
+                                  use_pallas=False))
+
+    def roll(step, place, f, n=3):
+        f = place(f)
+        for i in range(n):
+            f, res = step(f, 1e-4, i)
+            assert int(res.status) == 0
+        return f
+
+    f_ref = roll(ref, lambda x: x, f)
+    for pz, py in ((2, 4), (4, 2), (2, 2)):
+        mesh = _zy_mesh(pz, py)
+        step, place = make_sharded_step(g, params, mesh, "explicit_euler",
+                                        use_pallas=True, strict=True,
+                                        dtype=jnp.float32)
+        f_out = roll(step, place, f)
+        for name in ("u", "v", "w", "p", "T"):
+            np.testing.assert_allclose(
+                np.asarray(getattr(f_out, name)),
+                np.asarray(getattr(f_ref, name)), atol=1e-5,
+                err_msg=f"{name} mesh ({pz},{py})")
+
+
+def test_fused_sharded_zy_rk2_matches_jnp_single_device():
+    """Fused RK2 over a (2, 4) (z, y) mesh — global-row stage kernels
+    whose periodic-interior y substitutions resolve against the PERIODIC
+    4-row y-halo ring — matches the single-device jnp step."""
+    from cfd_tpu.solvers.ns.rk import make_rk2_step
+
+    g = Grid.uniform(128, 32, 8, zmin=0.0, zmax=1.0)
+    params = NSParams()
+    f = _random_field(g, seed=59)
+    mesh = _zy_mesh(2, 4)
+
+    ref = jax.jit(make_rk2_step(g, params, dtype=jnp.float32,
+                                use_pallas=False))
+    fr, rr = ref(f, 1e-4, 1)
+
+    step, place = make_sharded_step(g, params, mesh, "rk2",
+                                    use_pallas=True, strict=True,
+                                    dtype=jnp.float32)
+    ff, rf = step(place(f), 1e-4, 1)
+    assert int(rr.status) == int(rf.status) == 0
+    assert len(ff.u.sharding.device_set) == 8
+    for name in ("u", "v", "w", "p", "rho", "T"):
+        np.testing.assert_allclose(np.asarray(getattr(ff, name)),
+                                   np.asarray(getattr(fr, name)),
+                                   atol=1e-5, err_msg=name)
+
+
+@pytest.mark.heavy
+def test_fused_sharded_zy_rk4_convection_multi_step():
+    """Energy + Boussinesq + mixed thermal faces through the zy-mesh
+    fused RK4 over several steps, across mesh aspect ratios."""
+    from cfd_tpu.boundary.types import (BCType, DirichletValues,
+                                        ThermalBCConfig)
+    from cfd_tpu.solvers.ns.rk import make_rk4_step
+
+    g = Grid.uniform(128, 32, 16, zmin=0.0, zmax=1.0)
+    thermal = ThermalBCConfig(
+        left=BCType.DIRICHLET, right=BCType.DIRICHLET,
+        bottom=BCType.NEUMANN, top=BCType.DIRICHLET,
+        back=BCType.NEUMANN, front=BCType.DIRICHLET,
+        dirichlet_values=DirichletValues(left=305.0, right=295.0,
+                                         top=298.0, front=300.0))
+    params = NSParams(alpha=1e-3, beta=0.05, T_ref=300.0,
+                      gravity=(0.0, -9.81, 0.05), thermal_bc=thermal)
+    rng = np.random.default_rng(61)
+    f = _random_field(g, seed=61)
+    f = f.replace(T=jnp.asarray(300.0 + rng.normal(0, 1.0, g.shape),
+                                jnp.float32))
+
+    ref = jax.jit(make_rk4_step(g, params, dtype=jnp.float32,
+                                use_pallas=False))
+
+    def roll(step, place, f, n=3):
+        f = place(f)
+        for i in range(n):
+            f, res = step(f, 1e-4, i)
+            assert int(res.status) == 0
+        return f
+
+    f_ref = roll(ref, lambda x: x, f)
+    for pz, py in ((2, 4), (4, 2), (2, 2)):
+        mesh = _zy_mesh(pz, py)
+        step, place = make_sharded_step(g, params, mesh, "rk4",
+                                        use_pallas=True, strict=True,
+                                        dtype=jnp.float32)
+        f_out = roll(step, place, f)
+        for name in ("u", "v", "w", "p", "T"):
+            np.testing.assert_allclose(
+                np.asarray(getattr(f_out, name)),
+                np.asarray(getattr(f_ref, name)), atol=2e-5,
+                err_msg=f"{name} mesh ({pz},{py})")

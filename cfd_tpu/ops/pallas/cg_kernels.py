@@ -436,9 +436,15 @@ def make_cg_update(nz: int, ny: int, nx: int, dtype=jnp.float32,
 
 def make_lap_dot_sharded(nz: int, ny: int, nx: int,
                          inv_dx2: float, inv_dy2: float, inv_dz2: float,
-                         scale: float, global_nz: int, dtype=jnp.float32,
-                         interpret: bool = False):
+                         scale: float, global_nz: int, global_ny=None,
+                         dtype=jnp.float32, interpret: bool = False):
     """Shard-local fused (r, p, beta, z_off) → (p', Ap', ⟨p', Ap'⟩) pass.
+
+    ``global_ny``: (z, y) 2D-mesh mode — ``ny`` is the local y-padded row
+    count (4 halo rows per side), a third ``y_off`` scalar gives the
+    global row of padded row 0; p' masks to the GLOBAL in-plane shell and
+    the dot contribution covers only the shard's OWNED rows (halo rows
+    would double-count across the y ring).
 
     The shard_map twin of :func:`make_lap_dot_fused` for a z-decomposed
     field: operates on a halo-padded local block of ``nz = nz_local + 2``
@@ -460,11 +466,27 @@ def make_lap_dot_sharded(nz: int, ny: int, nx: int,
     """
     from .rolling import make_rolling_stencil, plane_masks, shift_x, shift_y
 
+    sharded_y = global_ny is not None
+    gny = ny if global_ny is None else global_ny
+
     def compute(k, scalars, halos, planes):
-        beta, z_off = scalars
+        if sharded_y:
+            beta, z_off, y_off = scalars
+        else:
+            beta, z_off = scalars
+            y_off = None
         (rm, rc, rp) = halos[0]
         (pm, pc, pp) = halos[1]
-        mask, _, _ = plane_masks(ny, nx, dtype)
+        if sharded_y:
+            jj = jax.lax.broadcasted_iota(jnp.int32, (ny, nx), 0)
+            ii = jax.lax.broadcasted_iota(jnp.int32, (ny, nx), 1)
+            jg = jj + y_off.astype(jnp.int32)
+            mask = ((jg > 0) & (jg < gny - 1) & (ii > 0)
+                    & (ii < nx - 1)).astype(dtype)
+            own = ((jj >= 4) & (jj < ny - 4)).astype(dtype)
+        else:
+            mask, _, _ = plane_masks(ny, nx, dtype)
+            own = None
         gk = k + z_off.astype(jnp.int32)   # global plane of padded plane k
 
         def pprime(rq, pq, gq):
@@ -481,8 +503,10 @@ def make_lap_dot_sharded(nz: int, ny: int, nx: int,
                + (pn_p - 2.0 * pn_c + pn_m) * inv_dz2)
         zin_c = ((gk > 0) & (gk < global_nz - 1)).astype(dtype)
         ap = -lap * mask * zin_c
-        return [pn_c, ap], (jnp.sum(ap * pn_c),)
+        dot = ap * pn_c if own is None else ap * pn_c * own
+        return [pn_c, ap], (jnp.sum(dot),)
 
     return make_rolling_stencil(
-        nz, ny, nx, 2, 0, 2, compute, dtype, n_scalars=2,
+        nz, ny, nx, 2, 0, 2, compute, dtype,
+        n_scalars=3 if sharded_y else 2,
         reductions=("sum",), interpret=interpret)

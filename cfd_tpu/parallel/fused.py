@@ -266,12 +266,9 @@ def make_fused_sharded_projection_step(grid: Grid, params: NSParams,
 
     pz, py = _mesh_zy_sizes(mesh)
     if py > 1:
-        if poisson_method == Method.CG:
-            raise ValueError("fused sharded CG pressure solve is "
-                             "z-decomposition-only (FFT_DIRECT supports "
-                             "(z, y) meshes)")
         return _make_fused_sharded_projection_zy_step(
-            grid, params, mesh, dtype, interpret, pz, py)
+            grid, params, mesh, dtype, interpret, pz, py,
+            poisson_method, poisson_params)
 
     nz, ny, nx = grid.nz, grid.ny, grid.nx
     n_shards = pz
@@ -417,7 +414,9 @@ def make_fused_sharded_projection_step(grid: Grid, params: NSParams,
 def _make_fused_sharded_projection_zy_step(grid: Grid, params: NSParams,
                                            mesh: Mesh, dtype,
                                            interpret: bool,
-                                           pz: int, py: int):
+                                           pz: int, py: int,
+                                           poisson_method=None,
+                                           poisson_params=None):
     """3D fused projection over a 2D (z, y) device mesh — the pod-scale
     decomposition (z-only runs out of planes past nz/2 chips; SURVEY §2.9
     names the fresh multi-axis design as the TPU answer to the reference's
@@ -431,8 +430,11 @@ def _make_fused_sharded_projection_zy_step(grid: Grid, params: NSParams,
     kernels' global-row masks; global z-shells are restored per edge
     z-shard (the reference's save/restore idiom).  The pressure solve is
     the two-axis pencil DST (four ``all_to_all``s,
-    `..solvers.poisson.spectral.make_btilde_pipeline_sharded_zy`).
+    `..solvers.poisson.spectral.make_btilde_pipeline_sharded_zy`) or the
+    (z, y)-ring fused CG per ``poisson_method``.
     """
+    from ..solvers.poisson.base import Method, PoissonParams
+
     nz, ny, nx = grid.nz, grid.ny, grid.nx
     nzl, nyl = nz // pz, ny // py
 
@@ -446,8 +448,19 @@ def _make_fused_sharded_projection_zy_step(grid: Grid, params: NSParams,
         raise ValueError("fused sharded zy projection: kernel build failed")
 
     problem = PoissonProblem(nx, ny, nz, grid.dx0, grid.dy0, grid.dz0)
-    from ..solvers.poisson.spectral import make_btilde_pipeline_sharded_zy
-    pencil = make_btilde_pipeline_sharded_zy(problem, pz, py, dtype)
+    pencil = cg_local = None
+    if poisson_method is not None and Method(poisson_method) == Method.CG:
+        from .fused_cg import make_cg_fused_sharded_local
+        cg_local = make_cg_fused_sharded_local(
+            problem, poisson_params or PoissonParams(), pz,
+            dtype=dtype, interpret=interpret, py=py)
+        if cg_local is None:
+            raise ValueError("fused sharded zy projection: CG kernel "
+                             "build failed")
+    else:
+        from ..solvers.poisson.spectral import \
+            make_btilde_pipeline_sharded_zy
+        pencil = make_btilde_pipeline_sharded_zy(problem, pz, py, dtype)
     energy_step = make_energy_step(grid, params.alpha,
                                    params.heat_source_func)
 
@@ -506,12 +519,28 @@ def _make_fused_sharded_projection_zy_step(grid: Grid, params: NSParams,
         vs = fix_shell(vs, v, first, last)
         ws = fix_shell(ws, w, first, last)
 
-        bt = unpad(pk.btilde(zpad(ypad(us)), zpad(ypad(vs)),
-                             hpad(ypad(ws)), zpad(ypad(p)),
-                             rho0 / dt, z_offset=zi * nzl, y_offset=y_off))
-        zero = jnp.zeros_like(bt[0])
-        bt = fix_shell(bt, jnp.stack([zero, zero]), first, last)
-        p_new = pencil(bt)
+        if cg_local is not None:
+            (rhs_pad,) = pk.divergence(jnp.stack([rho0 / dt, y_off]),
+                                       hpad(ypad(ws)), zpad(ypad(us)),
+                                       zpad(ypad(vs)))
+            rhs_loc = unpad(rhs_pad)
+            zero = jnp.zeros_like(rhs_loc[0])
+            rhs_loc = fix_shell(rhs_loc, jnp.stack([zero, zero]),
+                                first, last)
+            pres = cg_local(p, rhs_loc)
+            p_new = pres.x
+            p_res = pres.final_residual
+            p_ok = pres.status == 0
+        else:
+            bt = unpad(pk.btilde(zpad(ypad(us)), zpad(ypad(vs)),
+                                 hpad(ypad(ws)), zpad(ypad(p)),
+                                 rho0 / dt, z_offset=zi * nzl,
+                                 y_offset=y_off))
+            zero = jnp.zeros_like(bt[0])
+            bt = fix_shell(bt, jnp.stack([zero, zero]), first, last)
+            p_new = pencil(bt)
+            p_res = jnp.zeros((), dtype)
+            p_ok = jnp.bool_(True)
 
         s_corr = jnp.stack([dt / rho0, y_off])
         pnp = ypad(p_new)
@@ -521,13 +550,13 @@ def _make_fused_sharded_projection_zy_step(grid: Grid, params: NSParams,
         un = fix_shell(un, us, first, last)
         vn = fix_shell(vn, vs, first, last)
         wn = fix_shell(wn, ws, first, last)
-        return un, vn, wn, p_new
+        return un, vn, wn, p_new, p_res, p_ok
 
     spec = P("z", "y", None)
     smapped = jax.shard_map(
         local_step, mesh=mesh,
         in_specs=(spec, spec, spec, spec, spec, P(), P(), P(), P()),
-        out_specs=(spec, spec, spec, spec),
+        out_specs=(spec, spec, spec, spec, P(), P()),
         check_vma=False)
 
     def step(field: FlowField, dt, iter_idx):
@@ -539,8 +568,9 @@ def _make_fused_sharded_projection_zy_step(grid: Grid, params: NSParams,
         su = jnp.asarray(params.source_amplitude_u, dtype) * decay
         sv = jnp.asarray(params.source_amplitude_v, dtype) * decay
 
-        u, v, w, p = smapped(field.u, field.v, field.w, field.p, field.T,
-                             dt, rho0, su, sv)
+        u, v, w, p, p_res, p_ok = smapped(field.u, field.v, field.w,
+                                          field.p, field.T,
+                                          dt, rho0, su, sv)
         new_field = field.replace(u=u, v=v, w=w, p=p)
 
         if energy_step is not None:
@@ -552,10 +582,11 @@ def _make_fused_sharded_projection_zy_step(grid: Grid, params: NSParams,
                 T=apply_thermal_bcs(new_field.T, params.thermal_bc))
 
         finite, vmax, pmax, tmax = field_status_and_diagnostics(new_field)
-        status = jnp.where(~finite, jnp.int32(-6), jnp.int32(0))
+        status = jnp.where(~finite, jnp.int32(-6),
+                           jnp.where(p_ok, jnp.int32(0), jnp.int32(-7)))
         return new_field, StepResult(
             iterations=jnp.int32(1), status=status,
-            residual=jnp.zeros((), dtype),
+            residual=p_res,
             max_velocity=vmax, max_pressure=pmax, max_temperature=tmax)
 
     return step

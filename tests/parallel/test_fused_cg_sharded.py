@@ -148,3 +148,62 @@ def test_nonstrict_cg_build_failure_falls_back(problem, zmesh):
     f = FlowField.initialize(grid, dtype=jnp.float32)
     out, res = step(place(f), 0.001, 0)
     assert int(res.status) == 0
+
+
+def _zy_mesh(pz, py):
+    from jax.sharding import Mesh
+    return Mesh(np.array(jax.devices()[:pz * py]).reshape(pz, py),
+                ("z", "y"))
+
+
+def test_zy_matches_single_chip_fused():
+    """(z, y)-mesh fused CG — 4-row y-halo ring + owned-row-masked dots —
+    keeps iteration-count parity with the single-chip fused CG."""
+    problem = PoissonProblem(128, 32, 8, 1.0 / 127, 1.0 / 31, 1.0 / 7)
+    params = PoissonParams(tolerance=1e-3, max_iterations=400)
+    rhs = _rhs(problem, seed=5)
+    x0 = jnp.zeros(problem.shape, jnp.float32)
+
+    ref = jax.jit(make_cg_fused(problem, params, interpret=True))
+    r_ref = ref(x0, rhs)
+
+    for pz, py in ((2, 4), (4, 2), (2, 2)):
+        solve = jax.jit(make_cg_fused_sharded(problem, params,
+                                              _zy_mesh(pz, py)))
+        r_sh = solve(x0, rhs)
+        assert int(r_sh.status) == int(r_ref.status) == 0
+        assert int(r_sh.iterations) == int(r_ref.iterations), (pz, py)
+        np.testing.assert_allclose(np.asarray(r_sh.x), np.asarray(r_ref.x),
+                                   atol=2e-5, err_msg=f"mesh ({pz},{py})")
+
+
+def test_zy_projection_with_sharded_cg():
+    """Fused sharded zy projection with poisson_method=CG matches the
+    single-device jnp projection step (CG pressure solve on both sides)."""
+    g = Grid.uniform(128, 32, 8, zmin=0.0, zmax=1.0)
+    params = NSParams()
+    pparams = PoissonParams(tolerance=1e-6, max_iterations=800)
+    rng = np.random.default_rng(21)
+    f = FlowField.initialize(g, dtype=jnp.float32)
+    f = f.replace(u=jnp.asarray(rng.normal(0, .1, g.shape), jnp.float32),
+                  v=jnp.asarray(rng.normal(0, .1, g.shape), jnp.float32),
+                  w=jnp.asarray(rng.normal(0, .1, g.shape), jnp.float32))
+
+    ref = jax.jit(make_projection_step(g, params, dtype=jnp.float32,
+                                       poisson_method=Method.CG,
+                                       poisson_params=pparams))
+    fr, rr = ref(f, 1e-3, 0)
+
+    step, place = make_sharded_step(g, params, _zy_mesh(2, 4),
+                                    "projection", use_pallas=True,
+                                    strict=True, dtype=jnp.float32,
+                                    poisson_method=Method.CG,
+                                    poisson_params=pparams)
+    ff, rf = step(place(f), 1e-3, 0)
+    assert int(rr.status) == int(rf.status) == 0
+    for name in ("u", "v", "w"):
+        np.testing.assert_allclose(np.asarray(getattr(ff, name)),
+                                   np.asarray(getattr(fr, name)),
+                                   atol=1e-5, err_msg=name)
+    np.testing.assert_allclose(np.asarray(ff.p), np.asarray(fr.p),
+                               atol=2e-4)

@@ -778,14 +778,15 @@ def test_fused_sharded_zy_matches_jnp_single_device():
                                atol=5e-5)
 
 
-def test_fused_sharded_zy_cg_refused():
-    """The fused sharded CG pressure solve is z-decomposition-only; asking
-    for it on a (z, y) mesh raises with the reason."""
+def test_fused_sharded_zy_cg_builds():
+    """The fused sharded CG pressure solve covers (z, y) meshes too —
+    the zy projection accepts poisson_method=CG (exact-match coverage in
+    tests/parallel/test_fused_cg_sharded.py)."""
     g = _zy_grid()
     mesh = _zy_mesh(2, 4)
-    with pytest.raises(ValueError, match="z-decomposition-only"):
-        make_fused_sharded_projection_step(
-            g, NSParams(), mesh, poisson_method=Method.CG, interpret=True)
+    step = make_fused_sharded_projection_step(
+        g, NSParams(), mesh, poisson_method=Method.CG, interpret=True)
+    assert step is not None
 
 
 @pytest.mark.heavy

@@ -21,6 +21,7 @@ interior, and shells stay exactly zero through every pass.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from .rolling import make_rolling_stencil, plane_masks, rolling_supported, \
@@ -34,11 +35,28 @@ def bicgstab_kernels_supported(nz: int, ny: int, nx: int) -> bool:
 
 
 class BiCGSTABKernels:
-    """The three fused passes for one (problem geometry, dtype)."""
+    """The three fused passes for one (problem geometry, dtype).
+
+    ``global_nz``/``global_ny``: sharded modes (the `make_lap_dot_sharded`
+    convention) — the pv/st passes operate on halo-padded local blocks,
+    take trailing z_off (and y_off) scalars, mask their stencil OUTPUTS to
+    the global Dirichlet-0 interior (the work-vector COMBINATIONS stay
+    unmasked: inputs are zero on the global shell, and halo planes/rows
+    must carry the neighbor's real values into the 7-point apply), and —
+    under y sharding — restrict the dot contributions to OWNED rows.  The
+    xr pass is pointwise, so sharded callers run the plain kernel on a
+    zero-padded owned block.
+    """
 
     def __init__(self, nz, ny, nx, inv_dx2, inv_dy2, inv_dz2,
-                 dtype=jnp.float32, interpret=False):
+                 dtype=jnp.float32, interpret=False,
+                 global_nz=None, global_ny=None):
         self.shape = (nz, ny, nx)
+        sharded = global_nz is not None
+        sharded_y = global_ny is not None
+        gnz = nz if global_nz is None else global_nz
+        gny = ny if global_ny is None else global_ny
+        n_extra = (1 if sharded else 0) + (1 if sharded_y else 0)
 
         def lap(zm, zc, zp):
             out = ((shift_x(zc, 1) - 2.0 * zc + shift_x(zc, -1)) * inv_dx2
@@ -48,42 +66,67 @@ class BiCGSTABKernels:
                 out = out + (zp - 2.0 * zc + zm) * inv_dz2
             return out
 
-        def interior_mask():
-            m, _, _ = plane_masks(ny, nx, dtype)
-            return m
+        def masks(extra):
+            """(in-plane interior mask, owned-row dot mask, global-z gate
+            fn) from the trailing scalars."""
+            if sharded_y:
+                z_off, y_off = extra
+                jj = jax.lax.broadcasted_iota(jnp.int32, (ny, nx), 0)
+                ii = jax.lax.broadcasted_iota(jnp.int32, (ny, nx), 1)
+                jg = jj + y_off.astype(jnp.int32)
+                mask = ((jg > 0) & (jg < gny - 1) & (ii > 0)
+                        & (ii < nx - 1)).astype(dtype)
+                own = ((jj >= 4) & (jj < ny - 4)).astype(dtype)
+            else:
+                mask, _, _ = plane_masks(ny, nx, dtype)
+                own = None
+                z_off = extra[0] if sharded else None
+
+            def zin(k):
+                if not sharded:
+                    return 1.0
+                gk = k + z_off.astype(jnp.int32)
+                return ((gk > 0) & (gk < gnz - 1)).astype(dtype)
+
+            return mask, own, zin
 
         # ---- pass 1: (r, p, v | r̂; β, ω) → (p', Ap', ⟨r̂,Ap'⟩) ----------
         def pv_compute(k, scalars, halos, planes):
-            beta, omega = scalars
+            beta, omega = scalars[:2]
             rw, pw, vw = halos
             (rhat,) = planes
-            mask = interior_mask()
+            mask, own, zin = masks(scalars[2:])
             # p' at k−1, k, k+1 from the windows (inputs are zero-shelled,
             # so the combination needs no extra plane masking; the in-plane
             # mask keeps the roll wrap out of the operator).
             wm, wc, wp = (rw[d] + beta * (pw[d] - omega * vw[d])
                           for d in range(3))
             wc = wc * mask
-            ap = -lap(wm, wc, wp) * mask
-            return [wc, ap], (jnp.sum(rhat * ap),)
+            ap = -lap(wm, wc, wp) * mask * zin(k)
+            dot = rhat * ap if own is None else rhat * ap * own
+            return [wc * zin(k), ap], (jnp.sum(dot),)
 
         self.pv = make_rolling_stencil(
-            nz, ny, nx, 3, 1, 2, pv_compute, dtype, n_scalars=2,
+            nz, ny, nx, 3, 1, 2, pv_compute, dtype,
+            n_scalars=2 + n_extra,
             reductions=("sum",), interpret=interpret)
 
         # ---- pass 2: (r, v' ; α) → (s, t, ⟨s,s⟩, ⟨t,s⟩, ⟨t,t⟩) -----------
         def st_compute(k, scalars, halos, planes):
-            (alpha,) = scalars
+            alpha = scalars[0]
             rw, vw = halos
-            mask = interior_mask()
+            mask, own, zin = masks(scalars[1:])
             sm, sc, sp = (rw[d] - alpha * vw[d] for d in range(3))
             sc = sc * mask
-            t = -lap(sm, sc, sp) * mask
-            return [sc, t], (jnp.sum(sc * sc), jnp.sum(t * sc),
-                             jnp.sum(t * t))
+            t = -lap(sm, sc, sp) * mask * zin(k)
+            sc = sc * zin(k)
+            dots = ((sc * sc, t * sc, t * t) if own is None
+                    else (sc * sc * own, t * sc * own, t * t * own))
+            return [sc, t], tuple(jnp.sum(d) for d in dots)
 
         self.st = make_rolling_stencil(
-            nz, ny, nx, 2, 0, 2, st_compute, dtype, n_scalars=1,
+            nz, ny, nx, 2, 0, 2, st_compute, dtype,
+            n_scalars=1 + n_extra,
             reductions=("sum", "sum", "sum"), interpret=interpret)
 
         # ---- pass 3: (x, p', s, t, r̂ ; α, ω) → (x', r', ⟨r',r'⟩, ⟨r̂,r'⟩) -

@@ -51,7 +51,8 @@ def make_mg_rb_sweep(nz: int, ny: int, nx: int,
                      inv_dx2: float, inv_dy2: float, inv_dz2: float,
                      inv_factor: float, emit_residual: bool,
                      dtype=jnp.float32, interpret: bool = False,
-                     global_nz: int = None, first_color: str = "red"):
+                     global_nz: int = None, global_ny: int = None,
+                     first_color: str = "red"):
     """Build fn(x_pad, b_pad) → x_new_pad [, residual_pad], or None.
 
     One full red-black Gauss-Seidel sweep of A x = b (A = −∇² on the
@@ -70,11 +71,24 @@ def make_mg_rb_sweep(nz: int, ny: int, nx: int,
     the first/last real plane of each shard, whose z-neighbor's post-sweep
     value lives across the boundary — callers patch those two planes (see
     ``multigrid._sharded_v_cycle``).
+
+    ``global_ny``: additionally y-decomposed ((z, y) 2D device mesh) —
+    ``ny`` is the local row count including FOUR halo rows per side, and
+    the SMEM scalar array carries ``(z_off, y_off)``, y_off the global
+    row of local row 0 (must be EVEN minus any even shard stride so the
+    local checkerboard parity equals the global one — callers use
+    y_off = g0y − 4 with even rows per shard).  In-plane masks key on
+    global rows.  Within the 4-row halo the wavefront self-heals: red is
+    exact on halo rows 1..3 per side (their x-neighbor rows are present),
+    black on rows 2..3, so x_new AND the residual are exact on every
+    OWNED row — no y patch needed (the z patch still is).
     """
     if not mg_sweep_supported(nz, ny, nx):
         return None
     sharded = global_nz is not None
+    sharded_y = global_ny is not None
     gnz = nz if global_nz is None else global_nz
+    gny = ny if global_ny is None else global_ny
     nyp, nxp = pad_dims(ny, nx)
     rows = nz * nyp
 
@@ -97,7 +111,15 @@ def make_mg_rb_sweep(nz: int, ny: int, nx: int,
 
         jj = jax.lax.broadcasted_iota(jnp.int32, (nyp, nxp), 0)
         ii = jax.lax.broadcasted_iota(jnp.int32, (nyp, nxp), 1)
-        row_interior = (jj > 0) & (jj < ny - 1) & (ii > 0) & (ii < nx - 1)
+        if sharded_y:
+            jg = jj + zoff_ref[0, 1].astype(jnp.int32)
+            # local parity == global parity (y_off is even by contract),
+            # so parity_ij below stays on local jj.
+            row_interior = ((jg > 0) & (jg < gny - 1) & (ii > 0)
+                            & (ii < nx - 1))
+        else:
+            row_interior = ((jj > 0) & (jj < ny - 1) & (ii > 0)
+                            & (ii < nx - 1))
         parity_ij = jnp.bitwise_and(ii + jj, 1)
 
         def in_dma(k, slot):
@@ -297,10 +319,14 @@ def make_mg_rb_sweep(nz: int, ny: int, nx: int,
         interpret=interpret,
     )
 
-    def sweep(x_pad, b_pad, z_off=None):
+    def sweep(x_pad, b_pad, z_off=None, y_off=None):
         args = (x_pad.reshape(rows, nxp), b_pad.reshape(rows, nxp))
         if sharded:
-            zo = jnp.asarray(z_off, dtype).reshape(1, 1)
+            if sharded_y:
+                zo = jnp.stack([jnp.asarray(z_off, dtype),
+                                jnp.asarray(y_off, dtype)]).reshape(1, 2)
+            else:
+                zo = jnp.asarray(z_off, dtype).reshape(1, 1)
             args = (zo,) + args
         outs = call(*args)
         if emit_residual:

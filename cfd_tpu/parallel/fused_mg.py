@@ -52,8 +52,10 @@ from ..ops.pallas.mg_kernels import pad_dims
 
 def mg_fused_sharded_unsupported_reason(problem: PoissonProblem,
                                         n_shards: int,
-                                        dtype=jnp.float32) -> str | None:
-    """None when the fused sharded multigrid applies, else a reason."""
+                                        dtype=jnp.float32,
+                                        py: int = 1) -> str | None:
+    """None when the fused sharded multigrid applies, else a reason.
+    ``n_shards`` is the z-shard count; ``py`` the y-shard count."""
     from ..ops.pallas.mg_kernels import mg_sweep_supported
 
     nz, ny, nx = problem.shape
@@ -68,8 +70,13 @@ def mg_fused_sharded_unsupported_reason(problem: PoissonProblem,
     if nzl < 4:
         return (f"nz={nz} over {n_shards} shards leaves {nzl} planes per "
                 "shard (needs >= 4)")
-    if not mg_sweep_supported(nzl + 4, ny, nx):
-        return (f"local block ({nzl}+4, {ny}, {nx}) outside wavefront-"
+    nylq = -(-ny // (2 * py)) * 2         # even rows per shard
+    if py > 1 and nylq < 8:
+        return (f"ny={ny} over {py} y-shards leaves {nylq} rows per "
+                "shard (needs >= 8)")
+    ny_k = (nylq + 8) if py > 1 else ny
+    if not mg_sweep_supported(nzl + 4, ny_k, nx):
+        return (f"local block ({nzl}+4, {ny_k}, {nx}) outside wavefront-"
                 "kernel support (VMEM)")
     return None
 
@@ -81,20 +88,25 @@ def make_multigrid_sharded(problem: PoissonProblem, params: PoissonParams,
     arrays → PoissonResult with ``x`` sharded over the mesh.  Raises on
     unsupported configurations (gate on
     :func:`mg_fused_sharded_unsupported_reason`)."""
-    from .fused import _mesh_z_size
+    from .fused import _mesh_zy_sizes
     from ..ops.pallas.mg_kernels import make_mg_rb_sweep
 
-    n_shards = _mesh_z_size(mesh)
-    if n_shards is None:
-        raise ValueError("fused sharded multigrid needs a z-only mesh "
-                         f"(got axes {dict(mesh.shape)})")
-    reason = mg_fused_sharded_unsupported_reason(problem, n_shards, dtype)
+    sizes = _mesh_zy_sizes(mesh)
+    if sizes is None:
+        raise ValueError("fused sharded multigrid needs a mesh over "
+                         f"('z'[, 'y']) axes (got axes {dict(mesh.shape)})")
+    n_shards, py = sizes
+    reason = mg_fused_sharded_unsupported_reason(problem, n_shards, dtype,
+                                                 py)
     if reason is not None:
         raise ValueError(f"fused sharded multigrid unsupported: {reason}")
     if interpret is None:
         interpret = mesh.devices.flat[0].platform != "tpu"
     if pre < 1 or post < 1:
         raise ValueError("fused sharded multigrid needs pre/post >= 1")
+    if py > 1:
+        return _make_multigrid_sharded_zy(problem, params, mesh, pre, post,
+                                          dtype, interpret, n_shards, py)
 
     nz, ny, nx = problem.shape
     levels = _build_levels(problem)
@@ -272,6 +284,267 @@ def make_multigrid_sharded(problem: PoissonProblem, params: PoissonParams,
         b = problem.zero_boundary(-(rhs.astype(dtype)
                                     - problem.laplacian(x)))
         bp_ = jnp.pad(b, ((0, nzp - nz), (0, nyp - ny), (0, nxp - nx)))
+        res = smapped(bp_)
+        e = res.x[:nz, :ny, :nx]
+        x_f = problem.neumann_bc(x + e)
+        return PoissonResult(x=x_f, iterations=res.iterations,
+                             initial_residual=res.initial_residual,
+                             final_residual=res.final_residual,
+                             status=res.status)
+
+    return solve
+
+
+def _make_multigrid_sharded_zy(problem: PoissonProblem,
+                               params: PoissonParams, mesh: Mesh,
+                               pre: int, post: int, dtype,
+                               interpret: bool, pz: int, py: int):
+    """(z, y) 2D-mesh fused multigrid — the pod-scale decomposition.
+
+    The finest-level wavefront sweeps run in global-row mode
+    (``make_mg_rb_sweep(global_nz, global_ny)``): FOUR halo rows per y
+    side ride an open y ring (exchanged before the two z halo planes so
+    corners arrive in two hops); with even rows per shard the local
+    checkerboard parity equals the global one, and the 4-row halo is deep
+    enough that red, black AND the fused residual are exact on every
+    owned row — only the z-edge residual patch of the z-only path
+    remains (computed here on 1-row y-padded patch planes).  Restriction
+    contracts BOTH z and y against sliced global full-weighting matrices
+    and assembles the replicated coarse rhs with ONE psum over both mesh
+    axes; prolongation slices the replicated coarse field's (z, y) block
+    per shard and interleaves locally.  Iteration counts match the
+    single-chip fused V-cycle (same sweeps, same transfers)."""
+    from ..ops.pallas.mg_kernels import make_mg_rb_sweep
+
+    nz, ny, nx = problem.shape
+    levels = _build_levels(problem)
+    lv0 = levels[0]
+    nzl = -(-nz // (2 * pz)) * 2
+    nzp = nzl * pz
+    nz_c = (nz - 1) // 2 + 1
+    nz_cp = nzp // 2 + 1
+    nzl_c = nzl // 2 + 1
+    nylq = -(-ny // (2 * py)) * 2
+    nyq = nylq * py
+    ny_c = (ny - 1) // 2 + 1
+    ny_cq = nyq // 2 + 1
+    nylq_c = nylq // 2 + 1
+    # kernel block: (nzl+4, nylq+8, nx) logical; rows padded to 8, lanes
+    # to 128 by the kernel's own pad_dims
+    nyk = nylq + 8
+    nyp8, nxp = pad_dims(nyk, nx)
+
+    sweep = make_mg_rb_sweep(nzl + 4, nyk, nx, lv0.inv_dx2, lv0.inv_dy2,
+                             lv0.inv_dz2, lv0.inv_factor, False, dtype,
+                             interpret, global_nz=nz, global_ny=ny)
+    sweep_res = make_mg_rb_sweep(nzl + 4, nyk, nx, lv0.inv_dx2,
+                                 lv0.inv_dy2, lv0.inv_dz2, lv0.inv_factor,
+                                 True, dtype, interpret, global_nz=nz,
+                                 global_ny=ny)
+    if sweep is None or sweep_res is None:
+        raise ValueError("fused sharded zy multigrid: kernel build failed")
+    fused_coarse = _build_fused_levels(levels, pre, post, dtype, interpret,
+                                       min_fused_nx=0)
+
+    # Global z and y full-weighting matrices (interior coarse rows only).
+    Wz = np.zeros((nz_cp, nzp), np.float32)
+    for I in range(1, nz_c - 1):
+        Wz[I, 2 * I - 1] = 0.25
+        Wz[I, 2 * I] = 0.5
+        Wz[I, 2 * I + 1] = 0.25
+    Wzj = jnp.asarray(Wz, dtype)
+    Wy = np.zeros((ny_cq, nyq), np.float32)
+    for I in range(1, ny_c - 1):
+        Wy[I, 2 * I - 1] = 0.25
+        Wy[I, 2 * I] = 0.5
+        Wy[I, 2 * I + 1] = 0.25
+    Wyj = jnp.asarray(Wy, dtype)
+
+    ci = max(1, int(params.check_interval))
+    max_iter = int(params.max_iterations)
+    abs_tol = params.absolute_tolerance
+    fwd_z = [(i, i + 1) for i in range(pz - 1)]
+    bwd_z = [(i + 1, i) for i in range(pz - 1)]
+    fwd_y = [(i, i + 1) for i in range(py - 1)]
+    bwd_y = [(i + 1, i) for i in range(py - 1)]
+    inv_dx2, inv_dy2, inv_dz2 = (lv0.inv_dx2, lv0.inv_dy2, lv0.inv_dz2)
+
+    def ypad4(a):
+        """(K, nylq, nxp) → (K, nylq+8, nxp): open y ring (zeros at the
+        global edges — outside the Dirichlet-0 interior masks)."""
+        if py == 1:
+            return jnp.pad(a, ((0, 0), (4, 4), (0, 0)))
+        lo = lax.ppermute(a[:, -4:], "y", fwd_y)
+        hi = lax.ppermute(a[:, :4], "y", bwd_y)
+        return jnp.concatenate([lo, a, hi], axis=1)
+
+    def hpad2(a):
+        """Two z halo planes per side, applied to a y-padded block so the
+        exchanged planes carry the corner rows."""
+        if pz == 1:
+            return jnp.pad(a, ((2, 2), (0, 0), (0, 0)))
+        lo = lax.ppermute(a[-2:], "z", fwd_z)
+        hi = lax.ppermute(a[:2], "z", bwd_z)
+        return jnp.concatenate([lo, a, hi], axis=0)
+
+    def kpad(a):
+        """Pad the (nzl+4, nylq+8, nxp) halo'd block to the kernel's
+        8-row-aligned row count (trailing rows are never read for owned
+        outputs)."""
+        return jnp.pad(a, ((0, 0), (0, nyp8 - nyk), (0, 0)))
+
+    def kblock(a):
+        return kpad(hpad2(ypad4(a)))
+
+    def unk(o):
+        return o[2:-2, 4:4 + nylq]
+
+    def local_solve(b):
+        zi = lax.axis_index("z")
+        g0 = zi * nzl
+        z_off = (g0 - 2).astype(dtype)
+        yi = lax.axis_index("y")
+        g0y = yi * nylq
+        y_off = (g0y - 4).astype(dtype)
+
+        jj = lax.broadcasted_iota(jnp.int32, (nylq, nxp), 0) + g0y
+        ii = lax.broadcasted_iota(jnp.int32, (nylq, nxp), 1)
+        own_interior = ((jj > 0) & (jj < ny - 1) & (ii > 0)
+                        & (ii < nx - 1))
+
+        bk = kblock(b)
+
+        def do_sweep(xl):
+            return unk(sweep(kblock(xl), bk, z_off, y_off))
+
+        def lap_patch(xm, cp, xp):
+            """Laplacian of one patch plane: cp is the 1-row y-padded
+            plane, xm/xp the owned-row z neighbors."""
+            c = cp[1:-1]
+            return ((jnp.roll(c, -1, -1) - 2.0 * c
+                     + jnp.roll(c, 1, -1)) * inv_dx2
+                    + (cp[2:] - 2.0 * c + cp[:-2]) * inv_dy2
+                    + (xp - 2.0 * c + xm) * inv_dz2)
+
+        def ypad1(a):
+            if py == 1:
+                return jnp.pad(a, ((0, 0), (1, 1), (0, 0)))
+            lo = lax.ppermute(a[:, -1:], "y", fwd_y)
+            hi = lax.ppermute(a[:, :1], "y", bwd_y)
+            return jnp.concatenate([lo, a, hi], axis=1)
+
+        def do_sweep_res(xl):
+            xn_p, r_p = sweep_res(kblock(xl), bk, z_off, y_off)
+            xn = unk(xn_p)
+            r = unk(r_p)
+            # Patch the two shard-edge residual planes (z neighbors live
+            # across the z boundary); their y rows need a 1-row halo.
+            if pz == 1:
+                lo = jnp.zeros_like(xn[:1])
+                hi = jnp.zeros_like(xn[:1])
+            else:
+                lo = lax.ppermute(xn[-1:], "z", fwd_z)
+                hi = lax.ppermute(xn[:1], "z", bwd_z)
+            pp = ypad1(jnp.stack([xn[0], xn[-1], lo[0], hi[0]]))
+            zin0 = (g0 > 0) & (g0 < nz - 1)
+            zinN = (g0 + nzl - 1 > 0) & (g0 + nzl - 1 < nz - 1)
+            r0 = jnp.where(own_interior & zin0,
+                           b[0] + lap_patch(pp[2, 1:-1], pp[0], xn[1]),
+                           0.0)
+            rN = jnp.where(own_interior & zinN,
+                           b[-1] + lap_patch(xn[-2], pp[1], pp[3, 1:-1]),
+                           0.0)
+            r = r.at[0].set(r0).at[-1].set(rN)
+            return xn, r
+
+        def cycle(e):
+            for _ in range(pre - 1):
+                e = do_sweep(e)
+            e, r = do_sweep_res(e)
+            # ---- restriction: x locally, y and z via W contractions ----
+            a1 = _fw_axis(r[:, :, :nx], 2)          # (nzl, nylq, nx_c−2)
+            Wy_loc = lax.dynamic_slice(
+                Wyj, (jnp.int32(0), g0y.astype(jnp.int32)),
+                (ny_cq, nylq))
+            ay = jnp.einsum("CY,zYx->zCx", Wy_loc, a1)
+            Wz_loc = lax.dynamic_slice(
+                Wzj, (jnp.int32(0), g0.astype(jnp.int32)),
+                (nz_cp, nzl))
+            partial = jnp.einsum("cz,zCx->cCx", Wz_loc, ay)
+            full = lax.psum(partial, ("z", "y"))    # replicated
+            lvc = levels[1]
+            r_c = jnp.zeros(lvc.shape, dtype)
+            r_c = r_c.at[1:nz_c - 1, 1:ny_c - 1, 1:-1].set(
+                full[1:nz_c - 1, 1:ny_c - 1])
+            # ---- replicated coarse solve ------------------------------
+            e_c = _v_cycle(levels, 1, r_c, pre, post, False, fused_coarse)
+            # ---- local prolongation -----------------------------------
+            e_czy = jnp.pad(e_c, ((0, nz_cp - nz_c), (0, ny_cq - ny_c),
+                                  (0, 0)))
+            c0 = (g0 // 2).astype(jnp.int32)
+            c0y = (g0y // 2).astype(jnp.int32)
+            ec_loc = lax.dynamic_slice(
+                e_czy, (c0, c0y, jnp.int32(0)),
+                (nzl_c, nylq_c, lvc.shape[2]))
+            ex = _interp_axis(ec_loc, 2)            # (nzl_c, nylq_c, nx)
+            ey = jnp.stack([ex[:, :-1], 0.5 * (ex[:, :-1] + ex[:, 1:])],
+                           axis=2).reshape(nzl_c, nylq, nx)
+            fine = jnp.stack([ey[:-1], 0.5 * (ey[:-1] + ey[1:])],
+                             axis=1).reshape(nzl, nylq, nx)
+            g = g0 + jnp.arange(nzl)
+            zin = ((g > 0) & (g < nz - 1))[:, None, None]
+            fine = jnp.where(zin, fine, 0.0)
+            fine = jnp.pad(fine, ((0, 0), (0, 0), (0, nxp - nx)))
+            fine = fine * own_interior.astype(dtype)
+            e = e + fine
+            # ---- post smoothing; convergence residual rides the last --
+            for _ in range(post - 1):
+                e = do_sweep(e)
+            e, r2 = do_sweep_res(e)
+            rr = lax.psum(jnp.sum(r2 * r2), ("z", "y"))
+            return e, rr
+
+        rr0 = lax.psum(jnp.sum(b * b), ("z", "y"))
+        initial_res = jnp.sqrt(rr0)
+        tol = jnp.maximum(params.tolerance * initial_res, abs_tol)
+        already = initial_res < abs_tol
+
+        def cond(c):
+            return c[3] & (c[1] < max_iter)
+
+        def body(c):
+            e, it, res, _ = c
+            e, rr = cycle(e)
+            res_new = jnp.sqrt(rr)
+            check = (it % ci) == 0
+            converged = check & ((res_new < tol) | (res_new < abs_tol))
+            return (e, it + 1, res_new, ~converged)
+
+        e0 = jnp.zeros_like(b)
+        e_f, it_f, res_f, _ = lax.while_loop(
+            cond, body, (e0, jnp.int32(0), initial_res, ~already))
+        converged = (res_f < tol) | (res_f < abs_tol) | already
+        status = jnp.where(converged, jnp.int32(PoissonStatus.CONVERGED),
+                           jnp.int32(PoissonStatus.MAX_ITER))
+        return PoissonResult(
+            x=e_f,
+            iterations=jnp.where(already, 0, jnp.minimum(it_f, max_iter)),
+            initial_residual=initial_res,
+            final_residual=jnp.where(already, initial_res, res_f),
+            status=status)
+
+    spec = P("z", "y", None)
+    rspec = PoissonResult(x=spec, iterations=P(), initial_residual=P(),
+                          final_residual=P(), status=P())
+    smapped = jax.shard_map(local_solve, mesh=mesh, in_specs=(spec,),
+                            out_specs=rspec, check_vma=False)
+
+    def solve(x, rhs):
+        x = x.astype(dtype)
+        x = problem.neumann_bc(x)
+        b = problem.zero_boundary(-(rhs.astype(dtype)
+                                    - problem.laplacian(x)))
+        bp_ = jnp.pad(b, ((0, nzp - nz), (0, nyq - ny), (0, nxp - nx)))
         res = smapped(bp_)
         e = res.x[:nz, :ny, :nx]
         x_f = problem.neumann_bc(x + e)

@@ -47,8 +47,17 @@ def make_sharded_raw_step(grid: Grid, params: NSParams, mesh: Mesh,
     from .fused import (fused_sharded_unsupported_reason,
                         make_fused_sharded_projection_step)
 
-    use_pallas = bool(kw.pop("use_pallas", False)
-                      or kw.pop("use_pallas_cg", False))
+    up = kw.pop("use_pallas", None)
+    if up is None:
+        # Auto-on-TPU, mirroring the single-chip builders: the SHARDED
+        # dispatch level is safe to auto-enable (it selects the shard_map
+        # fused paths with their explicit ring halos — never the
+        # single-chip kernels under GSPMD), and callers like the
+        # `Simulation` facade get kernel speed without opting in.
+        # Non-qualifying configs fall back with a logged warning.
+        up = mesh.devices.flat[0].platform == "tpu"
+    use_pallas = bool(up or kw.pop("use_pallas_cg", False))
+    kw.pop("use_pallas_cg", None)
     strict = bool(kw.pop("strict", False))
 
     def fallback(reason):
@@ -146,7 +155,11 @@ def make_sharded_step(grid: Grid, params: NSParams, mesh: Mesh,
     mesh/grid qualify; otherwise it falls back to the GSPMD jnp step with
     a logged warning — the single-chip manual-DMA kernels are never run
     under GSPMD partitioning, where their shell passthrough would be
-    silently wrong at shard boundaries.
+    silently wrong at shard boundaries.  Default (None) is
+    auto-on-TPU: fused when the mesh devices are TPUs and the config
+    qualifies, GSPMD jnp otherwise (so `Simulation(mesh=...)` sessions
+    get kernel speed without opting in); pass ``use_pallas=False`` to
+    force the jnp path.
     ``strict=True`` turns that silent fallback into a ValueError carrying
     the disqualifying reason, for callers who *require* kernel speed.
     """

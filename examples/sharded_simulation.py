@@ -52,6 +52,26 @@ if len(devices) in (2, 4, 8):
     print(f"fused fast path: 3 steps, max|u| = {float(resf.max_velocity):.4f}"
           " (ring-halo kernels + distributed DST)")
 
+# --- (z, y) 2D-mesh fused paths (pod scale) ---------------------------------
+# When z-planes alone run out of chips, every integrator also runs fused
+# on a 2D (z, y) mesh: global-row kernels + 4-row y-halo rings + the
+# two-axis pencil DST (projection) — and the fused CG/BiCGSTAB/multigrid
+# Poisson solvers shard the same way.
+if len(devices) == 8:
+    import jax.numpy as jnp
+    from jax.sharding import Mesh
+
+    zymesh = Mesh(np.array(devices).reshape(2, 4), ("z", "y"))
+    gridzy = Grid.uniform(128, 32, 8, zmin=0.0, zmax=1.0)
+    for method in ("projection", "explicit_euler", "rk2"):
+        stepzy, placezy = make_sharded_step(gridzy, params, zymesh, method,
+                                            use_pallas=True, strict=True,
+                                            dtype=jnp.float32)
+        fzy = placezy(FlowField.initialize(gridzy, dtype=jnp.float32))
+        fzy, reszy = stepzy(fzy, 1e-4, 0)
+        assert bool(fzy.is_finite())
+        print(f"zy-mesh fused {method}: ok on mesh {dict(zymesh.shape)}")
+
 # --- Facade-level multi-chip ------------------------------------------------
 # The whole Simulation session (the reference's init_simulation /
 # run_simulation_step / run_simulation_solve surface) takes a mesh too:

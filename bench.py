@@ -153,8 +153,9 @@ def run_euler_3d(n: int = 256, steps: int = 10,
 
 
 def run_euler_2d(n: int = 2048, steps: int = 20) -> float:
-    """2D explicit-Euler MLUPS at n² (XLA-fused jnp path; already 2.5x
-    the reference CUDA ≈569 MLUPS — 2D stencil sweeps fuse well)."""
+    """2D explicit-Euler MLUPS at n² (auto-dispatches the fused
+    single-pass marching kernel, `ops/pallas/euler2d.py`; the jnp path —
+    already 2.5x the reference CUDA ≈569 MLUPS — remains the fallback)."""
     import jax.numpy as jnp
 
     from cfd_tpu import Grid

@@ -712,15 +712,33 @@ def fused_sharded_euler_unsupported_reason(grid: Grid, params: NSParams,
     """None when the fused shard_map Euler path applies, else a reason."""
     from ..ops.pallas.euler_kernels import euler_kernel_supported
 
+    if dtype != jnp.float32:
+        return f"fused kernels are float32-only (got {dtype})"
+    if grid.nz <= 2:
+        # 2D path: y-decomposition feeding the marching kernel.
+        from ..ops.pallas.euler2d import euler2d_supported
+
+        n = _mesh_y_size(mesh)
+        if n is None:
+            return ("fused sharded 2D euler needs a y-only mesh "
+                    f"(got axes {dict(mesh.shape)})")
+        if not (grid.is_uniform("x") and grid.is_uniform("y")):
+            return "fused 2D euler needs uniform x/y spacing"
+        if grid.ny % n != 0 or grid.ny // n < 24:
+            return (f"ny={grid.ny} must be divisible by {n} shards with "
+                    ">= 24 rows per shard")
+        if not euler2d_supported(grid.ny // n + 8, grid.nx):
+            return (f"local block ({grid.ny // n}+8, {grid.nx}) outside "
+                    "block-marching support (nx%128, rows%8, VMEM)")
+        if (params.source_func is not None
+                or params.heat_source_func is not None):
+            return "custom source callables use the jnp path"
+        return None
     sizes = _mesh_zy_sizes(mesh)
     if sizes is None:
         return ("fused sharded euler needs a mesh over ('z'[, 'y']) axes "
                 f"(got axes {dict(mesh.shape)})")
     pz, py = sizes
-    if dtype != jnp.float32:
-        return f"fused kernels are float32-only (got {dtype})"
-    if grid.nz <= 2:
-        return "fused sharded euler is 3D-only"
     if grid.nz % pz != 0 or grid.nz // pz < 3:
         return (f"nz={grid.nz} must be divisible by {pz} shards with >= 3 "
                 "planes per shard")
@@ -769,6 +787,9 @@ def make_fused_sharded_euler_step(grid: Grid, params: NSParams, mesh: Mesh,
         interpret = mesh.devices.flat[0].platform != "tpu"
 
     nz, ny, nx = grid.nz, grid.ny, grid.nx
+    if nz <= 2:
+        return _make_fused_sharded_euler_2d_step(grid, params, mesh,
+                                                 dtype, interpret)
     pz, py = _mesh_zy_sizes(mesh)
     if py > 1:
         return _make_fused_sharded_euler_zy_step(
@@ -873,6 +894,116 @@ def make_fused_sharded_euler_step(grid: Grid, params: NSParams, mesh: Mesh,
 
         u, v, w, p, rho, T = smapped(field.u, field.v, field.w, field.p,
                                      field.rho, field.T, cdt, su, sv, t)
+        new_field = field.replace(u=u, v=v, w=w, p=p, rho=rho, T=T)
+        finite, vmax, pmax, tmax = field_status_and_diagnostics(new_field)
+        status = jnp.where(~finite, jnp.int32(-6), jnp.int32(0))
+        return new_field, StepResult(
+            iterations=jnp.int32(1), status=status,
+            residual=jnp.zeros((), dtype),
+            max_velocity=vmax, max_pressure=pmax, max_temperature=tmax)
+
+    return step
+
+
+def _make_fused_sharded_euler_2d_step(grid: Grid, params: NSParams,
+                                      mesh: Mesh, dtype, interpret: bool):
+    """2D fused shard_map Euler: y-decomposition feeding the single-pass
+    marching kernel (`ops/pallas/euler2d.py` in global-row mode) — the 2D
+    sibling of the fused sharded 2D projection, covering the reference's
+    published 2D explicit-Euler configs multi-chip
+    (`README.md:225-231`).  Four edge rows per side ride ring
+    ``ppermute``s; the global y-face rows of p/rho/T (and T's thermal
+    bottom/top) ride edge-to-edge ppermutes post-kernel; velocity faces
+    keep the caller's input via the kernel's global-row interior mask."""
+    ny, nx = grid.ny, grid.nx
+    n_shards = _mesh_y_size(mesh)
+    nyl = ny // n_shards
+
+    from ..ops.pallas.euler2d import make_euler2d_fused
+    kernel = make_euler2d_fused(
+        nyl + 8, nx, grid.dx0, grid.dy0, grid.xmin, grid.ymin,
+        params.mu, params.pressure_coupling, alpha=params.alpha,
+        beta=params.beta, T_ref=params.T_ref, gravity=params.gravity,
+        thermal_bc=params.thermal_bc, dtype=dtype, interpret=interpret,
+        global_ny=ny)
+    if kernel is None:
+        raise ValueError("fused sharded 2D euler: kernel build failed")
+
+    fwd = [(i, i + 1) for i in range(n_shards - 1)]
+    bwd = [(i + 1, i) for i in range(n_shards - 1)]
+
+    def hpad4(x):
+        """(1, nyl, nx) → (1, nyl+8, nx): four edge rows per side (edge
+        shards get zeros — every consumer keys on the global row)."""
+        if n_shards == 1:
+            return jnp.pad(x, ((0, 0), (4, 4), (0, 0)))
+        lo = lax.ppermute(x[:, -4:], "y", fwd)
+        hi = lax.ppermute(x[:, :4], "y", bwd)
+        return jnp.concatenate([lo, x, hi], axis=1)
+
+    def wrap_y_rows(out, firsty, lasty, yspec=("periodic", "periodic")):
+        """Global y-face rows: "periodic" (cross-shard wrap), "neumann"
+        (adjacent interior row), or a float Dirichlet constant."""
+        lo_spec, hi_spec = yspec
+        if lo_spec == "periodic":
+            src_lo = out[:, nyl - 2:nyl - 1] if n_shards == 1 else \
+                lax.ppermute(out[:, nyl - 2:nyl - 1], "y",
+                             [(n_shards - 1, 0)])
+        elif lo_spec == "neumann":
+            src_lo = out[:, 1:2]
+        else:
+            src_lo = jnp.full_like(out[:, 0:1], lo_spec)
+        if hi_spec == "periodic":
+            src_hi = out[:, 1:2] if n_shards == 1 else \
+                lax.ppermute(out[:, 1:2], "y", [(0, n_shards - 1)])
+        elif hi_spec == "neumann":
+            src_hi = out[:, nyl - 2:nyl - 1]
+        else:
+            src_hi = jnp.full_like(out[:, 0:1], hi_spec)
+        out = out.at[:, 0:1].set(jnp.where(firsty, src_lo, out[:, 0:1]))
+        out = out.at[:, nyl - 1:nyl].set(
+            jnp.where(lasty, src_hi, out[:, nyl - 1:nyl]))
+        return out
+
+    t_yspec = ("periodic", "periodic")
+    if params.energy_enabled:
+        from ..boundary.types import thermal_y_specs
+        t_yspec = thermal_y_specs(params.thermal_bc)
+
+    def local_step(u, v, w, p, rho, T, cdt, su, sv):
+        yi = lax.axis_index("y")
+        firsty = yi == 0
+        lasty = yi == n_shards - 1
+        y_off = (yi * nyl - 4).astype(dtype)
+
+        scal = jnp.stack([cdt, su, sv, y_off])
+        outs = kernel(scal, hpad4(u)[0], hpad4(v)[0], hpad4(w)[0],
+                      hpad4(p)[0], hpad4(T)[0], hpad4(rho)[0])
+        un, vn, wn, pn, rn, Tn = (o[None, 4:-4] for o in outs)
+        pn = wrap_y_rows(pn, firsty, lasty)
+        rn = wrap_y_rows(rn, firsty, lasty)
+        Tn = wrap_y_rows(Tn, firsty, lasty, t_yspec)
+        return un, vn, wn, pn, rn, Tn
+
+    spec = P(None, "y", None)
+    smapped = jax.shard_map(
+        local_step, mesh=mesh,
+        in_specs=(spec,) * 6 + (P(), P(), P()),
+        out_specs=(spec,) * 6,
+        check_vma=False)
+
+    from ..solvers.ns.params import DT_CONSERVATIVE_LIMIT
+
+    def step(field: FlowField, dt, iter_idx):
+        cdt = jnp.minimum(jnp.asarray(dt, dtype),
+                          jnp.asarray(DT_CONSERVATIVE_LIMIT, dtype))
+        t = jnp.asarray(iter_idx, dtype) * cdt
+        decay = jnp.exp(-jnp.asarray(params.source_decay_rate, dtype) * t)
+        su = jnp.asarray(params.source_amplitude_u, dtype) * decay
+        sv = jnp.asarray(params.source_amplitude_v, dtype) * decay
+
+        u, v, w, p, rho, T = smapped(field.u, field.v, field.w, field.p,
+                                     field.rho, field.T, cdt, su, sv)
         new_field = field.replace(u=u, v=v, w=w, p=p, rho=rho, T=T)
         finite, vmax, pmax, tmax = field_status_and_diagnostics(new_field)
         status = jnp.where(~finite, jnp.int32(-6), jnp.int32(0))

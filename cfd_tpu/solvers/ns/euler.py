@@ -73,6 +73,19 @@ def make_euler_step(grid: Grid, params: NSParams, dtype=None,
 
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
+    if (use_pallas and dtype == jnp.float32 and grid.nz <= 2
+            and grid.is_uniform("x") and grid.is_uniform("y")
+            and params.source_func is None
+            and params.heat_source_func is None):
+        from ...ops.pallas.euler2d import make_euler2d_fused
+        fused2d = make_euler2d_fused(
+            grid.ny, grid.nx, grid.dx0, grid.dy0, grid.xmin, grid.ymin,
+            params.mu, params.pressure_coupling, alpha=params.alpha,
+            beta=params.beta, T_ref=params.T_ref, gravity=params.gravity,
+            thermal_bc=params.thermal_bc, dtype=dtype,
+            interpret=pallas_interpret)
+        if fused2d is not None:
+            return _make_fused_euler2d_step(fused2d, grid, params, dtype)
     if (use_pallas and dtype == jnp.float32 and grid.nz > 2
             and grid.dz0 > 1e-10
             and params.source_func is None
@@ -241,6 +254,63 @@ def _make_fused_euler_step(fused, params: NSParams, dtype):
                                      residual=jnp.zeros((), dtype),
                                      max_velocity=jnp.sqrt(m2),
                                      max_pressure=pmaxi,
+                                     max_temperature=tmax)
+
+    return step
+
+
+def _make_fused_euler2d_step(fused, grid: Grid, params: NSParams, dtype):
+    """Wrap the single-pass 2D marching kernel into the step contract.
+    The kernel handles the interior update and the X half of the boundary
+    dance; the global y-face rows (whose periodic wrap sources can live
+    in a different marching block) are restored here: p/rho/T wrap rows
+    ny−2 / 1, T's thermal bottom/top faces per config, velocities keep
+    their input faces via the kernel's interior mask."""
+    from ...boundary.types import thermal_y_specs
+
+    t_yspec = ("periodic", "periodic")
+    if params.energy_enabled:
+        t_yspec = thermal_y_specs(params.thermal_bc)
+    ny = grid.ny
+
+    def wrap_y(q, yspec=("periodic", "periodic")):
+        lo_spec, hi_spec = yspec
+        if lo_spec == "periodic":
+            src_lo = q[:, ny - 2]
+        elif lo_spec == "neumann":
+            src_lo = q[:, 1]
+        else:
+            src_lo = jnp.full_like(q[:, 0], lo_spec)
+        if hi_spec == "periodic":
+            src_hi = q[:, 1]
+        elif hi_spec == "neumann":
+            src_hi = q[:, ny - 2]
+        else:
+            src_hi = jnp.full_like(q[:, 0], hi_spec)
+        return q.at[:, 0].set(src_lo).at[:, ny - 1].set(src_hi)
+
+    def step(field: FlowField, dt, iter_idx):
+        cdt = jnp.minimum(jnp.asarray(dt, dtype),
+                          jnp.asarray(DT_CONSERVATIVE_LIMIT, dtype))
+        t = jnp.asarray(iter_idx, dtype) * cdt
+        decay = jnp.exp(-jnp.asarray(params.source_decay_rate, dtype) * t)
+        scal = jnp.stack([cdt,
+                          jnp.asarray(params.source_amplitude_u, dtype)
+                          * decay,
+                          jnp.asarray(params.source_amplitude_v, dtype)
+                          * decay])
+        u, v, w, p, rho, T = (o[None] for o in fused(
+            scal, field.u[0], field.v[0], field.w[0], field.p[0],
+            field.T[0], field.rho[0]))
+        p = wrap_y(p)
+        rho = wrap_y(rho)
+        T = wrap_y(T, t_yspec)
+        new_field = field.replace(u=u, v=v, w=w, p=p, rho=rho, T=T)
+        finite, vmax, pmax, tmax = field_status_and_diagnostics(new_field)
+        status = jnp.where(finite, jnp.int32(0), jnp.int32(-6))
+        return new_field, StepResult(iterations=jnp.int32(1), status=status,
+                                     residual=jnp.zeros((), dtype),
+                                     max_velocity=vmax, max_pressure=pmax,
                                      max_temperature=tmax)
 
     return step

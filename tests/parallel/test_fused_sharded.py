@@ -984,3 +984,73 @@ def test_fused_sharded_zy_rk4_convection_multi_step():
                 np.asarray(getattr(f_out, name)),
                 np.asarray(getattr(f_ref, name)), atol=2e-5,
                 err_msg=f"{name} mesh ({pz},{py})")
+
+
+def test_fused_sharded_2d_euler_matches_jnp_single_device():
+    """2D fused shard_map Euler (y-decomposition + single-pass marching
+    kernel in global-row mode) matches the single-device jnp step — the
+    reference's published perf configs are 2D explicit Euler
+    (`README.md:225-231`)."""
+    from cfd_tpu.solvers.ns.euler import make_euler_step
+
+    g = Grid.uniform(128, 256)
+    params = NSParams()
+    rng = np.random.default_rng(67)
+    f = FlowField.initialize(g, dtype=jnp.float32)
+    f = f.replace(
+        u=jnp.asarray(rng.normal(0, 0.1, g.shape), jnp.float32),
+        v=jnp.asarray(rng.normal(0, 0.1, g.shape), jnp.float32),
+        p=jnp.asarray(rng.normal(0, 0.1, g.shape), jnp.float32))
+    mesh = make_mesh(axes=("y",))
+
+    ref = jax.jit(make_euler_step(g, params, dtype=jnp.float32,
+                                  use_pallas=False))
+    step, place = make_sharded_step(g, params, mesh, "explicit_euler",
+                                    use_pallas=True, strict=True,
+                                    dtype=jnp.float32)
+    fr, fs = f, place(f)
+    for i in range(3):
+        fr, rr = ref(fr, 1e-4, i)
+        fs, rf = step(fs, 1e-4, i)
+        assert int(rr.status) == int(rf.status) == 0
+    assert len(fs.u.sharding.device_set) == 8
+    for name in ("u", "v", "w", "p", "rho", "T"):
+        np.testing.assert_allclose(np.asarray(getattr(fs, name)),
+                                   np.asarray(getattr(fr, name)),
+                                   atol=1e-6, err_msg=name)
+
+
+def test_fused_sharded_2d_euler_convection():
+    """Energy + Boussinesq + mixed thermal faces through the 2D sharded
+    fused Euler (thermal y faces resolve per type cross-shard)."""
+    from cfd_tpu.boundary.types import (BCType, DirichletValues,
+                                        ThermalBCConfig)
+    from cfd_tpu.solvers.ns.euler import make_euler_step
+
+    thermal = ThermalBCConfig(
+        left=BCType.DIRICHLET, right=BCType.NEUMANN,
+        bottom=BCType.NEUMANN, top=BCType.DIRICHLET,
+        dirichlet_values=DirichletValues(left=305.0, top=295.0))
+    g = Grid.uniform(128, 256)
+    params = NSParams(source_amplitude_u=0.0, source_amplitude_v=0.0,
+                      alpha=1e-3, beta=0.05, T_ref=300.0,
+                      gravity=(0.0, -9.81, 0.0), thermal_bc=thermal)
+    rng = np.random.default_rng(71)
+    f = FlowField.initialize(g, dtype=jnp.float32)
+    f = f.replace(
+        u=jnp.asarray(rng.normal(0, 0.1, g.shape), jnp.float32),
+        T=jnp.asarray(300.0 + rng.normal(0, 1.0, g.shape), jnp.float32))
+    mesh = make_mesh(axes=("y",))
+
+    ref = jax.jit(make_euler_step(g, params, dtype=jnp.float32,
+                                  use_pallas=False))
+    step, place = make_sharded_step(g, params, mesh, "explicit_euler",
+                                    use_pallas=True, strict=True,
+                                    dtype=jnp.float32)
+    fr, rr = ref(f, 1e-4, 0)
+    fs, rf = step(place(f), 1e-4, 0)
+    assert int(rr.status) == int(rf.status) == 0
+    for name in ("u", "v", "p", "T"):
+        np.testing.assert_allclose(np.asarray(getattr(fs, name)),
+                                   np.asarray(getattr(fr, name)),
+                                   atol=1e-6, err_msg=name)

@@ -82,7 +82,9 @@ def make_euler_fused(nz, ny, nx, dx, dy, dz, xmin, ymin,
     (interior mask, sin(πy) source) uses global rows.  The y boundary
     dance (periodic wrap rows / thermal y faces) is SKIPPED in-kernel —
     its source rows live on other shards; the shard_map wrapper restores
-    them (`parallel.fused`).  Mutually exclusive with ``stretch``.
+    them (`parallel.fused`).  With ``stretch`` the kernel only RESERVES
+    the pinned coefficient inputs — the wrapper appends per-shard local
+    row slices of the global pin planes at call time.
 
     ``alpha > 0`` fuses the energy update; ``beta != 0`` the Boussinesq
     sources; ``thermal_bc`` (a ThermalBCConfig) the per-face T BCs —
@@ -104,8 +106,6 @@ def make_euler_fused(nz, ny, nx, dx, dy, dz, xmin, ymin,
     if not euler_kernel_supported(nz, ny, nx, n_pins):
         return None
     sharded_y = global_ny is not None
-    if sharded_y and stretch is not None:
-        return None  # per-shard pin planes not wired; callers gate uniform
     gny = ny if global_ny is None else global_ny
     if stretch is not None and alpha > 0.0 and not consistent:
         # parity + stretched + energy is invalid (energy_solver.c:55-91);
@@ -114,12 +114,18 @@ def make_euler_fused(nz, ny, nx, dx, dy, dz, xmin, ymin,
     from ...boundary.types import BCType
     pins = ()
     if stretch is not None:
-        from .stretch import stretch_pins, stretch_pins_consistent
-        dx_arr, dy_arr, x_coords, y_coords = stretch
-        mk = stretch_pins_consistent if consistent else stretch_pins
-        pins = mk(ny, nx, dx_arr, dy_arr, x_coords, y_coords,
-                  np_dtype=jnp.zeros((), dtype).dtype)
-        inv_2dx = inv_2dy = inv_dx2 = inv_dy2 = None  # from pins in-body
+        if sharded_y:
+            # (z, y) mode: the caller supplies per-shard LOCAL pin slices
+            # (rows of the global pin planes) at call time — the kernel
+            # only reserves the pinned inputs (see `parallel.fused`).
+            inv_2dx = inv_2dy = inv_dx2 = inv_dy2 = None
+        else:
+            from .stretch import stretch_pins, stretch_pins_consistent
+            dx_arr, dy_arr, x_coords, y_coords = stretch
+            mk = stretch_pins_consistent if consistent else stretch_pins
+            pins = mk(ny, nx, dx_arr, dy_arr, x_coords, y_coords,
+                      np_dtype=jnp.zeros((), dtype).dtype)
+            inv_2dx = inv_2dy = inv_dx2 = inv_dy2 = None  # pins in-body
     else:
         inv_2dx = 1.0 / (2.0 * dx)
         inv_2dy = 1.0 / (2.0 * dy)
@@ -358,7 +364,7 @@ def make_euler_fused(nz, ny, nx, dx, dy, dz, xmin, ymin,
         reductions=("max", "max", "max", "max"),
         shell_passthrough=[0, 1, 2, None, None, None],
         shell_sources={3: ("pN2", "p1"), 4: ("pN2", "p1"), 5: t_src},
-        n_pinned=len(pins), interpret=interpret)
+        n_pinned=n_pins, interpret=interpret)
     if run is None or not pins:
         return run
     return lambda scalars, *fields: run(scalars, *fields, *pins)

@@ -82,8 +82,9 @@ def make_rk_stage(nz, ny, nx, dx, dy, dz, xmin, ymin,
     ny−4..ny−1 to the first shard and 0..3 to the last, so shift ∓3 at
     global rows 1 / ny−2 lands on ny−2 / 1 exactly as the single-chip
     circular roll does).  The y boundary dance (periodic face rows /
-    thermal y faces) is wrapper-restored.  Mutually exclusive with
-    ``stretch``.
+    thermal y faces) is wrapper-restored.  With ``stretch`` the kernel
+    only RESERVES the coefficient pins — the wrapper appends per-shard
+    local row slices of the global pin planes after the wrap pins.
 
     final=False: fn(scalars=(factor, acc_mix, weight, su, sv, cdt,
                     z_offset),
@@ -107,20 +108,23 @@ def make_rk_stage(nz, ny, nx, dx, dy, dz, xmin, ymin,
     if not rk_kernel_supported(nz, ny, nx, n_coef):
         return None
     sharded_y = global_ny is not None
-    if sharded_y and stretch is not None:
-        return None  # per-shard pin planes not wired; callers gate uniform
     if stretch is not None and alpha > 0.0 and not consistent:
         # parity + stretched + energy is invalid (energy_solver.c:55-91)
         return None
     from ...boundary.types import BCType
     coef_pins = ()
     if stretch is not None:
-        from .stretch import stretch_pins, stretch_pins_consistent
-        dx_arr, dy_arr, x_coords, y_coords = stretch
-        mk = stretch_pins_consistent if consistent else stretch_pins
-        coef_pins = mk(ny, nx, dx_arr, dy_arr, x_coords, y_coords,
-                       np_dtype=jnp.zeros((), dtype).dtype)
-        inv_2dx = inv_2dy = inv_dx2 = inv_dy2 = None  # from pins in-body
+        if sharded_y:
+            # (z, y) mode: the caller appends per-shard LOCAL coefficient
+            # pin slices after the wrap pins at call time.
+            inv_2dx = inv_2dy = inv_dx2 = inv_dy2 = None
+        else:
+            from .stretch import stretch_pins, stretch_pins_consistent
+            dx_arr, dy_arr, x_coords, y_coords = stretch
+            mk = stretch_pins_consistent if consistent else stretch_pins
+            coef_pins = mk(ny, nx, dx_arr, dy_arr, x_coords, y_coords,
+                           np_dtype=jnp.zeros((), dtype).dtype)
+            inv_2dx = inv_2dy = inv_dx2 = inv_dy2 = None  # pins in-body
     else:
         inv_2dx = 1.0 / (2.0 * dx)
         inv_2dy = 1.0 / (2.0 * dy)
@@ -366,14 +370,14 @@ def make_rk_stage(nz, ny, nx, dx, dy, dz, xmin, ymin,
             shell_sources={0: ("pN2", "p1"), 1: ("pN2", "p1"),
                            2: ("pN2", "p1"), 3: ("pN2", "p1"),
                            4: ("pN2", "p1"), 5: t_src},
-            n_pinned=4 + len(coef_pins), interpret=interpret)
+            n_pinned=4 + n_coef, interpret=interpret)
         if run is None or not coef_pins:
             return run
         return lambda scalars, *fields: run(scalars, *fields, *coef_pins)
     run = make_rolling_stencil(
         nz, ny, nx, 5, 9, 8, compute, dtype, n_scalars=8 if sharded_y else 7,
         shell_passthrough=[5, 6, 7, 8, None, None, None, None],
-        n_pinned=4 + len(coef_pins), interpret=interpret)
+        n_pinned=4 + n_coef, interpret=interpret)
     if run is None or not coef_pins:
         return run
     return lambda scalars, *fields: run(scalars, *fields, *coef_pins)

@@ -162,6 +162,42 @@ def _zy_halo_helpers(nzl: int, nyl: int, pz: int, py: int):
     return ypad, hpad, unpad, wrap_y_rows, wrap_z_shell
 
 
+def _stretch_pins_zy_fn(grid: Grid, params: NSParams, nyl: int, dtype):
+    """Per-shard stretch-pin slicer for the (z, y) fused euler/RK paths,
+    or None on uniform x/y.
+
+    The coefficient/source pin planes are built GLOBALLY (numpy, trace-
+    safe) with 4 edge-replicated halo rows per side, closed over as
+    replicated constants, and each shard dynamic-slices its
+    (2, nyl+8, nx) row window by its y index — halo-row pin values are
+    read only by discarded halo-row outputs, so the edge replication is
+    inert.  The kernels are built in reserve-only mode
+    (``make_euler_fused``/``make_rk_stage`` with ``global_ny`` +
+    ``stretch``) and the wrapper appends these slices at call time."""
+    stretch = _stretch_tuple(grid, params)
+    if stretch is None:
+        return None
+    import numpy as np
+
+    from ..ops.pallas.stretch import stretch_pins, stretch_pins_consistent
+    dx_arr, dy_arr, x_coords, y_coords = stretch
+    mk = (stretch_pins_consistent
+          if params.nonuniform_scheme == "consistent" else stretch_pins)
+    pins_g = mk(grid.ny, grid.nx, dx_arr, dy_arr, x_coords, y_coords,
+                np_dtype=jnp.zeros((), dtype).dtype)
+    padded = [jnp.asarray(np.pad(p, ((0, 0), (4, 4), (0, 0)), mode="edge"))
+              for p in pins_g]
+
+    def local(yi):
+        z32 = jnp.int32(0)
+        start = (yi * nyl).astype(jnp.int32)
+        return [lax.dynamic_slice(p, (z32, start, z32),
+                                  (2, nyl + 8, p.shape[2]))
+                for p in padded]
+
+    return local
+
+
 def _stretch_reason(grid: Grid, params: NSParams) -> str | None:
     """Spacing gate for the sharded euler/RK fused paths — delegates to
     `solvers.ns.common.stretch_gate` (ONE predicate set for single-chip
@@ -742,19 +778,17 @@ def fused_sharded_euler_unsupported_reason(grid: Grid, params: NSParams,
     if grid.nz % pz != 0 or grid.nz // pz < 3:
         return (f"nz={grid.nz} must be divisible by {pz} shards with >= 3 "
                 "planes per shard")
+    from ..solvers.ns.common import stretch_pin_count
     if py > 1:
-        if not (grid.is_uniform("x") and grid.is_uniform("y")):
-            return ("fused sharded euler on a (z, y) mesh needs uniform "
-                    "x/y spacing (stretch pins are z-decomposition-only)")
         nyl = grid.ny // py
         if grid.ny % py != 0 or nyl < 8 or nyl % 8 != 0:
             return (f"ny={grid.ny} must be divisible by {py} y-shards "
                     "with a multiple of 8 (>= 8) rows per shard")
-        if not euler_kernel_supported(grid.nz // pz + 2, nyl + 8, grid.nx):
+        if not euler_kernel_supported(grid.nz // pz + 2, nyl + 8, grid.nx,
+                                      stretch_pin_count(grid, params)):
             return (f"local block ({grid.nz // pz}+2, {nyl}+8, {grid.nx}) "
                     "outside rolling-kernel support (nx%128, VMEM)")
     else:
-        from ..solvers.ns.common import stretch_pin_count
         if not euler_kernel_supported(grid.nz // pz + 2, grid.ny, grid.nx,
                                       stretch_pin_count(grid, params)):
             return (f"local block ({grid.nz // pz}+2, {grid.ny}, {grid.nx}) "
@@ -1040,9 +1074,12 @@ def _make_fused_sharded_euler_zy_step(grid: Grid, params: NSParams,
         grid.xmin, grid.ymin, params.mu, params.pressure_coupling,
         alpha=params.alpha, beta=params.beta, T_ref=params.T_ref,
         gravity=params.gravity, thermal_bc=params.thermal_bc,
+        stretch=_stretch_tuple(grid, params),
+        scheme=params.nonuniform_scheme,
         dtype=dtype, interpret=interpret, global_ny=ny)
     if kernel is None:
         raise ValueError("fused sharded zy euler: kernel build failed")
+    pins_fn = _stretch_pins_zy_fn(grid, params, nyl, dtype)
 
     ypad, hpad, unpad, wrap_y_rows, wrap_z_shell = \
         _zy_halo_helpers(nzl, nyl, pz, py)
@@ -1070,9 +1107,11 @@ def _make_fused_sharded_euler_zy_step(grid: Grid, params: NSParams,
         y_off = (yi * nyl - 4).astype(dtype)
 
         scal = jnp.stack([cdt, su, sv, t, y_off])
+        pins_loc = () if pins_fn is None else tuple(pins_fn(yi))
         outs = kernel(scal, hpad(ypad(u)), hpad(ypad(v)), hpad(ypad(w)),
                       hpad(ypad(p)), hpad(ypad(T)),
-                      jnp.pad(rho, ((1, 1), (4, 4), (0, 0))))
+                      jnp.pad(rho, ((1, 1), (4, 4), (0, 0))),
+                      *pins_loc)
         un, vn, wn, pn, rn, Tn = (unpad(o) for o in outs[:6])
         # x faces wrapped in-kernel; y rows, then z planes (corner owners)
         pn = wrap_y_rows(pn, firsty, lasty)
@@ -1133,19 +1172,17 @@ def fused_sharded_rk_unsupported_reason(grid: Grid, params: NSParams,
     if grid.nz % pz != 0 or grid.nz // pz < 3:
         return (f"nz={grid.nz} must be divisible by {pz} shards with >= 3 "
                 "planes per shard")
+    from ..solvers.ns.common import stretch_pin_count
     if py > 1:
-        if not (grid.is_uniform("x") and grid.is_uniform("y")):
-            return ("fused sharded rk on a (z, y) mesh needs uniform "
-                    "x/y spacing (stretch pins are z-decomposition-only)")
         nyl = grid.ny // py
         if grid.ny % py != 0 or nyl < 8 or nyl % 8 != 0:
             return (f"ny={grid.ny} must be divisible by {py} y-shards "
                     "with a multiple of 8 (>= 8) rows per shard")
-        if not rk_kernel_supported(grid.nz // pz + 2, nyl + 8, grid.nx):
+        if not rk_kernel_supported(grid.nz // pz + 2, nyl + 8, grid.nx,
+                                   stretch_pin_count(grid, params)):
             return (f"local block ({grid.nz // pz}+2, {nyl}+8, {grid.nx}) "
                     "outside rolling-kernel support (nx%128, VMEM)")
     else:
-        from ..solvers.ns.common import stretch_pin_count
         if not rk_kernel_supported(grid.nz // pz + 2, grid.ny, grid.nx,
                                    stretch_pin_count(grid, params)):
             return (f"local block ({grid.nz // pz}+2, {grid.ny}, {grid.nx}) "
@@ -1370,7 +1407,9 @@ def _make_fused_sharded_rk_zy_step(grid: Grid, params: NSParams,
     from ..ops.pallas.rk_kernels import make_rk_stage
     thermal_kw = dict(alpha=params.alpha, beta=params.beta,
                       T_ref=params.T_ref, gravity=params.gravity,
-                      thermal_bc=params.thermal_bc)
+                      thermal_bc=params.thermal_bc,
+                      stretch=_stretch_tuple(grid, params),
+                      scheme=params.nonuniform_scheme)
     mid = make_rk_stage(nzl + 2, nyl + 8, nx, grid.dx0, grid.dy0,
                         grid.dz0, grid.xmin, grid.ymin, params.mu,
                         params.pressure_coupling, final=False,
@@ -1383,6 +1422,7 @@ def _make_fused_sharded_rk_zy_step(grid: Grid, params: NSParams,
                         interpret=interpret, **thermal_kw)
     if mid is None or fin is None:
         raise ValueError("fused sharded zy rk: kernel build failed")
+    pins_fn = _stretch_pins_zy_fn(grid, params, nyl, dtype)
 
     ypad, hpad, unpad, wrap_y_rows, wrap_z_shell = \
         _zy_halo_helpers(nzl, nyl, pz, py)
@@ -1441,10 +1481,12 @@ def _make_fused_sharded_rk_zy_step(grid: Grid, params: NSParams,
         Tp_ = hpad(ypad(T))
         acc = tuple(jnp.zeros_like(q0p[0]) for _ in range(4))
 
+        coef_loc = () if pins_fn is None else tuple(pins_fn(yi))
+
         def run_mid(state, acc, factor, weight):
             outs = mid(scal(factor, zero, weight),
                        *(hpad(ypad(s)) for s in state), Tp_, *q0p, rhop,
-                       *acc, *pins(state))
+                       *acc, *pins(state), *coef_loc)
             return (tuple(unpad(o) for o in outs[:4]),
                     tuple(zy0pad(unpad(o)) for o in outs[4:8]))
 
@@ -1452,14 +1494,14 @@ def _make_fused_sharded_rk_zy_step(grid: Grid, params: NSParams,
             s1, a1 = run_mid(q0, acc, dtc, one)
             outs = fin(scal(0.5 * dtc, one, zero),
                        *(hpad(ypad(s)) for s in s1), Tp_, *q0p, rhop,
-                       *a1, *pins(s1))
+                       *a1, *pins(s1), *coef_loc)
         else:
             s1, a1 = run_mid(q0, acc, 0.5 * dtc, one)
             s2, a2 = run_mid(s1, a1, 0.5 * dtc, 2.0 * one)
             s3, a3 = run_mid(s2, a2, dtc, 2.0 * one)
             outs = fin(scal(dtc / 6.0, one, zero),
                        *(hpad(ypad(s)) for s in s3), Tp_, *q0p, rhop,
-                       *a3, *pins(s3))
+                       *a3, *pins(s3), *coef_loc)
         un, vn, wn, pn, rn, Tn = (unpad(o) for o in outs[:6])
         # RK wraps ALL variables: y rows first, then z planes (corner
         # owners); T's faces honor the thermal config.

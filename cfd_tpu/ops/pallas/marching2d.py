@@ -58,14 +58,21 @@ def make_marching_stencil_2d(ny: int, nx: int,
                              compute: Callable,
                              dtype=jnp.float32,
                              n_scalars: int = 0,
+                             n_pinned: int = 0,
+                             pinned_rows: int = 8,
                              interpret: bool = False):
     """Build the marching kernel.
 
-    compute(row0, scalars, halo_triples, planes) → outs
+    compute(row0, scalars, halo_triples, planes[, pinned]) → outs
       * row0: int32 global row index of the block's first row
       * scalars: list of n_scalars float scalars (from SMEM)
       * halo_triples: per halo input, (prev, cur, next) (B, nx) blocks
       * planes: per plane input, its (B, nx) block
+      * pinned: per pinned input, its full (pinned_rows, nx) array —
+        fetched into VMEM ONCE at the prologue and resident for the whole
+        march (the 2D twin of the rolling engine's z-wrap pins); used for
+        rows whose stencil sources live in a non-neighboring block (e.g.
+        periodic-interior y-wrap rows)
       * outs: list of n_out (B, nx) blocks — every row final
 
     Returns fn(scalars_array, *fields) → outs on (ny, nx) arrays, or None
@@ -75,7 +82,7 @@ def make_marching_stencil_2d(ny: int, nx: int,
     if B is None:
         return None
     nyb = ny // B
-    n_in = n_halo + n_plane
+    n_in = n_halo + n_plane + n_pinned
 
     def kernel(*refs):
         idx = 0
@@ -85,8 +92,12 @@ def make_marching_stencil_2d(ny: int, nx: int,
         rings = refs[idx:idx + n_halo]; idx += n_halo
         stages = refs[idx:idx + n_plane]; idx += n_plane
         obufs = refs[idx:idx + n_out]; idx += n_out
+        pbufs = refs[idx:idx + n_pinned]; idx += n_pinned
         in_sems = refs[idx]; idx += 1
         out_sems = refs[idx]; idx += 1
+        pin_sems = None
+        if n_pinned:
+            pin_sems = refs[idx]; idx += 1
 
         scalars = [scal_ref[0, i] for i in range(n_scalars)]
 
@@ -118,9 +129,18 @@ def make_marching_stencil_2d(ny: int, nx: int,
                 d.wait()
 
         # Prologue: fetch blocks 0 and 1; block 2 prefetches inside c=0.
+        # Pinned inputs land whole in VMEM, once.
+        pins = []
+        for q in range(n_pinned):
+            d = pltpu.make_async_copy(
+                in_hbm[n_halo + n_plane + q], pbufs[q], pin_sems.at[q])
+            d.start()
+            pins.append(d)
         start_all(in_dma(0, 0))
         start_all(in_dma(1, 1))
         wait_all(in_dma(0, 0))
+        for d in pins:
+            d.wait()
 
         def body(c, carry):
             c = jnp.asarray(c, jnp.int32)
@@ -145,7 +165,11 @@ def make_marching_stencil_2d(ny: int, nx: int,
             planes = [stages[b][jax.lax.rem(c, jnp.int32(3))]
                       for b in range(n_plane)]
 
-            outs = compute(c * B, scalars, halo_triples, planes)
+            if n_pinned:
+                outs = compute(c * B, scalars, halo_triples, planes,
+                               [pbufs[q][...] for q in range(n_pinned)])
+            else:
+                outs = compute(c * B, scalars, halo_triples, planes)
 
             s_out = jax.lax.rem(c, jnp.int32(2))
             for o in range(n_out):
@@ -176,15 +200,21 @@ def make_marching_stencil_2d(ny: int, nx: int,
             [pltpu.VMEM((4, B, nx), dtype) for _ in range(n_halo)]
             + [pltpu.VMEM((3, B, nx), dtype) for _ in range(n_plane)]
             + [pltpu.VMEM((2, B, nx), dtype) for _ in range(n_out)]
-            + [pltpu.SemaphoreType.DMA((2, n_in)),
-               pltpu.SemaphoreType.DMA((2, n_out))]),
+            + [pltpu.VMEM((pinned_rows, nx), dtype)
+               for _ in range(n_pinned)]
+            + [pltpu.SemaphoreType.DMA((2, n_halo + n_plane)),
+               pltpu.SemaphoreType.DMA((2, n_out))]
+            + ([pltpu.SemaphoreType.DMA((n_pinned,))] if n_pinned else [])),
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
     )
 
     def run(scalars, *fields):
+        # trailing n_pinned args are (pinned_rows, nx); the rest (ny, nx)
         scal = jnp.asarray(scalars, dtype).reshape(1, max(1, n_scalars))
-        flat = [f.reshape(ny, nx) for f in fields]
-        return call(scal, *flat)
+        n_march = len(fields) - n_pinned
+        flat = [f.reshape(ny, nx) for f in fields[:n_march]]
+        pins = [f.reshape(pinned_rows, nx) for f in fields[n_march:]]
+        return call(scal, *flat, *pins)
 
     return run

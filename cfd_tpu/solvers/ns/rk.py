@@ -170,6 +170,91 @@ def _make_fused_rk_step(mid, final, params: NSParams, order: int, nz, dtype):
     return step
 
 
+def _make_fused_rk2d_step(mid, final, grid: Grid, params: NSParams,
+                          order: int, dtype):
+    """Chain the fused 2D marching stage kernels (`ops/pallas/rk2d.py`)
+    into a full RK step.  The kernels handle the interior stages and the
+    X half of the final periodic wrap; the global y-face rows (whose wrap
+    sources can live in a different marching block) are restored here —
+    periodic on everything (RK wraps velocities too), then T's thermal
+    bottom/top faces."""
+    from ...boundary.types import thermal_y_specs
+
+    ny = grid.ny
+    t_yspec = ("periodic", "periodic")
+    if params.energy_enabled:
+        t_yspec = thermal_y_specs(params.thermal_bc)
+
+    def wrap_y(q, yspec=("periodic", "periodic")):
+        lo_spec, hi_spec = yspec
+        if lo_spec == "periodic":
+            src_lo = q[:, ny - 2]
+        elif lo_spec == "neumann":
+            src_lo = q[:, 1]
+        else:
+            src_lo = jnp.full_like(q[:, 0], lo_spec)
+        if hi_spec == "periodic":
+            src_hi = q[:, 1]
+        elif hi_spec == "neumann":
+            src_hi = q[:, ny - 2]
+        else:
+            src_hi = jnp.full_like(q[:, 0], hi_spec)
+        return q.at[:, 0].set(src_lo).at[:, ny - 1].set(src_hi)
+
+    def pins(state):
+        # (8, nx): rows 0-3 = (u,v,w,p) at global row ny−2 ("far"),
+        # rows 4-7 = the same fields at global row 1 ("near").
+        return jnp.concatenate([jnp.stack([s[ny - 2] for s in state]),
+                                jnp.stack([s[1] for s in state])])
+
+    def step(field: FlowField, dt, iter_idx):
+        dtc = jnp.asarray(dt, dtype)
+        t = jnp.asarray(iter_idx, dtype) * dtc
+        decay = jnp.exp(-jnp.asarray(params.source_decay_rate, dtype) * t)
+        su = jnp.asarray(params.source_amplitude_u, dtype) * decay
+        sv = jnp.asarray(params.source_amplitude_v, dtype) * decay
+        zero = jnp.zeros((), dtype)
+        one = jnp.ones((), dtype)
+
+        def scal(factor, acc_mix, weight):
+            return jnp.stack([jnp.asarray(factor, dtype),
+                              jnp.asarray(acc_mix, dtype),
+                              jnp.asarray(weight, dtype), su, sv, dtc])
+
+        q0 = (field.u[0], field.v[0], field.w[0], field.p[0])
+        rho, T = field.rho[0], field.T[0]
+        acc0 = tuple(jnp.zeros_like(q0[0]) for _ in range(4))
+
+        def run_mid(state, acc, factor, weight):
+            outs = mid(scal(factor, zero, weight),
+                       *state, T, *q0, rho, *acc, pins(state))
+            return tuple(outs[:4]), tuple(outs[4:8])
+
+        if order == 2:
+            s1, acc1 = run_mid(q0, acc0, dtc, one)
+            outs = final(scal(0.5 * dtc, one, zero),
+                         *s1, T, *q0, rho, *acc1, pins(s1))
+        else:
+            s1, acc1 = run_mid(q0, acc0, 0.5 * dtc, one)
+            s2, acc2 = run_mid(s1, acc1, 0.5 * dtc, 2.0 * one)
+            s3, acc3 = run_mid(s2, acc2, dtc, 2.0 * one)
+            outs = final(scal(dtc / 6.0, one, zero),
+                         *s3, T, *q0, rho, *acc3, pins(s3))
+        u, v, w, p, rho_o, T_o = (o[None] for o in outs)
+        u, v, w = wrap_y(u), wrap_y(v), wrap_y(w)
+        p, rho_o = wrap_y(p), wrap_y(rho_o)
+        T_o = wrap_y(T_o, t_yspec)
+        new_field = field.replace(u=u, v=v, w=w, p=p, rho=rho_o, T=T_o)
+        finite, vmax, pmax, tmax = field_status_and_diagnostics(new_field)
+        status = jnp.where(finite, jnp.int32(0), jnp.int32(-6))
+        return new_field, StepResult(iterations=jnp.int32(1), status=status,
+                                     residual=jnp.zeros((), dtype),
+                                     max_velocity=vmax, max_pressure=pmax,
+                                     max_temperature=tmax)
+
+    return step
+
+
 def _make_rk_step(grid: Grid, params: NSParams, order: int, dtype=None,
                   use_pallas=None, pallas_interpret: bool = False,
                   differentiable: bool = False):
@@ -192,6 +277,23 @@ def _make_rk_step(grid: Grid, params: NSParams, order: int, dtype=None,
 
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
+    if (use_pallas and dtype == jnp.float32 and grid.nz <= 2
+            and grid.is_uniform("x") and grid.is_uniform("y")
+            and params.source_func is None
+            and params.heat_source_func is None):
+        from ...ops.pallas.rk2d import make_rk2d_stage
+        kw2 = dict(alpha=params.alpha, beta=params.beta, T_ref=params.T_ref,
+                   gravity=params.gravity, thermal_bc=params.thermal_bc,
+                   dtype=dtype, interpret=pallas_interpret)
+        mid2 = make_rk2d_stage(grid.ny, grid.nx, grid.dx0, grid.dy0,
+                               grid.xmin, grid.ymin, params.mu,
+                               params.pressure_coupling, final=False, **kw2)
+        fin2 = make_rk2d_stage(grid.ny, grid.nx, grid.dx0, grid.dy0,
+                               grid.xmin, grid.ymin, params.mu,
+                               params.pressure_coupling, final=True, **kw2)
+        if mid2 is not None and fin2 is not None:
+            return _make_fused_rk2d_step(mid2, fin2, grid, params, order,
+                                         dtype)
     if (use_pallas and dtype == jnp.float32 and grid.nz > 2
             and grid.dz0 > 1e-10
             and params.source_func is None

@@ -1160,15 +1160,33 @@ def fused_sharded_rk_unsupported_reason(grid: Grid, params: NSParams,
     """None when the fused shard_map RK path applies, else a reason."""
     from ..ops.pallas.rk_kernels import rk_kernel_supported
 
+    if dtype != jnp.float32:
+        return f"fused kernels are float32-only (got {dtype})"
+    if grid.nz <= 2:
+        # 2D path: y-decomposition feeding the marching stage kernels.
+        from ..ops.pallas.rk2d import rk2d_supported
+
+        n = _mesh_y_size(mesh)
+        if n is None:
+            return ("fused sharded 2D rk needs a y-only mesh "
+                    f"(got axes {dict(mesh.shape)})")
+        if not (grid.is_uniform("x") and grid.is_uniform("y")):
+            return "fused 2D rk needs uniform x/y spacing"
+        if grid.ny % n != 0 or grid.ny // n < 24:
+            return (f"ny={grid.ny} must be divisible by {n} shards with "
+                    ">= 24 rows per shard")
+        if not rk2d_supported(grid.ny // n + 8, grid.nx):
+            return (f"local block ({grid.ny // n}+8, {grid.nx}) outside "
+                    "block-marching support (nx%128, rows%8, VMEM)")
+        if (params.source_func is not None
+                or params.heat_source_func is not None):
+            return "custom source callables use the jnp path"
+        return None
     sizes = _mesh_zy_sizes(mesh)
     if sizes is None:
         return ("fused sharded rk needs a mesh over ('z'[, 'y']) axes "
                 f"(got axes {dict(mesh.shape)})")
     pz, py = sizes
-    if dtype != jnp.float32:
-        return f"fused kernels are float32-only (got {dtype})"
-    if grid.nz <= 2:
-        return "fused sharded rk is 3D-only"
     if grid.nz % pz != 0 or grid.nz // pz < 3:
         return (f"nz={grid.nz} must be divisible by {pz} shards with >= 3 "
                 "planes per shard")
@@ -1213,6 +1231,9 @@ def make_fused_sharded_rk_step(grid: Grid, params: NSParams, mesh: Mesh,
         interpret = mesh.devices.flat[0].platform != "tpu"
 
     nz, ny, nx = grid.nz, grid.ny, grid.nx
+    if nz <= 2:
+        return _make_fused_sharded_rk_2d_step(grid, params, mesh, order,
+                                              dtype, interpret)
     pz, py = _mesh_zy_sizes(mesh)
     if py > 1:
         return _make_fused_sharded_rk_zy_step(
@@ -1360,6 +1381,165 @@ def make_fused_sharded_rk_step(grid: Grid, params: NSParams, mesh: Mesh,
         return un, vn, wn, pn, rn, Tn
 
     spec = P("z", None, None)
+    smapped = jax.shard_map(
+        local_step, mesh=mesh,
+        in_specs=(spec,) * 6 + (P(), P(), P()),
+        out_specs=(spec,) * 6,
+        check_vma=False)
+
+    def step(field: FlowField, dt, iter_idx):
+        dtc = jnp.asarray(dt, dtype)
+        t = jnp.asarray(iter_idx, dtype) * dtc
+        decay = jnp.exp(-jnp.asarray(params.source_decay_rate, dtype) * t)
+        su = jnp.asarray(params.source_amplitude_u, dtype) * decay
+        sv = jnp.asarray(params.source_amplitude_v, dtype) * decay
+
+        u, v, w, p, rho, T = smapped(field.u, field.v, field.w, field.p,
+                                     field.rho, field.T, dtc, su, sv)
+        new_field = field.replace(u=u, v=v, w=w, p=p, rho=rho, T=T)
+        finite, vmax, pmax, tmax = field_status_and_diagnostics(new_field)
+        status = jnp.where(~finite, jnp.int32(-6), jnp.int32(0))
+        return new_field, StepResult(
+            iterations=jnp.int32(1), status=status,
+            residual=jnp.zeros((), dtype),
+            max_velocity=vmax, max_pressure=pmax, max_temperature=tmax)
+
+    return step
+
+
+def _make_fused_sharded_rk_2d_step(grid: Grid, params: NSParams,
+                                   mesh: Mesh, order: int, dtype,
+                                   interpret: bool):
+    """2D fused shard_map RK2/RK4: y-decomposition feeding the marching
+    stage kernels (`ops/pallas/rk2d.py` in global-row mode) — the 2D
+    sibling of the fused sharded 2D Euler.  Four edge rows per side ride
+    ring ``ppermute``s per stage; the periodic-interior y-wrap pin rows
+    (global rows ny−2 and 1 of each stage state) ride ONE batched psum
+    per stage; the final state's global y-face rows wrap cross-shard for
+    ALL variables (RK wraps velocities too), T per the thermal config."""
+    ny, nx = grid.ny, grid.nx
+    n_shards = _mesh_y_size(mesh)
+    nyl = ny // n_shards
+
+    from ..ops.pallas.rk2d import make_rk2d_stage
+    kw = dict(alpha=params.alpha, beta=params.beta, T_ref=params.T_ref,
+              gravity=params.gravity, thermal_bc=params.thermal_bc,
+              dtype=dtype, interpret=interpret, global_ny=ny)
+    mid = make_rk2d_stage(nyl + 8, nx, grid.dx0, grid.dy0, grid.xmin,
+                          grid.ymin, params.mu, params.pressure_coupling,
+                          final=False, **kw)
+    fin = make_rk2d_stage(nyl + 8, nx, grid.dx0, grid.dy0, grid.xmin,
+                          grid.ymin, params.mu, params.pressure_coupling,
+                          final=True, **kw)
+    if mid is None or fin is None:
+        raise ValueError("fused sharded 2D rk: kernel build failed")
+
+    fwd = [(i, i + 1) for i in range(n_shards - 1)]
+    bwd = [(i + 1, i) for i in range(n_shards - 1)]
+
+    def hpad4(x):
+        """(nyl, nx) → (nyl+8, nx): four edge rows per side (edge shards
+        get zeros — every consumer keys on the global row)."""
+        if n_shards == 1:
+            return jnp.pad(x, ((4, 4), (0, 0)))
+        lo = lax.ppermute(x[-4:], "y", fwd)
+        hi = lax.ppermute(x[:4], "y", bwd)
+        return jnp.concatenate([lo, x, hi], axis=0)
+
+    def ypad0(x):
+        return jnp.pad(x, ((4, 4), (0, 0)))
+
+    def pins(state):
+        """(8, nx): rows 0-3 = (u,v,w,p) at global row ny−2, rows 4-7 at
+        global row 1, broadcast to every shard via ONE batched psum."""
+        if n_shards == 1:
+            return jnp.concatenate(
+                [jnp.stack([s[nyl - 2] for s in state]),
+                 jnp.stack([s[1] for s in state])])
+        yi = lax.axis_index("y")
+        far = jnp.stack([jnp.where(yi == n_shards - 1, s[nyl - 2],
+                                   jnp.zeros_like(s[0])) for s in state])
+        near = jnp.stack([jnp.where(yi == 0, s[1],
+                                    jnp.zeros_like(s[0])) for s in state])
+        return lax.psum(jnp.concatenate([far, near]), "y")
+
+    def wrap_y_rows(out, firsty, lasty, yspec=("periodic", "periodic")):
+        """Global y-face rows on (nyl, nx) shards: "periodic" (cross-shard
+        wrap), "neumann" (adjacent interior row), or a Dirichlet float."""
+        lo_spec, hi_spec = yspec
+        if lo_spec == "periodic":
+            src_lo = out[nyl - 2:nyl - 1] if n_shards == 1 else \
+                lax.ppermute(out[nyl - 2:nyl - 1], "y",
+                             [(n_shards - 1, 0)])
+        elif lo_spec == "neumann":
+            src_lo = out[1:2]
+        else:
+            src_lo = jnp.full_like(out[0:1], lo_spec)
+        if hi_spec == "periodic":
+            src_hi = out[1:2] if n_shards == 1 else \
+                lax.ppermute(out[1:2], "y", [(0, n_shards - 1)])
+        elif hi_spec == "neumann":
+            src_hi = out[nyl - 2:nyl - 1]
+        else:
+            src_hi = jnp.full_like(out[0:1], hi_spec)
+        out = out.at[0:1].set(jnp.where(firsty, src_lo, out[0:1]))
+        out = out.at[nyl - 1:nyl].set(
+            jnp.where(lasty, src_hi, out[nyl - 1:nyl]))
+        return out
+
+    t_yspec = ("periodic", "periodic")
+    if params.energy_enabled:
+        from ..boundary.types import thermal_y_specs
+        t_yspec = thermal_y_specs(params.thermal_bc)
+
+    def local_step(u, v, w, p, rho, T, dtc, su, sv):
+        yi = lax.axis_index("y")
+        firsty = yi == 0
+        lasty = yi == n_shards - 1
+        zero = jnp.zeros((), dtype)
+        one = jnp.ones((), dtype)
+        y_off = (yi * nyl - 4).astype(dtype)
+
+        def scal(factor, acc_mix, weight):
+            return jnp.stack([factor, acc_mix, weight, su, sv, dtc,
+                              y_off])
+
+        q0 = (u[0], v[0], w[0], p[0])
+        q0p = tuple(ypad0(q) for q in q0)
+        rhop = ypad0(rho[0])
+        Tp_ = hpad4(T[0])
+        acc = tuple(jnp.zeros_like(q0p[0]) for _ in range(4))
+
+        def run_mid(state, acc, factor, weight):
+            outs = mid(scal(factor, zero, weight),
+                       *(hpad4(s) for s in state), Tp_, *q0p, rhop,
+                       *acc, pins(state))
+            return (tuple(o[4:-4] for o in outs[:4]),
+                    tuple(ypad0(o[4:-4]) for o in outs[4:8]))
+
+        if order == 2:
+            s1, a1 = run_mid(q0, acc, dtc, one)
+            outs = fin(scal(0.5 * dtc, one, zero),
+                       *(hpad4(s) for s in s1), Tp_, *q0p, rhop,
+                       *a1, pins(s1))
+        else:
+            s1, a1 = run_mid(q0, acc, 0.5 * dtc, one)
+            s2, a2 = run_mid(s1, a1, 0.5 * dtc, 2.0 * one)
+            s3, a3 = run_mid(s2, a2, dtc, 2.0 * one)
+            outs = fin(scal(dtc / 6.0, one, zero),
+                       *(hpad4(s) for s in s3), Tp_, *q0p, rhop,
+                       *a3, pins(s3))
+        un, vn, wn, pn, rn, Tn = (o[4:-4] for o in outs)
+        un = wrap_y_rows(un, firsty, lasty)
+        vn = wrap_y_rows(vn, firsty, lasty)
+        wn = wrap_y_rows(wn, firsty, lasty)
+        pn = wrap_y_rows(pn, firsty, lasty)
+        rn = wrap_y_rows(rn, firsty, lasty)
+        Tn = wrap_y_rows(Tn, firsty, lasty, t_yspec)
+        return (un[None], vn[None], wn[None], pn[None], rn[None],
+                Tn[None])
+
+    spec = P(None, "y", None)
     smapped = jax.shard_map(
         local_step, mesh=mesh,
         in_specs=(spec,) * 6 + (P(), P(), P()),

@@ -1127,3 +1127,87 @@ def test_fused_sharded_zy_rk2_stretched_consistent():
         np.testing.assert_allclose(np.asarray(getattr(ff, name)),
                                    np.asarray(getattr(fr, name)),
                                    atol=1e-5, err_msg=name)
+
+
+@pytest.mark.parametrize("method,maker_name", [("rk2", "make_rk2_step"),
+                                               ("rk4", "make_rk4_step")])
+def test_fused_sharded_2d_rk_matches_jnp_single_device(method, maker_name):
+    """2D fused shard_map RK (y-decomposition + marching stage kernels in
+    global-row mode, psum y-wrap pins) matches the single-device jnp
+    step — RK wraps velocities too, so every face crosses shards."""
+    import cfd_tpu.solvers.ns.rk as rk_mod
+
+    g = Grid.uniform(128, 256)
+    params = NSParams()
+    f = _random_field(g, seed=73)
+    mesh = make_mesh(axes=("y",))
+
+    ref = jax.jit(getattr(rk_mod, maker_name)(g, params, dtype=jnp.float32,
+                                              use_pallas=False))
+    step, place = make_sharded_step(g, params, mesh, method,
+                                    use_pallas=True, strict=True,
+                                    dtype=jnp.float32)
+    fr, fs = f, place(f)
+    for i in range(3):
+        fr, rr = ref(fr, 1e-3, i)
+        fs, rf = step(fs, 1e-3, i)
+        assert int(rr.status) == int(rf.status) == 0
+    assert len(fs.u.sharding.device_set) == 8
+    for name in ("u", "v", "w", "p", "rho", "T"):
+        np.testing.assert_allclose(np.asarray(getattr(fs, name)),
+                                   np.asarray(getattr(fr, name)),
+                                   atol=1e-6, err_msg=name)
+
+
+def test_fused_sharded_2d_rk_convection():
+    """Energy + Boussinesq + mixed thermal faces through the 2D sharded
+    fused RK2 (energy fused into the final stage; thermal y faces resolve
+    per type cross-shard)."""
+    from cfd_tpu.boundary.types import (BCType, DirichletValues,
+                                        ThermalBCConfig)
+    from cfd_tpu.solvers.ns.rk import make_rk2_step
+
+    thermal = ThermalBCConfig(
+        left=BCType.DIRICHLET, right=BCType.NEUMANN,
+        bottom=BCType.NEUMANN, top=BCType.DIRICHLET,
+        dirichlet_values=DirichletValues(left=305.0, top=295.0))
+    g = Grid.uniform(128, 256)
+    params = NSParams(source_amplitude_u=0.0, source_amplitude_v=0.0,
+                      alpha=1e-3, beta=0.05, T_ref=300.0,
+                      gravity=(0.0, -9.81, 0.0), thermal_bc=thermal)
+    rng = np.random.default_rng(79)
+    f = FlowField.initialize(g, dtype=jnp.float32)
+    f = f.replace(
+        u=jnp.asarray(rng.normal(0, 0.1, g.shape), jnp.float32),
+        T=jnp.asarray(300.0 + rng.normal(0, 1.0, g.shape), jnp.float32))
+    mesh = make_mesh(axes=("y",))
+
+    ref = jax.jit(make_rk2_step(g, params, dtype=jnp.float32,
+                                use_pallas=False))
+    step, place = make_sharded_step(g, params, mesh, "rk2",
+                                    use_pallas=True, strict=True,
+                                    dtype=jnp.float32)
+    fr, rr = ref(f, 1e-3, 0)
+    fs, rf = step(place(f), 1e-3, 0)
+    assert int(rr.status) == int(rf.status) == 0
+    for name in ("u", "v", "p", "T"):
+        np.testing.assert_allclose(np.asarray(getattr(fs, name)),
+                                   np.asarray(getattr(fr, name)),
+                                   atol=1e-6, err_msg=name)
+
+
+def test_fused_sharded_2d_rk_unsupported_reasons():
+    """The 2D RK gate reports the disqualifier instead of mis-building."""
+    from cfd_tpu.parallel.fused import fused_sharded_rk_unsupported_reason
+
+    mesh = make_mesh(axes=("y",))
+    ok = fused_sharded_rk_unsupported_reason(
+        Grid.uniform(128, 256), NSParams(), mesh, jnp.float32)
+    assert ok is None
+    r = fused_sharded_rk_unsupported_reason(
+        Grid.uniform(128, 100), NSParams(), mesh, jnp.float32)
+    assert r is not None and "divisible" in r
+    r = fused_sharded_rk_unsupported_reason(
+        Grid.stretched(128, 256, beta=1.5, stretch_axes="xy"),
+        NSParams(), mesh, jnp.float32)
+    assert r is not None and "uniform" in r

@@ -39,30 +39,56 @@ _DIV_LIMIT = 10.0
 _UPDATE_LIMIT = 1.0
 
 
-def euler2d_supported(ny: int, nx: int) -> bool:
-    return marching2d_supported(ny, nx, 5, 1, 6)
+def euler2d_supported(ny: int, nx: int, n_stretch_planes: int = 0) -> bool:
+    return marching2d_supported(ny, nx, 5, 1 + n_stretch_planes, 6)
 
 
 def make_euler2d_fused(ny, nx, dx, dy, xmin, ymin,
                        mu: float, pressure_coupling: float,
                        alpha: float = 0.0, beta: float = 0.0,
                        T_ref: float = 0.0, gravity=(0.0, 0.0, 0.0),
-                       thermal_bc=None, dtype=jnp.float32,
+                       thermal_bc=None, stretch=None,
+                       scheme: str = "parity", dtype=jnp.float32,
                        interpret: bool = False, global_ny=None):
     """Build fn(scalars=(cdt, src_u_eff, src_v_eff[, y_off]),
     u, v, w, p, T, rho) → (u', v', w', p', rho', T'), each (ny, nx),
     or None.  ``global_ny``: y-sharded mode (rows are a halo-padded local
-    block; the trailing y_off scalar is the global row of row 0)."""
-    if not euler2d_supported(ny, nx):
+    block; the trailing y_off scalar is the global row of row 0).
+
+    ``stretch``: per-point spacing on stretched x/y grids — the
+    ``(dx_arr, dy_arr, x, y)`` tuple (`stretch_gate`).  x-dependent
+    weights ride one pinned (8, nx) VMEM input; y-dependent weights ride
+    streamed plane inputs (`.stretch.stretch_inputs_2d`).  Single-chip
+    the wrapper closes over the numpy inputs; in global-row mode the
+    kernel only RESERVES the slots and the shard_map wrapper supplies
+    per-shard row slices.  ``scheme="consistent"`` swaps in the exact
+    3-point nonuniform weights and supports ``alpha > 0``; parity +
+    stretch + energy returns None (`energy_solver.c:55-91`)."""
+    consistent = stretch is not None and scheme == "consistent"
+    n_yw = 0 if stretch is None else (7 if consistent else 3)
+    if not euler2d_supported(ny, nx, n_yw):
+        return None
+    if stretch is not None and alpha > 0.0 and not consistent:
         return None
     from ...boundary.types import BCType
 
     sharded_y = global_ny is not None
     gny = ny if global_ny is None else global_ny
-    inv_2dx = 1.0 / (2.0 * dx)
-    inv_2dy = 1.0 / (2.0 * dy)
-    inv_dx2 = 1.0 / (dx * dx)
-    inv_dy2 = 1.0 / (dy * dy)
+    stretch_inputs = ()
+    if stretch is not None:
+        inv_2dx = inv_2dy = inv_dx2 = inv_dy2 = None
+        if not sharded_y:
+            from .stretch import stretch_inputs_2d
+            dx_arr, dy_arr, x_coords, y_coords = stretch
+            xrows, yplanes = stretch_inputs_2d(
+                ny, nx, dx_arr, dy_arr, x_coords, y_coords, scheme,
+                np_dtype=jnp.zeros((), dtype).dtype)
+            stretch_inputs = (*yplanes, xrows)
+    else:
+        inv_2dx = 1.0 / (2.0 * dx)
+        inv_2dy = 1.0 / (2.0 * dy)
+        inv_dx2 = 1.0 / (dx * dx)
+        inv_dy2 = 1.0 / (dy * dy)
     energy_on = alpha > 0.0
     buoy_on = beta != 0.0
 
@@ -72,13 +98,13 @@ def make_euler2d_fused(ny, nx, dx, dy, xmin, ymin,
     def shx(a, sign):
         return jnp.roll(a, -sign, axis=1)
 
-    def compute(row0, scalars, halos, planes):
+    def compute(row0, scalars, halos, planes, pinned=None):
         if sharded_y:
             cdt, su_amp, sv_amp, y_off = scalars
             row0 = row0 + y_off.astype(jnp.int32)
         else:
             cdt, su_amp, sv_amp = scalars
-        (rho,) = planes
+        rho = planes[0]
         B = halos[0][1].shape[0]
 
         def ext(h):
@@ -91,25 +117,57 @@ def make_euler2d_fused(ny, nx, dx, dy, xmin, ymin,
         ue, ve, we, pe, Te = (ext(h) for h in halos[:5])
         uc, vc, wc, pc, Tc = (e[1:-1] for e in (ue, ve, we, pe, Te))
 
-        jg = row0 - 1 + jax.lax.broadcasted_iota(jnp.int32,
-                                                 (B + 2, nx), 0)
-        ii = jax.lax.broadcasted_iota(jnp.int32, (B + 2, nx), 1)
-        jg, ii = jg[1:-1], ii[1:-1]
+        # Iotas at (B, nx) directly — building (B+2, nx) and slicing
+        # [1:-1] crashes Mosaic's ApplyVectorLayout on real hardware
+        # ("Check failed: limits[i] <= dim(i)"); interpret mode can't see
+        # it.  Bisected /tmp-style on-chip, 2026-08-18.
+        jg = row0 + jax.lax.broadcasted_iota(jnp.int32, (B, nx), 0)
+        ii = jax.lax.broadcasted_iota(jnp.int32, (B, nx), 1)
         maskb = (jg > 0) & (jg < gny - 1) & (ii > 0) & (ii < nx - 1)
 
-        def d1x(e):
-            c = e[1:-1]
-            return clampv((shx(c, 1) - shx(c, -1)) * inv_2dx, _D1_LIMIT)
+        if stretch is None:
+            c2x, cx2, sx2 = inv_2dx, inv_dx2, None
+            c2y, cy2, sy = inv_2dy, inv_dy2, None
+        elif consistent:
+            wym, wyc, wyp, lym, lyc, lyp, sy = planes[1:8]
+            (xpin,) = pinned
+            wxm, wxc, wxp, lxm, lxc, lxp, sx2 = (
+                xpin[r:r + 1] for r in range(7))
+        else:
+            c2y, cy2, sy = planes[1:4]
+            (xpin,) = pinned
+            c2x, cx2, sx2 = (xpin[r:r + 1] for r in range(3))
 
-        def d1y(e):
-            return clampv((e[2:] - e[:-2]) * inv_2dy, _D1_LIMIT)
+        if consistent:
+            def d1x(e):
+                c = e[1:-1]
+                return clampv(shx(c, -1) * wxm + c * wxc
+                              + shx(c, 1) * wxp, _D1_LIMIT)
 
-        def lap_clamped(e):
-            c = e[1:-1]
-            return (clampv((shx(c, 1) - 2.0 * c + shx(c, -1)) * inv_dx2,
-                           _D2_LIMIT)
-                    + clampv((e[2:] - 2.0 * c + e[:-2]) * inv_dy2,
-                             _D2_LIMIT))
+            def d1y(e):
+                return clampv(e[:-2] * wym + e[1:-1] * wyc
+                              + e[2:] * wyp, _D1_LIMIT)
+
+            def lap_clamped(e):
+                c = e[1:-1]
+                return (clampv(shx(c, -1) * lxm + c * lxc
+                               + shx(c, 1) * lxp, _D2_LIMIT)
+                        + clampv(e[:-2] * lym + c * lyc
+                                 + e[2:] * lyp, _D2_LIMIT))
+        else:
+            def d1x(e):
+                c = e[1:-1]
+                return clampv((shx(c, 1) - shx(c, -1)) * c2x, _D1_LIMIT)
+
+            def d1y(e):
+                return clampv((e[2:] - e[:-2]) * c2y, _D1_LIMIT)
+
+            def lap_clamped(e):
+                c = e[1:-1]
+                return (clampv((shx(c, 1) - 2.0 * c + shx(c, -1)) * cx2,
+                               _D2_LIMIT)
+                        + clampv((e[2:] - 2.0 * c + e[:-2]) * cy2,
+                                 _D2_LIMIT))
 
         du_dx, du_dy = d1x(ue), d1y(ue)
         dv_dx, dv_dy = d1x(ve), d1y(ve)
@@ -118,10 +176,13 @@ def make_euler2d_fused(ny, nx, dx, dy, xmin, ymin,
 
         nu = jnp.minimum(dtype(mu) / jnp.maximum(rho, dtype(1e-10)),
                          dtype(1.0))
-        y = ymin + jg.astype(dtype) * dtype(dy)
-        x = xmin + ii.astype(dtype) * dtype(dx)
-        su = su_amp * jnp.sin(jnp.asarray(jnp.pi, dtype) * y)
-        sv = sv_amp * jnp.sin(jnp.asarray(2.0 * jnp.pi, dtype) * x)
+        if stretch is None:
+            y = ymin + jg.astype(dtype) * dtype(dy)
+            x = xmin + ii.astype(dtype) * dtype(dx)
+            sy = jnp.sin(jnp.asarray(jnp.pi, dtype) * y)
+            sx2 = jnp.sin(jnp.asarray(2.0 * jnp.pi, dtype) * x)
+        su = su_amp * sy
+        sv = sv_amp * sx2
         sw = jnp.zeros((), dtype)
         if buoy_on:
             dT = Tc - dtype(T_ref)
@@ -154,10 +215,19 @@ def make_euler2d_fused(ny, nx, dx, dy, xmin, ymin,
         # unguarded (`energy_solver.c:120-160`; w·dT/dz ≡ 0 in 2D).
         if energy_on:
             Txm, Txp = shx(Tc, -1), shx(Tc, 1)
-            dT_dx = (Txp - Txm) * inv_2dx
-            dT_dy = (Te[2:] - Te[:-2]) * inv_2dy
-            lapT = ((Txp - 2.0 * Tc + Txm) * inv_dx2
-                    + (Te[2:] - 2.0 * Tc + Te[:-2]) * inv_dy2)
+            Tym, Typ = Te[:-2], Te[2:]
+            if consistent:
+                # unclamped consistent stencils, term order matching the
+                # jnp `energy.make_energy_step` stretched branch
+                dT_dx = Txm * wxm + Tc * wxc + Txp * wxp
+                dT_dy = Tym * wym + Tc * wyc + Typ * wyp
+                lapT = (Txm * lxm + Tc * lxc + Txp * lxp
+                        + Tym * lym + Tc * lyc + Typ * lyp)
+            else:
+                dT_dx = (Txp - Txm) * inv_2dx
+                dT_dy = (Typ - Tym) * inv_2dy
+                lapT = ((Txp - 2.0 * Tc + Txm) * inv_dx2
+                        + (Typ - 2.0 * Tc + Tym) * inv_dy2)
             adv = u_out * dT_dx + v_out * dT_dy
             T_upd = jnp.where(maskb,
                               Tc + cdt * (-adv + dtype(alpha) * lapT), Tc)
@@ -189,6 +259,14 @@ def make_euler2d_fused(ny, nx, dx, dy, xmin, ymin,
                 T_out = jnp.where(where_mask, src, T_out)
         return [u_out, v_out, w_out, p_out, rho_out, T_out]
 
-    return make_marching_stencil_2d(
-        ny, nx, 5, 1, 6, compute, dtype,
-        n_scalars=4 if sharded_y else 3, interpret=interpret)
+    run = make_marching_stencil_2d(
+        ny, nx, 5, 1 + n_yw, 6, compute, dtype,
+        n_scalars=4 if sharded_y else 3,
+        n_pinned=1 if stretch is not None else 0, interpret=interpret)
+    if run is None or not stretch_inputs:
+        return run
+
+    def with_stretch(scalars, u, v, w, p, T, rho):
+        return run(scalars, u, v, w, p, T, rho, *stretch_inputs)
+
+    return with_stretch

@@ -48,16 +48,17 @@ _VEL_LIMIT = 100.0
 _DIV_LIMIT = 10.0
 
 
-def rk2d_supported(ny: int, nx: int) -> bool:
-    # worst case (mid stage): 5 halos, 9 planes, 8 outs
-    return marching2d_supported(ny, nx, 5, 9, 8)
+def rk2d_supported(ny: int, nx: int, n_stretch_planes: int = 0) -> bool:
+    # worst case (mid stage): 5 halos, 9 planes (+stretch), 8 outs
+    return marching2d_supported(ny, nx, 5, 9 + n_stretch_planes, 8)
 
 
 def make_rk2d_stage(ny, nx, dx, dy, xmin, ymin,
                     mu: float, pressure_coupling: float, final: bool,
                     alpha: float = 0.0, beta: float = 0.0,
                     T_ref: float = 0.0, gravity=(0.0, 0.0, 0.0),
-                    thermal_bc=None, dtype=jnp.float32,
+                    thermal_bc=None, stretch=None, scheme: str = "parity",
+                    dtype=jnp.float32,
                     interpret: bool = False, global_ny=None):
     """Build one 2D RK stage pass.
 
@@ -69,17 +70,40 @@ def make_rk2d_stage(ny, nx, dx, dy, xmin, ymin,
 
     All marched fields are (ny, nx); ``wrap_pins`` is (8, nx) — see module
     docstring.  Returns None when unsupported.
-    """
-    if not rk2d_supported(ny, nx):
+
+    ``stretch``/``scheme``: per-point spacing on stretched x/y grids —
+    same input design as `euler2d.make_euler2d_fused` (pinned x-row
+    weights + streamed y-weight planes, `.stretch.stretch_inputs_2d`).
+    Single-chip the stage binds the numpy inputs internally (callers keep
+    the uniform signature); in global-row mode the kernel only RESERVES
+    the slots and the shard_map wrapper passes per-shard slices as
+    ``(..., *yplanes, wrap_pins, xrows)``.  Energy + stretch requires
+    ``scheme="consistent"`` (returns None otherwise)."""
+    consistent = stretch is not None and scheme == "consistent"
+    n_yw = 0 if stretch is None else (7 if consistent else 3)
+    if not rk2d_supported(ny, nx, n_yw):
+        return None
+    if stretch is not None and alpha > 0.0 and not consistent:
         return None
     from ...boundary.types import BCType
 
     sharded_y = global_ny is not None
     gny = ny if global_ny is None else global_ny
-    inv_2dx = 1.0 / (2.0 * dx)
-    inv_2dy = 1.0 / (2.0 * dy)
-    inv_dx2 = 1.0 / (dx * dx)
-    inv_dy2 = 1.0 / (dy * dy)
+    stretch_inputs = ()
+    if stretch is not None:
+        inv_2dx = inv_2dy = inv_dx2 = inv_dy2 = None
+        if not sharded_y:
+            from .stretch import stretch_inputs_2d
+            dx_arr, dy_arr, x_coords, y_coords = stretch
+            xrows, yplanes = stretch_inputs_2d(
+                ny, nx, dx_arr, dy_arr, x_coords, y_coords, scheme,
+                np_dtype=jnp.zeros((), dtype).dtype)
+            stretch_inputs = (yplanes, xrows)
+    else:
+        inv_2dx = 1.0 / (2.0 * dx)
+        inv_2dy = 1.0 / (2.0 * dy)
+        inv_dx2 = 1.0 / (dx * dx)
+        inv_dy2 = 1.0 / (dy * dy)
     energy_on = final and alpha > 0.0
     buoy_on = beta != 0.0
 
@@ -95,9 +119,20 @@ def make_rk2d_stage(ny, nx, dx, dy, xmin, ymin,
             row0 = row0 + y_off.astype(jnp.int32)
         else:
             factor, acc_mix, weight, su_amp, sv_amp, cdt = scalars
-        (q0u, q0v, q0w, q0p, rho, accu, accv, accw, accp) = planes
-        (wrap,) = pinned
+        (q0u, q0v, q0w, q0p, rho, accu, accv, accw, accp) = planes[:9]
+        wrap = pinned[0]
         B = halos[0][1].shape[0]
+        if stretch is None:
+            sy = sx2 = None
+        elif consistent:
+            wym, wyc, wyp, lym, lyc, lyp, sy = planes[9:16]
+            xpin = pinned[1]
+            wxm, wxc, wxp, lxm, lxc, lxp, sx2 = (
+                xpin[r:r + 1] for r in range(7))
+        else:
+            c2y, cy2, sy = planes[9:12]
+            xpin = pinned[1]
+            c2x, cx2, sx2 = (xpin[r:r + 1] for r in range(3))
 
         def ext(h):
             """(B+2)-row window [row0−1, row0+B+1) — the first/last global
@@ -109,9 +144,12 @@ def make_rk2d_stage(ny, nx, dx, dy, xmin, ymin,
         ue, ve, we, pe, Te = (ext(h) for h in halos)
         Tc = Te[1:-1]
 
-        jg = row0 - 1 + jax.lax.broadcasted_iota(jnp.int32, (B + 2, nx), 0)
-        ii = jax.lax.broadcasted_iota(jnp.int32, (B + 2, nx), 1)
-        jg, ii = jg[1:-1], ii[1:-1]
+        # Iotas at (B, nx) directly — building (B+2, nx) and slicing
+        # [1:-1] crashes Mosaic's ApplyVectorLayout on real hardware
+        # ("Check failed: limits[i] <= dim(i)"); interpret mode can't see
+        # it.
+        jg = row0 + jax.lax.broadcasted_iota(jnp.int32, (B, nx), 0)
+        ii = jax.lax.broadcasted_iota(jnp.int32, (B, nx), 1)
         maskb = (jg > 0) & (jg < gny - 1) & (ii > 0) & (ii < nx - 1)
 
         def neighbors(e, pin_far, pin_near):
@@ -136,28 +174,54 @@ def make_rk2d_stage(ny, nx, dx, dy, xmin, ymin,
         def d2(a):
             return clampv(a, _D2_LIMIT)
 
-        du_dx = d1((ur - ul) * inv_2dx)
-        du_dy = d1((uu - ud) * inv_2dy)
-        dv_dx = d1((vr - vl) * inv_2dx)
-        dv_dy = d1((vu - vd) * inv_2dy)
-        dw_dx = d1((wr - wl) * inv_2dx)
-        dw_dy = d1((wu - wd) * inv_2dy)
-        dp_dx = d1((pr_ - pl_) * inv_2dx)
-        dp_dy = d1((pu_ - pd_) * inv_2dy)
+        if consistent:
+            def d1x_(l, c, r):
+                return d1(l * wxm + c * wxc + r * wxp)
 
-        lap_u = (d2((ur - 2 * u + ul) * inv_dx2)
-                 + d2((uu - 2 * u + ud) * inv_dy2))
-        lap_v = (d2((vr - 2 * v + vl) * inv_dx2)
-                 + d2((vu - 2 * v + vd) * inv_dy2))
-        lap_w = (d2((wr - 2 * w + wl) * inv_dx2)
-                 + d2((wu - 2 * w + wd) * inv_dy2))
+            def d1y_(lo, c, hi):
+                return d1(lo * wym + c * wyc + hi * wyp)
+
+            def lap_(l, c, r, lo, hi):
+                return (d2(l * lxm + c * lxc + r * lxp)
+                        + d2(lo * lym + c * lyc + hi * lyp))
+        else:
+            c2x_ = inv_2dx if stretch is None else c2x
+            c2y_ = inv_2dy if stretch is None else c2y
+            cx2_ = inv_dx2 if stretch is None else cx2
+            cy2_ = inv_dy2 if stretch is None else cy2
+
+            def d1x_(l, c, r):
+                return d1((r - l) * c2x_)
+
+            def d1y_(lo, c, hi):
+                return d1((hi - lo) * c2y_)
+
+            def lap_(l, c, r, lo, hi):
+                return (d2((r - 2 * c + l) * cx2_)
+                        + d2((hi - 2 * c + lo) * cy2_))
+
+        du_dx = d1x_(ul, u, ur)
+        du_dy = d1y_(ud, u, uu)
+        dv_dx = d1x_(vl, v, vr)
+        dv_dy = d1y_(vd, v, vu)
+        dw_dx = d1x_(wl, w, wr)
+        dw_dy = d1y_(wd, w, wu)
+        dp_dx = d1x_(pl_, p, pr_)
+        dp_dy = d1y_(pd_, p, pu_)
+
+        lap_u = lap_(ul, u, ur, ud, uu)
+        lap_v = lap_(vl, v, vr, vd, vu)
+        lap_w = lap_(wl, w, wr, wd, wu)
 
         nu = jnp.minimum(dtype(mu) / jnp.maximum(rho, dtype(1e-10)),
                          dtype(1.0))
-        y = ymin + jg.astype(dtype) * dtype(dy)
-        x = xmin + ii.astype(dtype) * dtype(dx)
-        su = su_amp * jnp.sin(jnp.asarray(jnp.pi, dtype) * y)
-        sv = sv_amp * jnp.sin(jnp.asarray(2.0 * jnp.pi, dtype) * x)
+        if stretch is None:
+            y = ymin + jg.astype(dtype) * dtype(dy)
+            x = xmin + ii.astype(dtype) * dtype(dx)
+            sy = jnp.sin(jnp.asarray(jnp.pi, dtype) * y)
+            sx2 = jnp.sin(jnp.asarray(2.0 * jnp.pi, dtype) * x)
+        su = su_amp * sy
+        sv = sv_amp * sx2
         sw = jnp.zeros((), dtype)
         if buoy_on:
             dT = Tc - dtype(T_ref)
@@ -192,10 +256,19 @@ def make_rk2d_stage(ny, nx, dx, dy, xmin, ymin,
         # plain stencils, interior-only (`solver_rk2.c` post-step order).
         if energy_on:
             Txm, Txp = shx(Tc, -1), shx(Tc, 1)
-            dT_dx = (Txp - Txm) * inv_2dx
-            dT_dy = (Te[2:] - Te[:-2]) * inv_2dy
-            lapT = ((Txp - 2.0 * Tc + Txm) * inv_dx2
-                    + (Te[2:] - 2.0 * Tc + Te[:-2]) * inv_dy2)
+            Tym, Typ = Te[:-2], Te[2:]
+            if consistent:
+                # unclamped consistent stencils, term order matching the
+                # jnp `energy.make_energy_step` stretched branch
+                dT_dx = Txm * wxm + Tc * wxc + Txp * wxp
+                dT_dy = Tym * wym + Tc * wyc + Typ * wyp
+                lapT = (Txm * lxm + Tc * lxc + Txp * lxp
+                        + Tym * lym + Tc * lyc + Typ * lyp)
+            else:
+                dT_dx = (Txp - Txm) * inv_2dx
+                dT_dy = (Typ - Tym) * inv_2dy
+                lapT = ((Txp - 2.0 * Tc + Txm) * inv_dx2
+                        + (Typ - 2.0 * Tc + Tym) * inv_dy2)
             adv = next_u * dT_dx + next_v * dT_dy
             T_upd = jnp.where(maskb,
                               Tc + cdt * (-adv + dtype(alpha) * lapT), Tc)
@@ -224,7 +297,18 @@ def make_rk2d_stage(ny, nx, dx, dy, xmin, ymin,
                 T_out = jnp.where(where_mask, src, T_out)
         return [u_out, v_out, w_out, p_out, rho_out, T_out]
 
-    return make_marching_stencil_2d(
-        ny, nx, 5, 9, 6 if final else 8, compute, dtype,
-        n_scalars=7 if sharded_y else 6, n_pinned=1,
+    run = make_marching_stencil_2d(
+        ny, nx, 5, 9 + n_yw, 6 if final else 8, compute, dtype,
+        n_scalars=7 if sharded_y else 6,
+        n_pinned=1 if stretch is None else 2,
         interpret=interpret)
+    if run is None or not stretch_inputs:
+        return run
+    yplanes, xrows = stretch_inputs
+
+    def with_stretch(scalars, u, v, w, p, T, q0u, q0v, q0w, q0p, rho,
+                     accu, accv, accw, accp, wrap_pins):
+        return run(scalars, u, v, w, p, T, q0u, q0v, q0w, q0p, rho,
+                   accu, accv, accw, accp, *yplanes, wrap_pins, xrows)
+
+    return with_stretch

@@ -73,6 +73,19 @@ def stretch_pins(ny, nx, dx_arr, dy_arr, x_coords, y_coords,
             np.ascontiguousarray(src, np_dtype))
 
 
+def _triples(spacing):
+    """Exact 3-point nonuniform first/second-derivative weights — the
+    numpy twin of `solvers/ns/common.consistent_triples` (ops/ stays
+    below solvers/ in the layering); equality is pinned by
+    tests/math/test_consistent_stencils.py."""
+    h = np.asarray(spacing, np.float64)
+    hm = np.concatenate([h[:1], h])
+    hp = np.concatenate([h, h[-1:]])
+    s = hm + hp
+    return (-hp / (hm * s), (hp - hm) / (hm * hp), hm / (hp * s),
+            2.0 / (hm * s), -2.0 / (hm * hp), 2.0 / (hp * s))
+
+
 def stretch_pins_consistent(ny, nx, dx_arr, dy_arr, x_coords, y_coords,
                             np_dtype=np.float32):
     """Pins for ``nonuniform_scheme="consistent"`` — the exact 3-point
@@ -82,21 +95,9 @@ def stretch_pins_consistent(ny, nx, dx_arr, dy_arr, x_coords, y_coords,
     0: (wxm, wxp)  1: (wxc, lxc)  2: (lxm, lxp)   — x weights (rows)
     3: (wym, wyp)  4: (wyc, lyc)  5: (lym, lyp)   — y weights (cols)
     6: (sin(πy), sin(2πx))                         — source basis
-
-    The weight formulas duplicate `solvers/ns/common.consistent_triples`
-    (ops/ stays below solvers/ in the layering); equality is pinned by
-    tests/math/test_consistent_stencils.py.
     """
-    def triples(spacing):
-        h = np.asarray(spacing, np.float64)
-        hm = np.concatenate([h[:1], h])
-        hp = np.concatenate([h, h[-1:]])
-        s = hm + hp
-        return (-hp / (hm * s), (hp - hm) / (hm * hp), hm / (hp * s),
-                2.0 / (hm * s), -2.0 / (hm * hp), 2.0 / (hp * s))
-
-    wxm, wxc, wxp, lxm, lxc, lxp = triples(dx_arr)
-    wym, wyc, wyp, lym, lyc, lyp = triples(dy_arr)
+    wxm, wxc, wxp, lxm, lxc, lxp = _triples(dx_arr)
+    wym, wyc, wyp, lym, lyc, lyp = _triples(dy_arr)
 
     def rows(a, b):
         return np.ascontiguousarray(
@@ -112,3 +113,41 @@ def stretch_pins_consistent(ny, nx, dx_arr, dy_arr, x_coords, y_coords,
             cols(wym, wyp), cols(wyc, lyc), cols(lym, lyp),
             np.ascontiguousarray(
                 _src_planes(ny, nx, x_coords, y_coords, np_dtype), np_dtype))
+
+
+def stretch_inputs_2d(ny, nx, dx_arr, dy_arr, x_coords, y_coords,
+                      scheme="parity", np_dtype=np.float32):
+    """Stretch inputs for the 2D block-marching kernels: (xrows, yplanes).
+
+    The marching engine streams y-blocks, so the two stretch directions
+    ride different input kinds:
+
+    * ``xrows``: ONE (8, nx) array for a pinned VMEM input — x-dependent
+      weights as rows (constant along y; in-kernel each row broadcasts
+      (1, nx) → (B, nx) along sublanes).
+      parity:     rows 0-2 = [1/(2·dx_i), 1/dx_i², sin(2π·x_i)]
+      consistent: rows 0-6 = [wxm, wxc, wxp, lxm, lxc, lxp, sin(2π·x_i)]
+    * ``yplanes``: tuple of (ny, nx) arrays for streamed PLANE inputs —
+      y-dependent weights pre-broadcast along lanes (weights apply at the
+      stencil's CENTER row, so plane blocks never need halos).
+      parity:     (1/(2·dy_j), 1/dy_j², sin(π·y_j))
+      consistent: (wym, wyc, wyp, lym, lyc, lyp, sin(π·y_j))
+    """
+    sx2 = np.sin(2.0 * np.pi * np.asarray(x_coords, np.float64))
+    sy = np.sin(np.pi * np.asarray(y_coords, np.float64))
+    if scheme == "consistent":
+        wxm, wxc, wxp, lxm, lxc, lxp = _triples(dx_arr)
+        wym, wyc, wyp, lym, lyc, lyp = _triples(dy_arr)
+        xr = [wxm, wxc, wxp, lxm, lxc, lxp, sx2]
+        yp = [wym, wyc, wyp, lym, lyc, lyp, sy]
+    else:
+        dx = _padded(dx_arr)
+        dy = _padded(dy_arr)
+        xr = [1.0 / (2.0 * dx), 1.0 / (dx * dx), sx2]
+        yp = [1.0 / (2.0 * dy), 1.0 / (dy * dy), sy]
+    xrows = np.zeros((8, nx), np_dtype)
+    for i, r in enumerate(xr):
+        xrows[i] = np.asarray(r, np_dtype)
+    yplanes = tuple(np.ascontiguousarray(_col(a, ny, nx, np_dtype))
+                    for a in yp)
+    return xrows, yplanes

@@ -198,6 +198,48 @@ def _stretch_pins_zy_fn(grid: Grid, params: NSParams, nyl: int, dtype):
     return local
 
 
+def _stretch_inputs_2d_fn(grid: Grid, params: NSParams, nyl: int, dtype):
+    """Per-shard stretch-input slicer for the 2D fused euler/RK paths, or
+    None on uniform x/y.
+
+    The y-weight planes are built GLOBALLY (numpy, `stretch_inputs_2d`)
+    with 4 edge-replicated halo rows per side; each shard dynamic-slices
+    its (nyl+8, nx) row window by its y index (weights apply at the
+    stencil's CENTER row, so halo-row values are read only by discarded
+    halo-row outputs and the edge replication is inert).  The x-row pin
+    is shard-invariant and replicates verbatim.  The kernels are built in
+    reserve-only mode (``global_ny`` + ``stretch``) and the wrapper
+    appends these at call time."""
+    stretch = _stretch_tuple(grid, params)
+    if stretch is None:
+        return None
+    import numpy as np
+
+    from ..ops.pallas.stretch import stretch_inputs_2d
+    dx_arr, dy_arr, x_coords, y_coords = stretch
+    xrows, yplanes = stretch_inputs_2d(
+        grid.ny, grid.nx, dx_arr, dy_arr, x_coords, y_coords,
+        params.nonuniform_scheme, np_dtype=jnp.zeros((), dtype).dtype)
+    padded = [jnp.asarray(np.pad(p, ((4, 4), (0, 0)), mode="edge"))
+              for p in yplanes]
+    xrows_j = jnp.asarray(xrows)
+
+    def local(yi):
+        start = (yi * nyl).astype(jnp.int32)
+        yps = [lax.dynamic_slice(p, (start, jnp.int32(0)),
+                                 (nyl + 8, p.shape[1])) for p in padded]
+        return yps, xrows_j
+
+    return local
+
+
+def _stretch_reason_2d(grid: Grid, params: NSParams) -> str | None:
+    """Spacing gate for the 2D sharded fused paths — `stretch_gate`
+    verbatim (no z-uniformity requirement in 2D)."""
+    from ..solvers.ns.common import stretch_gate
+    return stretch_gate(grid, params)[1]
+
+
 def _stretch_reason(grid: Grid, params: NSParams) -> str | None:
     """Spacing gate for the sharded euler/RK fused paths — delegates to
     `solvers.ns.common.stretch_gate` (ONE predicate set for single-chip
@@ -758,12 +800,15 @@ def fused_sharded_euler_unsupported_reason(grid: Grid, params: NSParams,
         if n is None:
             return ("fused sharded 2D euler needs a y-only mesh "
                     f"(got axes {dict(mesh.shape)})")
-        if not (grid.is_uniform("x") and grid.is_uniform("y")):
-            return "fused 2D euler needs uniform x/y spacing"
+        sreason = _stretch_reason_2d(grid, params)
+        if sreason is not None:
+            return sreason
         if grid.ny % n != 0 or grid.ny // n < 24:
             return (f"ny={grid.ny} must be divisible by {n} shards with "
                     ">= 24 rows per shard")
-        if not euler2d_supported(grid.ny // n + 8, grid.nx):
+        from ..solvers.ns.common import stretch_pin_count
+        if not euler2d_supported(grid.ny // n + 8, grid.nx,
+                                 stretch_pin_count(grid, params)):
             return (f"local block ({grid.ny // n}+8, {grid.nx}) outside "
                     "block-marching support (nx%128, rows%8, VMEM)")
         if (params.source_func is not None
@@ -958,10 +1003,12 @@ def _make_fused_sharded_euler_2d_step(grid: Grid, params: NSParams,
         nyl + 8, nx, grid.dx0, grid.dy0, grid.xmin, grid.ymin,
         params.mu, params.pressure_coupling, alpha=params.alpha,
         beta=params.beta, T_ref=params.T_ref, gravity=params.gravity,
-        thermal_bc=params.thermal_bc, dtype=dtype, interpret=interpret,
+        thermal_bc=params.thermal_bc, stretch=_stretch_tuple(grid, params),
+        scheme=params.nonuniform_scheme, dtype=dtype, interpret=interpret,
         global_ny=ny)
     if kernel is None:
         raise ValueError("fused sharded 2D euler: kernel build failed")
+    stretch_fn = _stretch_inputs_2d_fn(grid, params, nyl, dtype)
 
     fwd = [(i, i + 1) for i in range(n_shards - 1)]
     bwd = [(i + 1, i) for i in range(n_shards - 1)]
@@ -1011,8 +1058,12 @@ def _make_fused_sharded_euler_2d_step(grid: Grid, params: NSParams,
         y_off = (yi * nyl - 4).astype(dtype)
 
         scal = jnp.stack([cdt, su, sv, y_off])
+        extra = ()
+        if stretch_fn is not None:
+            yps, xrows = stretch_fn(yi)
+            extra = (*yps, xrows)
         outs = kernel(scal, hpad4(u)[0], hpad4(v)[0], hpad4(w)[0],
-                      hpad4(p)[0], hpad4(T)[0], hpad4(rho)[0])
+                      hpad4(p)[0], hpad4(T)[0], hpad4(rho)[0], *extra)
         un, vn, wn, pn, rn, Tn = (o[None, 4:-4] for o in outs)
         pn = wrap_y_rows(pn, firsty, lasty)
         rn = wrap_y_rows(rn, firsty, lasty)
@@ -1170,12 +1221,15 @@ def fused_sharded_rk_unsupported_reason(grid: Grid, params: NSParams,
         if n is None:
             return ("fused sharded 2D rk needs a y-only mesh "
                     f"(got axes {dict(mesh.shape)})")
-        if not (grid.is_uniform("x") and grid.is_uniform("y")):
-            return "fused 2D rk needs uniform x/y spacing"
+        sreason = _stretch_reason_2d(grid, params)
+        if sreason is not None:
+            return sreason
         if grid.ny % n != 0 or grid.ny // n < 24:
             return (f"ny={grid.ny} must be divisible by {n} shards with "
                     ">= 24 rows per shard")
-        if not rk2d_supported(grid.ny // n + 8, grid.nx):
+        from ..solvers.ns.common import stretch_pin_count
+        if not rk2d_supported(grid.ny // n + 8, grid.nx,
+                              stretch_pin_count(grid, params)):
             return (f"local block ({grid.ny // n}+8, {grid.nx}) outside "
                     "block-marching support (nx%128, rows%8, VMEM)")
         if (params.source_func is not None
@@ -1424,6 +1478,8 @@ def _make_fused_sharded_rk_2d_step(grid: Grid, params: NSParams,
     from ..ops.pallas.rk2d import make_rk2d_stage
     kw = dict(alpha=params.alpha, beta=params.beta, T_ref=params.T_ref,
               gravity=params.gravity, thermal_bc=params.thermal_bc,
+              stretch=_stretch_tuple(grid, params),
+              scheme=params.nonuniform_scheme,
               dtype=dtype, interpret=interpret, global_ny=ny)
     mid = make_rk2d_stage(nyl + 8, nx, grid.dx0, grid.dy0, grid.xmin,
                           grid.ymin, params.mu, params.pressure_coupling,
@@ -1433,6 +1489,7 @@ def _make_fused_sharded_rk_2d_step(grid: Grid, params: NSParams,
                           final=True, **kw)
     if mid is None or fin is None:
         raise ValueError("fused sharded 2D rk: kernel build failed")
+    stretch_fn = _stretch_inputs_2d_fn(grid, params, nyl, dtype)
 
     fwd = [(i, i + 1) for i in range(n_shards - 1)]
     bwd = [(i + 1, i) for i in range(n_shards - 1)]
@@ -1509,11 +1566,15 @@ def _make_fused_sharded_rk_2d_step(grid: Grid, params: NSParams,
         rhop = ypad0(rho[0])
         Tp_ = hpad4(T[0])
         acc = tuple(jnp.zeros_like(q0p[0]) for _ in range(4))
+        yps, xpin = ((), ())
+        if stretch_fn is not None:
+            yps, xrows = stretch_fn(yi)
+            yps, xpin = tuple(yps), (xrows,)
 
         def run_mid(state, acc, factor, weight):
             outs = mid(scal(factor, zero, weight),
                        *(hpad4(s) for s in state), Tp_, *q0p, rhop,
-                       *acc, pins(state))
+                       *acc, *yps, pins(state), *xpin)
             return (tuple(o[4:-4] for o in outs[:4]),
                     tuple(ypad0(o[4:-4]) for o in outs[4:8]))
 
@@ -1521,14 +1582,14 @@ def _make_fused_sharded_rk_2d_step(grid: Grid, params: NSParams,
             s1, a1 = run_mid(q0, acc, dtc, one)
             outs = fin(scal(0.5 * dtc, one, zero),
                        *(hpad4(s) for s in s1), Tp_, *q0p, rhop,
-                       *a1, pins(s1))
+                       *a1, *yps, pins(s1), *xpin)
         else:
             s1, a1 = run_mid(q0, acc, 0.5 * dtc, one)
             s2, a2 = run_mid(s1, a1, 0.5 * dtc, 2.0 * one)
             s3, a3 = run_mid(s2, a2, dtc, 2.0 * one)
             outs = fin(scal(dtc / 6.0, one, zero),
                        *(hpad4(s) for s in s3), Tp_, *q0p, rhop,
-                       *a3, pins(s3))
+                       *a3, *yps, pins(s3), *xpin)
         un, vn, wn, pn, rn, Tn = (o[4:-4] for o in outs)
         un = wrap_y_rows(un, firsty, lasty)
         vn = wrap_y_rows(vn, firsty, lasty)

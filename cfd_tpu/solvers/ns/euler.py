@@ -74,18 +74,22 @@ def make_euler_step(grid: Grid, params: NSParams, dtype=None,
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
     if (use_pallas and dtype == jnp.float32 and grid.nz <= 2
-            and grid.is_uniform("x") and grid.is_uniform("y")
             and params.source_func is None
             and params.heat_source_func is None):
-        from ...ops.pallas.euler2d import make_euler2d_fused
-        fused2d = make_euler2d_fused(
-            grid.ny, grid.nx, grid.dx0, grid.dy0, grid.xmin, grid.ymin,
-            params.mu, params.pressure_coupling, alpha=params.alpha,
-            beta=params.beta, T_ref=params.T_ref, gravity=params.gravity,
-            thermal_bc=params.thermal_bc, dtype=dtype,
-            interpret=pallas_interpret)
-        if fused2d is not None:
-            return _make_fused_euler2d_step(fused2d, grid, params, dtype)
+        # uniform x/y, or stretched with per-point weights riding a
+        # pinned x-row input + streamed y-weight planes (stretch.py).
+        stretch2d, fuse2d_ok = stretch_mode(grid, params)
+        if fuse2d_ok:
+            from ...ops.pallas.euler2d import make_euler2d_fused
+            fused2d = make_euler2d_fused(
+                grid.ny, grid.nx, grid.dx0, grid.dy0, grid.xmin, grid.ymin,
+                params.mu, params.pressure_coupling, alpha=params.alpha,
+                beta=params.beta, T_ref=params.T_ref, gravity=params.gravity,
+                thermal_bc=params.thermal_bc, stretch=stretch2d,
+                scheme=params.nonuniform_scheme, dtype=dtype,
+                interpret=pallas_interpret)
+            if fused2d is not None:
+                return _make_fused_euler2d_step(fused2d, grid, params, dtype)
     if (use_pallas and dtype == jnp.float32 and grid.nz > 2
             and grid.dz0 > 1e-10
             and params.source_func is None

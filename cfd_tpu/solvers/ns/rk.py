@@ -278,22 +278,29 @@ def _make_rk_step(grid: Grid, params: NSParams, order: int, dtype=None,
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
     if (use_pallas and dtype == jnp.float32 and grid.nz <= 2
-            and grid.is_uniform("x") and grid.is_uniform("y")
             and params.source_func is None
             and params.heat_source_func is None):
-        from ...ops.pallas.rk2d import make_rk2d_stage
-        kw2 = dict(alpha=params.alpha, beta=params.beta, T_ref=params.T_ref,
-                   gravity=params.gravity, thermal_bc=params.thermal_bc,
-                   dtype=dtype, interpret=pallas_interpret)
-        mid2 = make_rk2d_stage(grid.ny, grid.nx, grid.dx0, grid.dy0,
-                               grid.xmin, grid.ymin, params.mu,
-                               params.pressure_coupling, final=False, **kw2)
-        fin2 = make_rk2d_stage(grid.ny, grid.nx, grid.dx0, grid.dy0,
-                               grid.xmin, grid.ymin, params.mu,
-                               params.pressure_coupling, final=True, **kw2)
-        if mid2 is not None and fin2 is not None:
-            return _make_fused_rk2d_step(mid2, fin2, grid, params, order,
-                                         dtype)
+        # uniform x/y, or stretched with per-point weights riding a
+        # pinned x-row input + streamed y-weight planes (stretch.py).
+        stretch2d, fuse2d_ok = stretch_mode(grid, params)
+        if fuse2d_ok:
+            from ...ops.pallas.rk2d import make_rk2d_stage
+            kw2 = dict(alpha=params.alpha, beta=params.beta,
+                       T_ref=params.T_ref, gravity=params.gravity,
+                       thermal_bc=params.thermal_bc, stretch=stretch2d,
+                       scheme=params.nonuniform_scheme,
+                       dtype=dtype, interpret=pallas_interpret)
+            mid2 = make_rk2d_stage(grid.ny, grid.nx, grid.dx0, grid.dy0,
+                                   grid.xmin, grid.ymin, params.mu,
+                                   params.pressure_coupling, final=False,
+                                   **kw2)
+            fin2 = make_rk2d_stage(grid.ny, grid.nx, grid.dx0, grid.dy0,
+                                   grid.xmin, grid.ymin, params.mu,
+                                   params.pressure_coupling, final=True,
+                                   **kw2)
+            if mid2 is not None and fin2 is not None:
+                return _make_fused_rk2d_step(mid2, fin2, grid, params,
+                                             order, dtype)
     if (use_pallas and dtype == jnp.float32 and grid.nz > 2
             and grid.dz0 > 1e-10
             and params.source_func is None

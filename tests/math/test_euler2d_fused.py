@@ -82,9 +82,10 @@ def test_euler2d_fused_periodic_thermal():
     _compare(params, _field(_grid(), seed=3, T0=1.0))
 
 
-def test_euler2d_gate_stretched_falls_back():
-    """Stretched 2D grids keep the jnp path (no kernel built)."""
-    g = Grid.stretched(128, 32, beta=1.5, stretch_axes="xy")
+def test_euler2d_gate_unsupported_shape_falls_back():
+    """Off-lane nx (96 % 128 != 0) keeps the jnp path (no kernel built);
+    stretched x/y now dispatches fused (tests/math/test_stretched2d_fused)."""
+    g = Grid.uniform(96, 32)
     step = make_euler_step(g, NSParams(), dtype=jnp.float32,
                            use_pallas=True, pallas_interpret=True)
     f = FlowField.initialize(g, dtype=jnp.float32)

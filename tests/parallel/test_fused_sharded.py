@@ -1207,7 +1207,85 @@ def test_fused_sharded_2d_rk_unsupported_reasons():
     r = fused_sharded_rk_unsupported_reason(
         Grid.uniform(128, 100), NSParams(), mesh, jnp.float32)
     assert r is not None and "divisible" in r
-    r = fused_sharded_rk_unsupported_reason(
+    # stretched x/y is supported now; energy + parity scheme is not
+    ok = fused_sharded_rk_unsupported_reason(
         Grid.stretched(128, 256, beta=1.5, stretch_axes="xy"),
         NSParams(), mesh, jnp.float32)
-    assert r is not None and "uniform" in r
+    assert ok is None
+    r = fused_sharded_rk_unsupported_reason(
+        Grid.stretched(128, 256, beta=1.5, stretch_axes="xy"),
+        NSParams(alpha=1e-3), mesh, jnp.float32)
+    assert r is not None and "consistent" in r
+
+
+def test_fused_sharded_2d_euler_stretched_matches_jnp():
+    """Stretched x/y grids through the y-decomposed 2D fused Euler: the
+    y-weight planes are built globally with 4 edge-replicated halo rows
+    and dynamic-sliced per shard; the x-row pin replicates verbatim.
+    Both schemes match the single-device jnp per-point-spacing step."""
+    from cfd_tpu.solvers.ns.euler import make_euler_step
+
+    mesh = make_mesh(axes=("y",))
+    for scheme in ("parity", "consistent"):
+        g = Grid.stretched(128, 256, beta=1.5, stretch_axes="xy")
+        params = NSParams(source_amplitude_u=0.05,
+                          source_amplitude_v=0.02,
+                          nonuniform_scheme=scheme)
+        rng = np.random.default_rng(83)
+        f = FlowField.initialize(g, dtype=jnp.float32)
+        f = f.replace(
+            u=jnp.asarray(rng.normal(0, 0.2, g.shape), jnp.float32),
+            v=jnp.asarray(rng.normal(0, 0.2, g.shape), jnp.float32),
+            p=jnp.asarray(rng.normal(0, 0.2, g.shape), jnp.float32))
+
+        ref = jax.jit(make_euler_step(g, params, dtype=jnp.float32,
+                                      use_pallas=False))
+        fr, rr = ref(f, 5e-5, 1)
+
+        step, place = make_sharded_step(g, params, mesh, "explicit_euler",
+                                        use_pallas=True, strict=True,
+                                        dtype=jnp.float32)
+        ff, rf = step(place(f), 5e-5, 1)
+        assert int(rr.status) == int(rf.status) == 0
+        for name in ("u", "v", "w", "p", "rho", "T"):
+            np.testing.assert_allclose(np.asarray(getattr(ff, name)),
+                                       np.asarray(getattr(fr, name)),
+                                       atol=5e-6,
+                                       err_msg=f"{name} ({scheme})")
+
+
+@pytest.mark.heavy
+def test_fused_sharded_2d_rk2_stretched_consistent_energy():
+    """Consistent-scheme stretched 2D grid + energy + Boussinesq through
+    the y-decomposed fused RK2 (the y-weight planes ride between the acc
+    planes and the wrap pins; x-rows after the pins)."""
+    from cfd_tpu.boundary.types import (BCType, DirichletValues,
+                                        ThermalBCConfig)
+    from cfd_tpu.solvers.ns.rk import make_rk2_step
+
+    thermal = ThermalBCConfig(
+        left=BCType.DIRICHLET, right=BCType.DIRICHLET,
+        dirichlet_values=DirichletValues(left=305.0, right=295.0))
+    g = Grid.stretched(128, 256, beta=1.2, stretch_axes="xy")
+    params = NSParams(alpha=1e-3, beta=0.05, T_ref=300.0,
+                      gravity=(0.0, -9.81, 0.0), thermal_bc=thermal,
+                      nonuniform_scheme="consistent")
+    rng = np.random.default_rng(89)
+    f = FlowField.initialize(g, dtype=jnp.float32)
+    f = f.replace(
+        u=jnp.asarray(rng.normal(0, 0.1, g.shape), jnp.float32),
+        T=jnp.asarray(300.0 + rng.normal(0, 1.0, g.shape), jnp.float32))
+
+    ref = jax.jit(make_rk2_step(g, params, dtype=jnp.float32,
+                                use_pallas=False))
+    fr, rr = ref(f, 5e-5, 0)
+
+    step, place = make_sharded_step(g, params, make_mesh(axes=("y",)),
+                                    "rk2", use_pallas=True, strict=True,
+                                    dtype=jnp.float32)
+    ff, rf = step(place(f), 5e-5, 0)
+    assert int(rr.status) == int(rf.status) == 0
+    for name in ("u", "v", "w", "p", "T"):
+        np.testing.assert_allclose(np.asarray(getattr(ff, name)),
+                                   np.asarray(getattr(fr, name)),
+                                   atol=1e-5, err_msg=name)

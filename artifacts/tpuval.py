@@ -24,15 +24,20 @@ from cfd_tpu.solvers.ns.euler import make_euler_step
 from cfd_tpu.solvers.ns.rk import make_rk2_step, make_rk4_step
 
 N = 128
+N2D = 512
 STEPS = 50
 
 
-def traj_diff(mk, dt, convection=False, stretched=False, scheme="parity"):
+def traj_diff(mk, dt, convection=False, stretched=False, scheme="parity",
+              two_d=False):
     """RMS and max |Δu| between fused and jnp 50-step trajectories."""
     from cfd_tpu.boundary.types import (BCType, DirichletValues,
                                         ThermalBCConfig)
 
-    if stretched:
+    if two_d:
+        grid = (Grid.stretched(N2D, N2D, beta=1.5, stretch_axes="xy")
+                if stretched else Grid.uniform(N2D, N2D))
+    elif stretched:
         grid = Grid.stretched(N, N, N, zmin=0.0, zmax=1.0, beta=1.5,
                               stretch_axes="xy")
     else:
@@ -48,7 +53,7 @@ def traj_diff(mk, dt, convection=False, stretched=False, scheme="parity"):
                       dirichlet_values=DirichletValues(left=305.0,
                                                        right=295.0)))
     params = NSParams(**kw)
-    f0 = bench._tg_field((N, N, N))
+    f0 = bench._tg_field((1, N2D, N2D) if two_d else (N, N, N))
 
     def run(use_pallas):
         step = mk(grid, params, dtype=jnp.float32, use_pallas=use_pallas)
@@ -88,6 +93,21 @@ CONFIGS = {
         lambda: traj_diff(make_rk2_step, 1e-4, stretched=True),
     "euler_stretched_consistent":
         lambda: traj_diff(make_euler_step, 1e-4, stretched=True,
+                          scheme="consistent"),
+    # 2D marching-kernel families (512², the reference's published perf
+    # configs are 2D) — these caught a Mosaic iota-slice crash interpret
+    # mode couldn't see
+    "euler_2d": lambda: traj_diff(make_euler_step, 1e-4, two_d=True),
+    "euler_2d_convection":
+        lambda: traj_diff(make_euler_step, 1e-4, two_d=True,
+                          convection=True),
+    "rk2_2d": lambda: traj_diff(make_rk2_step, 1e-4, two_d=True),
+    "rk4_2d": lambda: traj_diff(make_rk4_step, 1e-4, two_d=True),
+    "euler_2d_stretched":
+        lambda: traj_diff(make_euler_step, 1e-4, two_d=True,
+                          stretched=True),
+    "rk2_2d_stretched_consistent":
+        lambda: traj_diff(make_rk2_step, 1e-4, two_d=True, stretched=True,
                           scheme="consistent"),
 }
 

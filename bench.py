@@ -187,6 +187,25 @@ def run_rk_3d(order: int, n: int = 256, steps: int = 10) -> float:
     return float(n) ** 3 * steps / elapsed / 1e6
 
 
+def run_rk_2d(order: int, n: int = 2048, steps: int = 10) -> float:
+    """Fused 2D RK2/RK4 marching stage-kernel MLUPS at n²
+    (`ops/pallas/rk2d.py`; the reference's published perf tables are 2D,
+    `README.md:225-231`)."""
+    import jax.numpy as jnp
+
+    from cfd_tpu import Grid
+    from cfd_tpu.solvers.ns import NSParams
+    from cfd_tpu.solvers.ns.rk import make_rk2_step, make_rk4_step
+
+    grid = Grid.uniform(n, n)
+    params = NSParams(source_amplitude_u=0.0, source_amplitude_v=0.0,
+                      mu=0.01)
+    mk = make_rk2_step if order == 2 else make_rk4_step
+    step = mk(grid, params, dtype=jnp.float32, use_pallas=True)
+    elapsed = _time_steps(step, _tg_field((1, n, n)), 1e-5, steps)
+    return float(n) ** 2 * steps / elapsed / 1e6
+
+
 def run_poisson_large(tol: float = 1e-6) -> dict:
     """Large-grid Poisson wall-clock (ms per solve, tol 1e-6 relative):
     fused multigrid at 513³ (vertex-centered 2^k+1) vs the two-pass fused
@@ -578,6 +597,7 @@ def main():
     row(lambda: round(run_euler_2d(), 1), "euler_mlups_2048_2d")
     row(lambda: round(run_rk_3d(2), 1), "rk2_mlups_256")
     row(lambda: round(run_rk_3d(4), 1), "rk4_mlups_256")
+    row(lambda: round(run_rk_2d(2), 1), "rk2_mlups_2048_2d")
     row(lambda: round(run_fused_vs_jnp_rms(), 8), "fused_vs_jnp_rms_u")
     row(run_adjoint, "adjoint_fwd_ms_1024_50steps", "adjoint_grad_ms",
         "adjoint_grad_over_fwd")

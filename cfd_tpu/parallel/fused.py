@@ -338,9 +338,11 @@ def make_fused_sharded_projection_step(grid: Grid, params: NSParams,
             grid, params, mesh, dtype, poisson_method, interpret)
     poisson_method = (Method.FFT_DIRECT if poisson_method is None
                       else Method(poisson_method))
-    if poisson_method not in (Method.FFT_DIRECT, Method.CG):
-        raise ValueError("fused sharded projection supports FFT_DIRECT "
-                         f"and CG pressure solves (got {poisson_method})")
+    if poisson_method not in (Method.FFT_DIRECT, Method.CG,
+                              Method.BICGSTAB):
+        raise ValueError("fused sharded projection supports FFT_DIRECT, "
+                         f"CG and BICGSTAB pressure solves "
+                         f"(got {poisson_method})")
 
     pz, py = _mesh_zy_sizes(mesh)
     if py > 1:
@@ -371,6 +373,15 @@ def make_fused_sharded_projection_step(grid: Grid, params: NSParams,
         if cg_local is None:
             raise ValueError("fused sharded projection: CG kernel build "
                              "failed")
+    elif poisson_method == Method.BICGSTAB:
+        # same local (x, rhs) → PoissonResult interface as the CG body
+        from .fused_bicgstab import make_bicgstab_fused_sharded_local
+        cg_local = make_bicgstab_fused_sharded_local(
+            problem, poisson_params or PoissonParams(), n_shards,
+            dtype=dtype, interpret=interpret)
+        if cg_local is None:
+            raise ValueError("fused sharded projection: BiCGSTAB kernel "
+                             "build failed")
     else:
         pencil = make_btilde_pipeline_sharded(problem, "z", n_shards, dtype)
     energy_step = make_energy_step(grid, params.alpha,
@@ -535,6 +546,15 @@ def _make_fused_sharded_projection_zy_step(grid: Grid, params: NSParams,
         if cg_local is None:
             raise ValueError("fused sharded zy projection: CG kernel "
                              "build failed")
+    elif (poisson_method is not None
+          and Method(poisson_method) == Method.BICGSTAB):
+        from .fused_bicgstab import make_bicgstab_fused_sharded_local
+        cg_local = make_bicgstab_fused_sharded_local(
+            problem, poisson_params or PoissonParams(), pz,
+            dtype=dtype, interpret=interpret, py=py)
+        if cg_local is None:
+            raise ValueError("fused sharded zy projection: BiCGSTAB "
+                             "kernel build failed")
     else:
         from ..solvers.poisson.spectral import \
             make_btilde_pipeline_sharded_zy

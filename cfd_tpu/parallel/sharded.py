@@ -113,13 +113,15 @@ def make_sharded_raw_step(grid: Grid, params: NSParams, mesh: Mesh,
             pm = kw.get("poisson_method")
             from ..solvers.poisson.base import Method
             if pm is not None and Method(pm) not in (Method.FFT_DIRECT,
-                                                     Method.CG):
+                                                     Method.CG,
+                                                     Method.BICGSTAB):
                 reason = reason or (f"no fused sharded {Method(pm).name} "
-                                    "pressure solve (FFT_DIRECT/CG only)")
-            if (pm is not None and Method(pm) == Method.CG
+                                    "pressure solve (FFT_DIRECT/CG/"
+                                    "BICGSTAB only)")
+            if (pm is not None and Method(pm) != Method.FFT_DIRECT
                     and grid.nz <= 2):
-                reason = reason or ("no fused sharded 2D CG pressure "
-                                    "solve (FFT_DIRECT only)")
+                reason = reason or (f"no fused sharded 2D {Method(pm).name}"
+                                    " pressure solve (FFT_DIRECT only)")
             if reason is None:
                 # Build failures past the generic gate (e.g. a CG shape or
                 # preconditioner the fused sharded CG can't take) also fall

@@ -117,3 +117,89 @@ def test_zy_matches_single_chip_fused():
             <= max(5, int(0.3 * int(r_ref.iterations))), (pz, py)
         np.testing.assert_allclose(np.asarray(r_sh.x), np.asarray(r_ref.x),
                                    atol=5e-5, err_msg=f"mesh ({pz},{py})")
+
+
+def test_projection_with_sharded_bicgstab(problem, zmesh):
+    """Fused sharded projection accepts poisson_method=BICGSTAB (the
+    BiCGSTAB local body rides the same (x, rhs) → PoissonResult slot as
+    the fused CG) and matches the single-device jnp projection step using
+    the same settings.  Rounding-path sensitivity ⇒ solution-level
+    tolerances, not iteration parity."""
+    from cfd_tpu import FlowField, Grid
+    from cfd_tpu.parallel import make_sharded_step
+    from cfd_tpu.solvers.ns import NSParams
+    from cfd_tpu.solvers.ns.projection import make_projection_step
+    from cfd_tpu.solvers.poisson.base import Method
+
+    grid = Grid.uniform(128, 16, 16, zmin=0.0, zmax=1.0)
+    params = NSParams()
+    pp = PoissonParams(tolerance=1e-4, max_iterations=400)
+    rng = np.random.default_rng(31)
+    f = FlowField.initialize(grid, dtype=jnp.float32)
+    f = f.replace(
+        u=jnp.asarray(rng.normal(0, 0.1, grid.shape), jnp.float32),
+        v=jnp.asarray(rng.normal(0, 0.1, grid.shape), jnp.float32),
+        w=jnp.asarray(rng.normal(0, 0.1, grid.shape), jnp.float32),
+        p=jnp.asarray(rng.normal(0, 0.1, grid.shape), jnp.float32))
+
+    ref_step = jax.jit(make_projection_step(
+        grid, params, dtype=jnp.float32, poisson_method=Method.BICGSTAB,
+        poisson_params=pp))
+    f_ref, rr = ref_step(f, 0.001, 0)
+
+    step, place = make_sharded_step(grid, params, zmesh, "projection",
+                                    use_pallas=True, strict=True,
+                                    dtype=jnp.float32,
+                                    poisson_method=Method.BICGSTAB,
+                                    poisson_params=pp)
+    f_out, rf = step(place(f), 0.001, 0)
+    assert int(rr.status) == int(rf.status) == 0
+    for name in ("u", "v", "w"):
+        np.testing.assert_allclose(np.asarray(getattr(f_out, name)),
+                                   np.asarray(getattr(f_ref, name)),
+                                   atol=1e-4, err_msg=name)
+    # p: two BiCGSTAB trajectories converged to residual tol 1e-4 on a
+    # κ≈(nx/π)² system agree only to tol·κ-scale (the corrector sees ∇p,
+    # hence the tight velocity gate above); demeaned to drop the Neumann
+    # gauge.
+    dp = np.asarray(f_out.p) - np.asarray(f_ref.p)
+    np.testing.assert_allclose(dp - dp[1:-1, 1:-1, 1:-1].mean(), 0.0,
+                               atol=5e-2)
+
+
+def test_zy_projection_with_sharded_bicgstab():
+    """poisson_method=BICGSTAB through the (z, y)-mesh fused projection."""
+    from cfd_tpu import FlowField, Grid
+    from cfd_tpu.parallel import make_sharded_step
+    from cfd_tpu.solvers.ns import NSParams
+    from cfd_tpu.solvers.ns.projection import make_projection_step
+    from cfd_tpu.solvers.poisson.base import Method
+
+    g = Grid.uniform(128, 32, 8, zmin=0.0, zmax=1.0)
+    params = NSParams()
+    pp = PoissonParams(tolerance=1e-5, max_iterations=800)
+    rng = np.random.default_rng(37)
+    f = FlowField.initialize(g, dtype=jnp.float32)
+    f = f.replace(u=jnp.asarray(rng.normal(0, .1, g.shape), jnp.float32),
+                  v=jnp.asarray(rng.normal(0, .1, g.shape), jnp.float32),
+                  w=jnp.asarray(rng.normal(0, .1, g.shape), jnp.float32))
+
+    ref = jax.jit(make_projection_step(g, params, dtype=jnp.float32,
+                                       poisson_method=Method.BICGSTAB,
+                                       poisson_params=pp))
+    fr, rr = ref(f, 1e-3, 0)
+
+    step, place = make_sharded_step(g, params, _zy_mesh(2, 4),
+                                    "projection", use_pallas=True,
+                                    strict=True, dtype=jnp.float32,
+                                    poisson_method=Method.BICGSTAB,
+                                    poisson_params=pp)
+    ff, rf = step(place(f), 1e-3, 0)
+    assert int(rr.status) == int(rf.status) == 0
+    for name in ("u", "v", "w"):
+        np.testing.assert_allclose(np.asarray(getattr(ff, name)),
+                                   np.asarray(getattr(fr, name)),
+                                   atol=1e-4, err_msg=name)
+    dp = np.asarray(ff.p) - np.asarray(fr.p)
+    np.testing.assert_allclose(dp - dp[1:-1, 1:-1, 1:-1].mean(), 0.0,
+                               atol=5e-2)

@@ -47,24 +47,41 @@ def make_mesh(devices: Optional[Sequence] = None,
     return Mesh(arr, axes)
 
 
-def field_spec(mesh: Mesh, is_3d: bool) -> P:
-    """PartitionSpec for a (nz, ny, nx) field on this mesh."""
+def field_spec(mesh: Mesh, is_3d: bool, shape=None) -> P:
+    """PartitionSpec for a (nz, ny, nx) field on this mesh.
+
+    When ``shape`` is given, axes whose global size an axis's shard count
+    does not divide are dropped to replicated — jax rejects uneven
+    NamedShardings outright, and multigrid's vertex-centered 2^k+1 grids
+    never divide a power-of-two mesh.  Compute still distributes through
+    the shard_map fast paths (which pad internally); only the GSPMD
+    placement degrades for the non-dividing axes.
+    """
     names = mesh.axis_names
-    if is_3d and "z" in names and mesh.shape.get("z", 1) > 1:
-        return P("z", "y" if "y" in names else None, None)
-    if "y" in names:
-        return P(None, "y", None)
-    return P(None, names[0], None)
+
+    def divides(axis, dim):
+        return shape is None or shape[dim] % mesh.shape[axis] == 0
+
+    if is_3d and "z" in names and mesh.shape.get("z", 1) > 1 \
+            and divides("z", 0):
+        y = ("y" if "y" in names and divides("y", 1) else None)
+        return P("z", y, None)
+    # 2D grids (and 3D grids whose z doesn't divide): shard rows over the
+    # 'y' axis, or over the mesh's only axis whatever its name.
+    y_axis = "y" if "y" in names else names[0]
+    if divides(y_axis, 1):
+        return P(None, y_axis, None)
+    return P(None, None, None)
 
 
-def field_sharding(mesh: Mesh, is_3d: bool) -> NamedSharding:
-    return NamedSharding(mesh, field_spec(mesh, is_3d))
+def field_sharding(mesh: Mesh, is_3d: bool, shape=None) -> NamedSharding:
+    return NamedSharding(mesh, field_spec(mesh, is_3d, shape))
 
 
 def shard_field(field, mesh: Mesh):
     """Place a FlowField (or any pytree of (nz,ny,nx) arrays) onto the mesh."""
-    is_3d = jax.tree_util.tree_leaves(field)[0].shape[0] > 1
-    sharding = field_sharding(mesh, is_3d)
+    leaf = jax.tree_util.tree_leaves(field)[0]
+    sharding = field_sharding(mesh, leaf.shape[0] > 1, leaf.shape)
     return jax.tree_util.tree_map(
         lambda a: jax.device_put(a, sharding), field)
 

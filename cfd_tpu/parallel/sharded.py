@@ -30,6 +30,39 @@ _BUILDERS = {
 }
 
 
+def _make_sharded_mg_projection(grid: Grid, params: NSParams, mesh: Mesh,
+                                dtype, kw):
+    """Projection step with the fused shard_map multigrid pressure solve
+    (`.fused_mg`), jnp GSPMD predictor/corrector.  Returns the raw step,
+    or a human-readable disqualifier string."""
+    from ..solvers.poisson.base import PoissonParams, PoissonProblem
+    from .fused import _mesh_zy_sizes
+    from .fused_mg import (make_multigrid_sharded,
+                           mg_fused_sharded_unsupported_reason)
+
+    sizes = _mesh_zy_sizes(mesh)
+    if sizes is None:
+        return ("fused sharded multigrid needs a mesh over ('z'[, 'y']) "
+                f"axes (got axes {dict(mesh.shape)})")
+    problem = PoissonProblem(grid.nx, grid.ny, grid.nz,
+                             grid.dx0, grid.dy0, grid.dz0)
+    reason = mg_fused_sharded_unsupported_reason(problem, sizes[0], dtype,
+                                                 sizes[1])
+    if reason is not None:
+        return reason
+    try:
+        mg_solve = make_multigrid_sharded(
+            problem, kw.get("poisson_params") or PoissonParams(), mesh,
+            dtype=dtype, interpret=kw.get("pallas_interpret"))
+        return make_projection_step(
+            grid, params, dtype=dtype,
+            poisson_method=kw.get("poisson_method"),
+            poisson_params=kw.get("poisson_params"),
+            use_pallas=False, poisson_solve_override=mg_solve)
+    except ValueError as e:
+        return str(e)
+
+
 def make_sharded_raw_step(grid: Grid, params: NSParams, mesh: Mesh,
                           method: str = "projection", **kw):
     """Build the *raw* (unjitted) sharded step.
@@ -69,7 +102,7 @@ def make_sharded_raw_step(grid: Grid, params: NSParams, mesh: Mesh,
                 "GSPMD jnp path", reason)
 
     def finish(raw):
-        sharding = field_sharding(mesh, grid.nz > 1)
+        sharding = field_sharding(mesh, grid.nz > 1, grid.shape)
         out_field = FlowField(u=sharding, v=sharding, w=sharding,
                               p=sharding, rho=sharding, T=sharding)
         return raw, out_field, lambda field: shard_field(field, mesh)
@@ -108,10 +141,23 @@ def make_sharded_raw_step(grid: Grid, params: NSParams, mesh: Mesh,
         elif method != "projection":
             fallback(f"no fused sharded {method} step")
         else:
-            reason = fused_sharded_unsupported_reason(grid, params, mesh,
-                                                      dtype)
             pm = kw.get("poisson_method")
             from ..solvers.poisson.base import Method
+            if pm is not None and Method(pm) == Method.MULTIGRID:
+                # Fused sharded multigrid pressure solve under the GSPMD
+                # jnp predictor/corrector: MG's coarsenable (2^k+1) grids
+                # sit outside the rolling predictor kernels' support
+                # (nx%128, nz%P), so the shard_map wavefront V-cycles —
+                # the dominant per-step cost — are the fusable part.
+                raw = _make_sharded_mg_projection(grid, params, mesh,
+                                                  dtype, kw)
+                if not isinstance(raw, str):
+                    return finish(raw)
+                fallback(raw)
+                kw.setdefault("use_pallas", False)
+                return finish(_BUILDERS[method](grid, params, **kw))
+            reason = fused_sharded_unsupported_reason(grid, params, mesh,
+                                                      dtype)
             if pm is not None and Method(pm) not in (Method.FFT_DIRECT,
                                                      Method.CG,
                                                      Method.BICGSTAB):

@@ -64,7 +64,8 @@ def make_projection_step(grid: Grid, params: NSParams, dtype=None,
                          pallas_interpret: bool = False,
                          use_pallas_cg: bool = None,
                          spectral_precision=None,
-                         differentiable: bool = False):
+                         differentiable: bool = False,
+                         poisson_solve_override=None):
     """Build the jitted projection step: (field, dt, iter) → (field, StepResult).
 
     ``use_pallas`` enables the fused Pallas fast path (float32, aligned
@@ -134,8 +135,14 @@ def make_projection_step(grid: Grid, params: NSParams, dtype=None,
 
     problem = PoissonProblem(grid.nx, grid.ny, grid.nz, dx, dy, grid.dz0)
     pparams = poisson_params or PoissonParams()
-    poisson_solve = None
-    if use_pallas and Method(poisson_method) == Method.CG \
+    # An externally built (x, rhs) → PoissonResult pressure solve wins over
+    # every maker below.  The sharded dispatch uses this to run the fused
+    # shard_map multigrid (`parallel.fused_mg`) under the GSPMD jnp
+    # predictor/corrector — MG's 2^k+1 grids sit outside the rolling
+    # kernels' nx%128 support, so the V-cycles are the only fusable cost.
+    poisson_solve = poisson_solve_override
+    if poisson_solve is None and use_pallas \
+            and Method(poisson_method) == Method.CG \
             and dtype == jnp.float32:
         from ..poisson.krylov import make_cg_fused
         poisson_solve = make_cg_fused(problem, pparams, dtype,

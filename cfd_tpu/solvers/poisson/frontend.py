@@ -92,6 +92,11 @@ def _fused_maker(method: Method, problem: PoissonProblem,
         fn = make_cg_vmem(problem, params, interpret=interpret)
     elif method == Method.BICGSTAB:
         fn = make_bicgstab_vmem(problem, params, interpret=interpret)
+    elif method == Method.MULTIGRID:
+        # 2D hierarchies: whole V-cycle solve in one kernel (3D multigrid
+        # fuses its sweeps internally via make_multigrid's use_pallas).
+        from .multigrid import make_multigrid_vmem
+        fn = make_multigrid_vmem(problem, params, interpret=interpret)
     # Large 3D grids: streaming rolling-plane kernels.
     if fn is None and problem.is_3d:
         if method == Method.REDBLACK_SOR:

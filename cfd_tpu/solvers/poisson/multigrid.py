@@ -359,6 +359,48 @@ def make_multigrid(problem: PoissonProblem, params: PoissonParams,
     return jax.jit(solve)
 
 
+def make_multigrid_vmem(problem: PoissonProblem, params: PoissonParams,
+                        pre: int = 2, post: int = 2, dtype=jnp.float32,
+                        interpret: bool = False):
+    """Whole-solve VMEM-resident multigrid for small 2D grids: the entire
+    convergence loop — every V-cycle level, sweep, restriction and
+    prolongation — runs inside ONE Pallas kernel with MXU-matmul
+    inter-level transfers (see `ops/pallas/vmem_mg.py`).  Same algorithm
+    and status semantics as :func:`make_multigrid`; iteration counts match
+    up to matmul-vs-slice rounding.  Returns None when unsupported
+    (3D grids, non-coarsenable, exceeds the VMEM budget)."""
+    from ...ops.pallas.vmem_mg import make_mg_vmem_solve
+
+    levels = _build_levels(problem)
+    if levels is None:
+        return None
+    fn = make_mg_vmem_solve(levels, pre, post,
+                            params.tolerance, params.absolute_tolerance,
+                            params.max_iterations, params.check_interval,
+                            dtype=dtype, interpret=interpret)
+    if fn is None:
+        return None
+    abs_tol = params.absolute_tolerance
+    max_iter = int(params.max_iterations)
+
+    def solve(x, rhs):
+        x_f, initial_res, res_f, it_f, converged_f = fn(x, rhs)
+        tol = problem.tolerance_for(params, initial_res)
+        already = initial_res < abs_tol
+        converged = (res_f < tol) | (res_f < abs_tol) | already
+        status = jnp.where(converged, jnp.int32(PoissonStatus.CONVERGED),
+                           jnp.int32(PoissonStatus.MAX_ITER))
+        return PoissonResult(x=x_f,
+                             iterations=jnp.where(already, 0,
+                                                  jnp.minimum(it_f, max_iter)),
+                             initial_residual=initial_res,
+                             final_residual=jnp.where(already, initial_res,
+                                                      res_f),
+                             status=status)
+
+    return solve
+
+
 def make_mg_cg(problem: PoissonProblem, params: PoissonParams,
                pre: int = 1, post: int = 1, use_pallas: bool = None,
                pallas_interpret: bool = False, min_fused_nx: int = 129):

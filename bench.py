@@ -258,6 +258,59 @@ def run_poisson_large(tol: float = 1e-6) -> dict:
     return out
 
 
+def run_mg2d_vmem(n: int = 129, tol: float = 1e-6) -> dict:
+    """2D multigrid wall-clock (ms per solve, tol 1e-6 relative) at n²:
+    the VMEM whole-solve kernel (`ops/pallas/vmem_mg.py` — entire
+    convergence loop in ONE Pallas call) vs the jnp V-cycle, which pays
+    per-op launch latency at these sizes.  The reference declares
+    POISSON_METHOD_MULTIGRID but never implements it
+    (`linear_solver.c:236-238`), so there is no baseline column."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from jax import lax
+
+    from cfd_tpu.solvers.poisson.base import PoissonParams, PoissonProblem
+    from cfd_tpu.solvers.poisson.multigrid import (make_multigrid,
+                                                   make_multigrid_vmem)
+
+    h = 1.0 / (n - 1)
+    prob = PoissonProblem(n, n, 1, h, h, 0.0)
+    pp = PoissonParams(tolerance=tol, max_iterations=60)
+    rng = np.random.default_rng(7)
+    rhs = jnp.asarray(rng.normal(0.0, 1.0, (1, n, n)), jnp.float32)
+    x0 = jnp.zeros_like(rhs)
+    out = {}
+    # The ~30 ms tunnel round-trip dwarfs a sub-ms solve: time S chained
+    # solves (rhs perturbed to defeat CSE) marginally between two budgets.
+    for name, fn in (("vmem_ms", make_multigrid_vmem(prob, pp)),
+                     ("jnp_ms", make_multigrid(prob, pp, use_pallas=False))):
+
+        @jax.jit
+        def many(eps_arr):
+            def body(tot, eps):
+                r = fn(x0, rhs * (1.0 + eps))
+                return tot + r.final_residual + r.x[0, 0, 0], 0
+            tot, _ = lax.scan(body, jnp.float32(0.0), eps_arr)
+            return tot
+
+        meas = {}
+        for S in (4, 44):
+            eps = jnp.linspace(0.0, 1e-4, S).astype(jnp.float32)
+            float(many(eps))  # compile + warmup
+            best = float("inf")
+            for _ in range(3):
+                t0 = time.perf_counter()
+                float(many(eps))
+                best = min(best, time.perf_counter() - t0)
+            meas[S] = best
+        out[name] = round((meas[44] - meas[4]) / 40.0 * 1e3, 3)
+    r = jax.jit(make_multigrid_vmem(prob, pp))(x0, rhs)
+    out["iters"] = int(r.iterations)
+    out["speedup"] = round(out["jnp_ms"] / max(out["vmem_ms"], 1e-9), 1)
+    return out
+
+
 def run_fused_vs_jnp_rms(n: int = 128, steps: int = 50) -> float:
     """On-chip Mosaic-vs-XLA consistency: RMS(u) difference between the
     fused (compiled Pallas) and jnp projection trajectories after
@@ -604,6 +657,7 @@ def main():
     row(run_hybrid_adjoint, "hybrid_fwd_ms_128_10steps",
         "hybrid_jnp_fwd_ms", "hybrid_grad_maxdiff")
     row(run_poisson_large, "poisson_large_tol1e-6")
+    row(run_mg2d_vmem, "mg2d_vmem_129")
 
     def poisson_rows():
         ips = run_poisson_iters()

@@ -237,8 +237,13 @@ def make_projection_step(grid: Grid, params: NSParams, dtype=None,
             if (pk.ok and use_bt3
                     and (pk.btilde_k is not None or pk.mega_ok)):
                 from ..poisson.spectral import make_fft_btilde_solver
+                # z_mode="auto": the TDMA z-stage (Pallas Thomas solve)
+                # replaces the two z-axis DST matmuls when the kernel
+                # shape qualifies — same direct solve, ~30% cheaper
+                # transform (ops/pallas/tdma.py).
                 btilde_pipeline = make_fft_btilde_solver(
-                    problem, pparams,
+                    problem, pparams, z_mode="auto",
+                    interpret=pallas_interpret,
                     **({} if spectral_precision is None
                        else {"precision": spectral_precision}))
 

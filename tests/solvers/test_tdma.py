@@ -1,0 +1,112 @@
+"""TDMA z-stage of the spectral Poisson solve (`ops/pallas/tdma.py`).
+
+The Thomas z-line solve is mathematically identical to the eigen (z-DST)
+pipeline — both solve the same per-mode tridiagonal exactly — so the
+tests pin (1) the scan reference against a dense solve, (2) the Pallas
+kernel (interpret mode) against the reference, and (3) the full
+transform pipeline against the eigen pipeline at f32-rounding tolerance.
+Reference operator: `/root/reference/lib/include/cfd/math/stencils.h:135-176`.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cfd_tpu.ops.pallas.tdma import (make_tdma_z, tdma_supported,
+                                     tdma_z_reference)
+from cfd_tpu.solvers.poisson.base import PoissonProblem
+from cfd_tpu.solvers.poisson.spectral import (make_fft_btilde_solver,
+                                              tdma_z_supported)
+
+
+def _dense_solve(r, mu, w):
+    nz = r.shape[0]
+    mz = nz - 2
+    x = np.zeros_like(r)
+    for j in range(r.shape[1]):
+        for i in range(r.shape[2]):
+            A = (np.diag(np.full(mz, mu[j, i] + 2 * w))
+                 + np.diag(np.full(mz - 1, -w), 1)
+                 + np.diag(np.full(mz - 1, -w), -1))
+            x[1:-1, j, i] = np.linalg.solve(A, r[1:-1, j, i])
+    x[0] = x[1]
+    x[-1] = x[-2]
+    return x
+
+
+@pytest.mark.parametrize("nz", [3, 4, 7, 18])
+def test_reference_matches_dense(nz):
+    rng = np.random.default_rng(0)
+    my, mx = 8, 128
+    r = np.zeros((nz, my, mx))
+    r[1:-1] = rng.standard_normal((nz - 2, my, mx))
+    mu = rng.uniform(0.5, 80.0, (my, mx))
+    w = 11.0
+    got = np.asarray(tdma_z_reference(jnp.asarray(r), jnp.asarray(mu), w))
+    want = _dense_solve(r, mu, w)
+    np.testing.assert_allclose(got, want, rtol=0,
+                               atol=5e-6 * np.abs(want).max())
+
+
+@pytest.mark.parametrize("variant", ["stored", "analytic"])
+@pytest.mark.parametrize("nz", [3, 4, 9, 34])
+def test_kernel_matches_reference(nz, variant):
+    my, mx = 16, 128
+    assert tdma_supported(nz, my, mx)
+    rng = np.random.default_rng(nz)
+    r = np.zeros((nz, my, mx), np.float32)
+    r[1:-1] = rng.standard_normal((nz - 2, my, mx)).astype(np.float32)
+    # mu spanning small (smooth modes) to stiff columns
+    mu = np.exp(rng.uniform(np.log(1e-2), np.log(1e3), (my, mx)))
+    w = 123.4
+    fn = make_tdma_z(nz, my, mx, mu, w, jnp.float32, variant=variant,
+                     interpret=True)
+    got = np.asarray(fn(jnp.asarray(r)))
+    # tight vs the f32 scan twin (the stored variant is the same
+    # arithmetic; analytic differs only in how t_k is obtained) ...
+    f32ref = np.asarray(tdma_z_reference(
+        jnp.asarray(r), jnp.asarray(mu, jnp.float32), np.float32(w)))
+    scale = np.abs(f32ref).max()
+    np.testing.assert_allclose(got, f32ref, rtol=0, atol=5e-6 * scale)
+    # ... and loose vs f64 truth (plain f32 Thomas rounding)
+    if jax.config.jax_enable_x64:
+        truth = np.asarray(tdma_z_reference(
+            jnp.asarray(r, jnp.float64), jnp.asarray(mu, jnp.float64),
+            float(w)))
+        np.testing.assert_allclose(got, truth, rtol=0, atol=2e-5 * scale)
+
+
+def test_unsupported_shapes():
+    assert not tdma_supported(2, 8, 128)    # no interior plane
+    assert not tdma_supported(8, 8, 100)    # lanes not 128-aligned
+    assert not tdma_supported(8, 9, 128)    # sublanes not 8-aligned
+
+
+@pytest.mark.parametrize("shape,dz", [((16, 10, 130), 0.07),
+                                      ((8, 34, 258), 0.11)])
+def test_pipeline_matches_eigen(shape, dz):
+    nz, ny, nx = shape
+    p = PoissonProblem(nx, ny, nz, 0.05, 0.03, dz)
+    assert tdma_z_supported(p)
+    eig = make_fft_btilde_solver(p)
+    td = make_fft_btilde_solver(p, z_mode="tdma", interpret=True)
+    rng = np.random.default_rng(7)
+    bt = np.zeros(shape, np.float32)
+    bt[1:-1, 1:-1, 1:-1] = rng.standard_normal(
+        (nz - 2, ny - 2, nx - 2)).astype(np.float32)
+    xe = np.asarray(eig(jnp.asarray(bt)))
+    xt = np.asarray(td(jnp.asarray(bt)))
+    np.testing.assert_allclose(xt, xe, rtol=0,
+                               atol=5e-6 * np.abs(xe).max())
+
+
+def test_pipeline_auto_and_guards():
+    p2d = PoissonProblem(130, 34, 1, 0.05, 0.03, 0.0)
+    assert not tdma_z_supported(p2d)
+    with pytest.raises(ValueError):
+        make_fft_btilde_solver(p2d, z_mode="tdma")
+    # auto falls back to eigen for 2D
+    fn = make_fft_btilde_solver(p2d, z_mode="auto")
+    bt = np.zeros((1, 34, 130), np.float32)
+    assert np.asarray(fn(jnp.asarray(bt))).shape == (1, 34, 130)

@@ -11,32 +11,38 @@ operator `lib/include/cfd/math/stencils.h:135-176`; eigen path in
 ``solvers/poisson/spectral.py``).  Solving it directly with two
 bandwidth-bound marching sweeps replaces two compute-bound HIGHEST
 (bf16x6) MXU matmuls plus the eigenvalue divide — measured ~9 ms of the
-23 ms DST stage at 512³ — with ~3-4 ms of plane streaming.
+23 ms DST stage at 512³ — with a few ms of plane streaming.
 
 Numerics.  The forward-elimination multiplier t_k = w/denom_k obeys a
 contracting Möbius recurrence (|∂t_k/∂t_{k−1}| = t_k² < 1 for mu > 0),
 so the forward sweep is self-correcting.  The backward sweep needs t_k
 again; two variants:
 
-* ``variant="stored"``: the forward sweep streams t_k to HBM alongside
-  d′_k and the backward sweep reads it back — plain Thomas, no
-  transcendentals, f32 error ≈ the eigen path's own rounding (~2e−6 at
-  512³); 6 planes of HBM traffic per z-step.
+* ``variant="stored"`` (default): the forward sweep streams t_k to HBM
+  alongside d′_k and the backward sweep reads it back — plain Thomas,
+  no transcendentals, measured BIT-IDENTICAL to the jnp scan reference
+  on the real chip; 6 planes of HBM traffic per z-step.
 * ``variant="analytic"``: reconstruct t_k analytically,
   t_k = sinh(kφ)/sinh((k+1)φ) = e^{−φ}(e^{−2kφ}−1)/(e^{−2(k+1)φ}−1)
   with cosh φ = 1 + mu/(2w) — 4 planes of traffic, but one in-kernel
-  exp per plane per step; TPU transcendental rounding costs ~1e−5
-  relative error (measured on-chip), so this is the option for
-  tolerance-bound callers only.
+  exp per plane per step; TPU transcendental rounding costs ~4e−6
+  relative error (measured on-chip; φ-planes precomputed on the host in
+  float64 — deriving them in-kernel in f32 costs another ~2e−5).  The
+  error is dominated by the e^{−2kφ}−1 cancellation at small kφ;
+  ``expm1`` would fix it but Mosaic has no lowering for it (probed:
+  `NotImplementedError ... KernelType.TC: expm1`), so analytic stays
+  the opt-in for tolerance-bound callers (artifacts/tdma_micro_probe.py).
 
-φ-derived coefficient planes are precomputed on the host in float64
-(the in-kernel f32 log/sqrt chain was the dominant error source).
+The sweeps march ``block`` z-planes per grid step (the largest divisor
+of mz ≤ 8 that fits VMEM): per-step fixed costs (semaphore ops, DMA
+issue, loop scalar work — measured ~2.6 µs/step, which at one plane per
+step doubled the solve time) amortize over the block while the carry
+recurrences run in-registers across the block's planes.
 
-Both sweeps are separate pallas_calls marching planes through VMEM with
-manual double/triple-buffered DMA (the rolling-engine idiom); the
-backward kernel's reverse plane order is plain index arithmetic — no
-BlockSpec index maps, so none of the Mosaic affine-map constraints
-apply.
+Both sweeps are separate pallas_calls with manual triple/double-buffered
+DMA (the rolling-engine idiom); the backward kernel's reverse plane
+order is plain index arithmetic — no BlockSpec index maps, so none of
+the Mosaic affine-map constraints apply.
 """
 
 from __future__ import annotations
@@ -52,20 +58,30 @@ _VMEM_BUDGET = 110 * 1024 * 1024
 
 
 def tdma_supported(nz: int, my: int, mx: int) -> bool:
-    """Kernel constraints: lane-aligned plane, ≥1 interior plane, VMEM."""
+    """Kernel constraints: lane-aligned plane, ≥1 interior plane, VMEM
+    (for the minimal block=1 configuration)."""
     if nz < 3 or mx % 128 != 0 or my % 8 != 0:
         return False
     plane_bytes = my * mx * 4
-    # ≤2 streamed ins (3-slot) + 2 outs (2-slot) + shells + pinned + carries
-    return 20 * plane_bytes <= _VMEM_BUDGET
+    return 12 * plane_bytes <= _VMEM_BUDGET
 
 
-def _march_call(kernel, n_stream_in, n_out, rows_out, my, mx, dtype,
-                pinned_rows, interpret):
-    """Shared pallas_call builder: streamed HBM ins/outs + one pinned
-    coefficient input of ``pinned_rows`` rows, marching scaffolding in
-    VMEM."""
+def _pick_block(mz: int, my: int, mx: int) -> int:
+    """Largest divisor of mz ≤ 8 whose staging fits VMEM (worst kernel
+    needs ~8·B planes: 2 streamed ins × 3 slots + 1 out × 2 slots)."""
+    plane_bytes = my * mx * 4
+    for b in range(8, 0, -1):
+        if mz % b == 0 and (8 * b + 4) * plane_bytes <= _VMEM_BUDGET:
+            return b
+    return 1
+
+
+def _march_call(kernel, n_stream_in, n_out, rows_out, block, my, mx,
+                dtype, pinned_rows, interpret):
+    """Shared pallas_call builder: streamed HBM ins/outs in
+    ``block``-plane chunks + one pinned coefficient input."""
     out_shape = [jax.ShapeDtypeStruct((r, mx), dtype) for r in rows_out]
+    bm = block * my
     return pl.pallas_call(
         kernel,
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)
@@ -74,9 +90,9 @@ def _march_call(kernel, n_stream_in, n_out, rows_out, my, mx, dtype,
                    for _ in range(n_out)],
         out_shape=out_shape,
         scratch_shapes=(
-            [pltpu.VMEM((3, my, mx), dtype)
+            [pltpu.VMEM((3, bm, mx), dtype)
              for _ in range(n_stream_in)]          # in staging (3-slot)
-            + [pltpu.VMEM((2, my, mx), dtype)
+            + [pltpu.VMEM((2, bm, mx), dtype)
                for _ in range(n_out)]              # out staging (2-slot)
             + [pltpu.VMEM((2, my, mx), dtype),     # z-shell staging
                pltpu.VMEM((pinned_rows, mx), dtype),   # pinned coeffs
@@ -109,6 +125,8 @@ def make_tdma_z(nz: int, my: int, mx: int, mu, w,
         raise ValueError(f"unknown tdma variant {variant!r}")
     stored = variant == "stored"
     mz = nz - 2
+    B = _pick_block(mz, my, mx)
+    nb = mz // B
     np_dt = np.dtype(jnp.float32 if dtype == jnp.float32 else dtype)
 
     mu64 = np.asarray(mu, np.float64)
@@ -124,18 +142,8 @@ def make_tdma_z(nz: int, my: int, mx: int, mu, w,
                             phi2.astype(np_dt)], axis=0)   # (2·my, mx)
     wf = np_dt.type(w64)
 
-    def _stream_helpers(stage_refs, in_sems, hbm_ins, base_rows):
-        """in_dma(j, k, slot) for streamed input j, plane index k (the
-        row offset is (k − base_rows[j])·my)."""
-        def in_dma(j, k, slot):
-            off = (k - base_rows[j]) * my
-            return pltpu.make_async_copy(
-                hbm_ins[j].at[pl.ds(off, my), :], stage_refs[j].at[slot],
-                in_sems.at[slot, j])
-        return in_dma
-
     # ------------------------------------------------------------------
-    # Forward sweep: r → d′ (and t when stored)
+    # Forward sweep: r → d′ (and t when stored), B planes per step
     # ------------------------------------------------------------------
     n_fout = 2 if stored else 1
 
@@ -143,69 +151,81 @@ def make_tdma_z(nz: int, my: int, mx: int, mu, w,
         outs_hbm = rest[:n_fout]
         stage = rest[n_fout]
         obufs = rest[n_fout + 1:2 * n_fout + 1]
-        # _sbuf unused in forward
+        # z-shell staging unused in forward (at 2·n_fout+1)
         pinbuf = rest[2 * n_fout + 2]
         in_sems = rest[2 * n_fout + 3]
         out_sems = rest[2 * n_fout + 4]
-        # _sh_sems at +5
         pin_sem = rest[2 * n_fout + 6]
 
-        in_dma = _stream_helpers([stage], in_sems, [r_hbm], [0])
-
-        def out_dma(k, o, slot):
-            # output plane k (k = 1..mz) lives at rows [(k−1)·my, k·my)
+        def in_dma(i, slot):
+            # block i: r planes 1+iB .. iB+B → rows (1+iB)·my
             return pltpu.make_async_copy(
-                obufs[o].at[slot], outs_hbm[o].at[pl.ds((k - 1) * my, my),
-                                                  :], out_sems.at[slot, o])
+                r_hbm.at[pl.ds((1 + i * B) * my, B * my), :],
+                stage.at[slot], in_sems.at[slot, 0])
+
+        def out_dma(i, o, slot):
+            # block i of d′/t: plane k at rows (k−1)·my → rows iB·my
+            return pltpu.make_async_copy(
+                obufs[o].at[slot],
+                outs_hbm[o].at[pl.ds(i * B * my, B * my), :],
+                out_sems.at[slot, o])
 
         pin_dma = pltpu.make_async_copy(mu_hbm, pinbuf, pin_sem)
         pin_dma.start()
-        in_dma(0, 1, 1 % 3).start()
-        if mz >= 2:
-            in_dma(0, 2, 2 % 3).start()
+        in_dma(0, 0).start()
+        if nb >= 2:
+            in_dma(1, 1).start()
         pin_dma.wait()
-        in_dma(0, 1, 1 % 3).wait()
+        in_dma(0, 0).wait()
 
         def body(c, carry):
             t, dp = carry
             c = jnp.asarray(c, jnp.int32)
 
-            @pl.when(c + 2 <= mz)
+            @pl.when(c + 2 <= nb - 1)
             def _():
-                in_dma(0, c + 2, lax.rem(c + 2, jnp.int32(3))).start()
+                in_dma(c + 2, lax.rem(c + 2, jnp.int32(3))).start()
 
-            @pl.when(c >= 2)
+            @pl.when(c >= 1)
             def _():
-                in_dma(0, c, lax.rem(c, jnp.int32(3))).wait()
+                in_dma(c, lax.rem(c, jnp.int32(3))).wait()
 
-            r = stage[lax.rem(c, jnp.int32(3))]
+            blk = stage[lax.rem(c, jnp.int32(3))]
             mu_p = pinbuf[...]
-            rec = 1.0 / (mu_p + 2.0 * wf - wf * t)
-            t_new = wf * rec
-            dp_new = (r + wf * dp) * rec
+            d_planes = []
+            t_planes = []
+            for b in range(B):
+                r = blk[b * my:(b + 1) * my]
+                rec = 1.0 / (mu_p + 2.0 * wf - wf * t)
+                t = wf * rec
+                dp = (r + wf * dp) * rec
+                d_planes.append(dp)
+                t_planes.append(t)
+            vals = [jnp.concatenate(d_planes, axis=0)]
+            if stored:
+                vals.append(jnp.concatenate(t_planes, axis=0))
 
             s_out = lax.rem(c, jnp.int32(2))
 
-            @pl.when(c >= 3)
+            @pl.when(c >= 2)
             def _():
                 for o in range(n_fout):
                     out_dma(c - 2, o, s_out).wait()
 
-            vals = (dp_new, t_new) if stored else (dp_new,)
             for o in range(n_fout):
                 obufs[o][pl.ds(s_out, 1)] = vals[o][None]
                 out_dma(c, o, s_out).start()
-            return t_new, dp_new
+            return t, dp
 
         zero = jnp.zeros((my, mx), dtype)
-        lax.fori_loop(1, mz + 1, body, (zero, zero))
+        lax.fori_loop(0, nb, body, (zero, zero))
         for o in range(n_fout):
-            out_dma(mz, o, mz % 2).wait()
-            if mz >= 2:
-                out_dma(mz - 1, o, (mz - 1) % 2).wait()
+            out_dma(nb - 1, o, (nb - 1) % 2).wait()
+            if nb >= 2:
+                out_dma(nb - 2, o, (nb - 2) % 2).wait()
 
     # ------------------------------------------------------------------
-    # Backward sweep: d′ (+ t | aux) → x
+    # Backward sweep: d′ (+ t | aux) → x, B planes per step, k descending
     # ------------------------------------------------------------------
     n_bin = 2 if stored else 1
 
@@ -222,13 +242,19 @@ def make_tdma_z(nz: int, my: int, mx: int, mu, w,
         sh_sems = refs[2 * n_bin + 7]
         pin_sem = refs[2 * n_bin + 8]
 
-        in_dma = _stream_helpers(stages, in_sems, ins_hbm,
-                                 [1] * n_bin)
-
-        def out_dma(k, slot):
-            # x plane index k in the FULL (nz, my, mx) output
+        def in_dma(j, c, slot):
+            # backward block c covers planes k_lo..k_hi with
+            # k_hi = mz − cB, k_lo = k_hi − B + 1; d′/t plane k is at
+            # rows (k−1)·my → block rows start (mz − cB − B)·my
             return pltpu.make_async_copy(
-                obuf.at[slot], x_hbm.at[pl.ds(k * my, my), :],
+                ins_hbm[j].at[pl.ds((mz - c * B - B) * my, B * my), :],
+                stages[j].at[slot], in_sems.at[slot, j])
+
+        def out_dma(c, slot):
+            # x block: planes k_lo..k_hi at rows k_lo·my
+            return pltpu.make_async_copy(
+                obuf.at[slot],
+                x_hbm.at[pl.ds((mz - c * B - B + 1) * my, B * my), :],
                 out_sems.at[slot, 0])
 
         def shell_dma(i, plane):
@@ -239,12 +265,12 @@ def make_tdma_z(nz: int, my: int, mx: int, mu, w,
         pin_dma = pltpu.make_async_copy(pin_hbm, pinbuf, pin_sem)
         pin_dma.start()
         for j in range(n_bin):
-            in_dma(j, mz, 1 % 3).start()
-            if mz >= 2:
-                in_dma(j, mz - 1, 2 % 3).start()
+            in_dma(j, 0, 0).start()
+            if nb >= 2:
+                in_dma(j, 1, 1).start()
         pin_dma.wait()
         for j in range(n_bin):
-            in_dma(j, mz, 1 % 3).wait()
+            in_dma(j, 0, 0).wait()
 
         if not stored:
             einv = pinbuf[0:my, :]
@@ -253,62 +279,68 @@ def make_tdma_z(nz: int, my: int, mx: int, mu, w,
 
         def body(c, x):
             c = jnp.asarray(c, jnp.int32)
-            k = mz + 1 - c                      # marches mz .. 1
 
-            @pl.when(k - 2 >= 1)
+            @pl.when(c + 2 <= nb - 1)
             def _():
                 for j in range(n_bin):
-                    in_dma(j, k - 2, lax.rem(c + 2, jnp.int32(3))).start()
+                    in_dma(j, c + 2, lax.rem(c + 2, jnp.int32(3))).start()
 
-            @pl.when(c >= 2)
+            @pl.when(c >= 1)
             def _():
                 for j in range(n_bin):
-                    in_dma(j, k, lax.rem(c, jnp.int32(3))).wait()
+                    in_dma(j, c, lax.rem(c, jnp.int32(3))).wait()
 
-            d = stages[0][lax.rem(c, jnp.int32(3))]
+            dblk = stages[0][lax.rem(c, jnp.int32(3))]
             if stored:
-                t = stages[1][lax.rem(c, jnp.int32(3))]
-            else:
-                kf = k.astype(dtype)
-                e = jnp.exp(-kf * p2)           # e^{−2kφ} (0 underflow ok)
-                t = einv * (e - 1.0) / (e * g2 - 1.0)
-            x_new = d + t * x
+                tblk = stages[1][lax.rem(c, jnp.int32(3))]
+            x_planes = [None] * B
+            for idx in reversed(range(B)):     # k descending in-block
+                d = dblk[idx * my:(idx + 1) * my]
+                if stored:
+                    t = tblk[idx * my:(idx + 1) * my]
+                else:
+                    # k = k_lo + idx = mz − cB − B + 1 + idx
+                    kf = (mz - B + 1 + idx - c * B).astype(dtype)
+                    e = jnp.exp(-kf * p2)      # e^{−2kφ} (underflow ok)
+                    t = einv * (e - 1.0) / (e * g2 - 1.0)
+                x = d + t * x
+                x_planes[idx] = x
+            xblk = jnp.concatenate(x_planes, axis=0)
 
             s_out = lax.rem(c, jnp.int32(2))
 
-            @pl.when(c >= 3)
+            @pl.when(c >= 2)
             def _():
-                out_dma(mz + 1 - (c - 2), s_out).wait()
+                out_dma(c - 2, s_out).wait()
 
-            obuf[pl.ds(s_out, 1)] = x_new[None]
-            out_dma(k, s_out).start()
+            obuf[pl.ds(s_out, 1)] = xblk[None]
+            out_dma(c, s_out).start()
 
             # Mirror-extended z-shells (x[0]=x[1], x[nz−1]=x[nz−2]) ride
-            # dedicated staging + semaphores, decoupled from the 2-slot
-            # streaming protocol (for nz==3 both fire in one iteration).
-            @pl.when(c == 1)
+            # dedicated staging + semaphores: block 0 computes plane mz
+            # (sub-step idx=B−1), block nb−1 computes plane 1 (idx=0).
+            @pl.when(c == 0)
             def _():
-                sbuf[pl.ds(0, 1)] = x_new[None]
+                sbuf[pl.ds(0, 1)] = x_planes[B - 1][None]
                 shell_dma(0, nz - 1).start()
 
-            @pl.when(c == mz)
+            @pl.when(c == nb - 1)
             def _():
-                sbuf[pl.ds(1, 1)] = x_new[None]
+                sbuf[pl.ds(1, 1)] = x_planes[0][None]
                 shell_dma(1, 0).start()
 
-            return x_new
+            return x
 
-        lax.fori_loop(1, mz + 1, body, jnp.zeros((my, mx), dtype))
-        # Drain: plane 1 (written at c=mz), plane 2 (c=mz−1), both shells.
-        out_dma(1, mz % 2).wait()
-        if mz >= 2:
-            out_dma(2, (mz - 1) % 2).wait()
+        lax.fori_loop(0, nb, body, jnp.zeros((my, mx), dtype))
+        out_dma(nb - 1, (nb - 1) % 2).wait()
+        if nb >= 2:
+            out_dma(nb - 2, (nb - 2) % 2).wait()
         shell_dma(0, nz - 1).wait()
         shell_dma(1, 0).wait()
 
-    fwd = _march_call(fwd_kernel, 1, n_fout, [mz * my] * n_fout, my, mx,
-                      dtype, my, interpret)
-    bwd = _march_call(bwd_kernel, n_bin, 1, [nz * my], my, mx, dtype,
+    fwd = _march_call(fwd_kernel, 1, n_fout, [mz * my] * n_fout, B, my,
+                      mx, dtype, my, interpret)
+    bwd = _march_call(bwd_kernel, n_bin, 1, [nz * my], B, my, mx, dtype,
                       my if stored else 2 * my, interpret)
 
     def run(r):

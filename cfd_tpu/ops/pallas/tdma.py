@@ -356,6 +356,110 @@ def make_tdma_z(nz: int, my: int, mx: int, mu, w,
     return run
 
 
+_VMEM2D_BUDGET = 100 * 1024 * 1024
+
+
+def tdma2d_supported(ny: int, mxp: int) -> bool:
+    """Whole-array VMEM y-line kernel constraints: the spectral array
+    views as (ny, 8, mxp/8) planes (so mxp % 1024 keeps the lane dim
+    128-aligned) and r + x + t must sit in VMEM together."""
+    if ny < 3 or mxp < 1024 or mxp % 1024 != 0:
+        return False
+    return (3 * ny * mxp + mxp) * 4 <= _VMEM2D_BUDGET
+
+
+def make_tdma_y_2d(ny: int, mxp: int, mu, w, dtype=jnp.float32,
+                   interpret: bool = False):
+    """Build fn(r) -> x for the 2D y-line systems
+
+        (mu_a + 2w)·x_j − w·(x_{j−1} + x_{j+1}) = r_j,   j = 1..ny−2,
+        x_0 = x_{ny−1} = 0,       w = 1/dy², mu_a = λx_a > 0
+
+    — the per-x-mode tridiagonals the 2D spectral pipeline's DSTy stage
+    diagonalizes (`solvers/poisson/spectral.py`).  Unlike the 3D z-stage,
+    the whole (ny, mxp) spectral array fits in VMEM at the sizes where
+    the 2D fused step runs (≤ ~8 M f32 entries), so both Thomas sweeps
+    run in ONE pallas_call with zero DMA marching overhead: rows view as
+    (8, mxp/8) planes indexed on the leading axis, the forward sweep
+    stores d′ into the output buffer and t into a scratch, and the
+    backward sweep rewrites the output in place (plain stored-t Thomas —
+    no transcendentals, same recurrence as the 3D ``variant="stored"``).
+
+    mu: (mxp,) positive per-mode eigenvalues (host numpy float64);
+    w: scalar 1/dy².  r: (ny, mxp) rhs with zero y-shell rows.  Returns
+    x (ny, mxp) with mirror-extended y-shells (x[0] = x[1],
+    x[ny−1] = x[ny−2]) matching the eigen path's mirror-extended inverse
+    rows.  None when unsupported.
+    """
+    if not tdma2d_supported(ny, mxp):
+        return None
+    mz = ny - 2
+    C = mxp // 8
+    np_dt = np.dtype(jnp.float32 if dtype == jnp.float32 else dtype)
+    mu32 = np.asarray(mu, np.float64).astype(np_dt).reshape(8, C)
+    wf = np_dt.type(float(w))
+    U = 8                                  # rows per fori iteration
+    n_main = mz // U
+    rem = mz - n_main * U
+
+    def kernel(r_ref, mu_ref, x_ref, t_ref):
+        mu_p = mu_ref[...]
+        zero = jnp.zeros((8, C), dtype)
+
+        def fwd_row(j, t, dp):
+            rec = 1.0 / (mu_p + 2.0 * wf - wf * t)
+            t = wf * rec
+            dp = (r_ref[j] + wf * dp) * rec
+            x_ref[pl.ds(j, 1)] = dp[None]          # d′ parked in x
+            t_ref[pl.ds(j, 1)] = t[None]
+            return t, dp
+
+        def fwd_block(c, carry):
+            t, dp = carry
+            j0 = jnp.asarray(c, jnp.int32) * U + 1
+            for k in range(U):
+                t, dp = fwd_row(j0 + k, t, dp)
+            return t, dp
+
+        t, dp = lax.fori_loop(0, n_main, fwd_block, (zero, zero))
+        for k in range(rem):                       # static tail rows
+            t, dp = fwd_row(n_main * U + 1 + k, t, dp)
+
+        def bwd_row(j, x):
+            x = x_ref[j] + t_ref[j] * x
+            x_ref[pl.ds(j, 1)] = x[None]
+            return x
+
+        def bwd_block(c, x):
+            jt = mz - jnp.asarray(c, jnp.int32) * U
+            for k in range(U):
+                x = bwd_row(jt - k, x)
+            return x
+
+        x = lax.fori_loop(0, n_main, bwd_block, zero)
+        for k in range(rem):                       # rows rem..1
+            x = bwd_row(rem - k, x)
+
+        x_ref[pl.ds(0, 1)] = x[None]               # mirror shells
+        x_ref[pl.ds(ny - 1, 1)] = x_ref[pl.ds(mz, 1)]
+
+    call = pl.pallas_call(
+        kernel,
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((ny, 8, C), dtype),
+        scratch_shapes=[pltpu.VMEM((ny, 8, C), dtype)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM2D_BUDGET + 16 * 1024 * 1024),
+        interpret=interpret,
+    )
+
+    def run(r):
+        x = call(r.reshape(ny, 8, C), jnp.asarray(mu32))
+        return x.reshape(ny, mxp)
+
+    return run
+
+
 def tdma_z_reference(r, mu, w):
     """jnp (lax.scan) Thomas solve of the same systems — any backend,
     any dtype.  r: (nz, my, mx) zero-shell rhs; returns x (nz, my, mx)

@@ -199,8 +199,13 @@ def make_projection_step(grid: Grid, params: NSParams, dtype=None,
                 proj2d = pk2
                 if use_bt:
                     from ..poisson.spectral import make_fft_btilde_solver
+                    # z_mode="auto": at kernel-shaped sizes the TDMA
+                    # y-stage (VMEM-resident Thomas solve) replaces the
+                    # two y-axis DST matmuls — same direct solve, half
+                    # the transform's MXU work (ops/pallas/tdma.py).
                     btilde2d = make_fft_btilde_solver(
-                        problem, pparams,
+                        problem, pparams, z_mode="auto",
+                        interpret=pallas_interpret,
                         **({} if spectral_precision is None
                            else {"precision": spectral_precision}))
 

@@ -103,6 +103,77 @@ def tdma_z_supported(problem: PoissonProblem) -> bool:
                           _ceil_to(problem.nx - 2, 128))
 
 
+def tdma_y_supported(problem: PoissonProblem) -> bool:
+    """Whether the 2D TDMA y-stage variant applies (nz==1, kernel-shaped).
+
+    The spectral-x axis pads to a multiple of 1024 (the kernel views rows
+    as (8, Mx/8) planes, so Mx/8 must stay lane-aligned); the padding is
+    zero transform rows/columns, exactly as in the 3D variant.
+    """
+    from ...ops.pallas.tdma import tdma2d_supported
+    if problem.is_3d or problem.ny < 3 or problem.nx < 3:
+        return False
+    return tdma2d_supported(problem.ny, _ceil_to(problem.nx - 2, 1024))
+
+
+def _make_btilde_pipeline_tdma2d(problem: PoissonProblem, precision,
+                                 use_kernel: bool = True,
+                                 interpret: bool = False):
+    """TDMA-y variant of the 2D transform: DSTx → Thomas y-line solve →
+    DSTx⁻¹ (`ops/pallas/tdma.py`).
+
+    After the x transform the 2D pressure system decouples into per-mode
+    tridiagonals along y; solving them directly replaces the two y-axis
+    HIGHEST matmuls plus the eigenvalue divide — half of the 2D
+    transform's MXU work — with one VMEM-resident Thomas kernel.
+    Mathematically identical to the eigen pipeline (both solve the same
+    tridiagonal exactly; differences are f32 rounding).
+    """
+    mx, my = problem.nx - 2, problem.ny - 2
+    Mx = _ceil_to(mx, 1024)
+    nx, ny = problem.nx, problem.ny
+
+    lx = _dirichlet_eigenvalues(mx, problem.inv_dx2)
+    lxp = np.pad(lx, (0, Mx - mx), mode="edge")
+    w = float(problem.inv_dy2)
+    scale = 2.0 / (mx + 1)                 # only the x pair normalizes
+
+    from ...ops.pallas.tdma import make_tdma_y_2d, tdma_z_reference
+
+    zfn = None
+    if use_kernel:
+        zfn = make_tdma_y_2d(ny, Mx, lxp, w, jnp.float32,
+                             interpret=interpret)
+
+    built = {}
+
+    def build(dt):
+        np_dt = np.dtype(dt)
+        Fxp = np.zeros((Mx, nx), np_dt)
+        Fxp[:mx, 1:nx - 1] = _sine_matrix(mx)
+        Gxp = np.zeros((nx, Mx), np_dt)
+        Gxp[:, :mx] = _mirror_extended_inverse(mx, scale)
+        return Fxp, Gxp
+
+    def pipeline(btilde):
+        dt = btilde.dtype
+        if dt not in built:
+            built[dt] = build(dt)
+        Fxp, Gxp = built[dt]
+        prec = precision
+        b = btilde[0]                                      # (ny, nx)
+        a = jnp.matmul(b, Fxp.T, precision=prec)           # (ny, Mx)
+        if zfn is not None and dt == jnp.float32:
+            x = zfn(a)
+        else:
+            x = tdma_z_reference(a[:, None, :],
+                                 jnp.asarray(lxp, dt)[None, :], w)[:, 0, :]
+        a = jnp.matmul(x, Gxp.T, precision=prec)           # (ny, nx)
+        return a[None]
+
+    return pipeline
+
+
 def _make_btilde_pipeline_tdma(problem: PoissonProblem, precision,
                                use_kernel: bool = True,
                                interpret: bool = False):
@@ -259,21 +330,36 @@ def make_fft_btilde_solver(problem: PoissonProblem,
     """Raw transform entry for fused producers (the Pallas projection
     kernels emit b̃ = M·p − (ρ/dt)∇·u* directly): (btilde) → x_new.
 
-    ``z_mode``: "eigen" (default) runs the z-axis as DST matmul passes;
-    "tdma" replaces them with the Pallas Thomas z-line solve (3D only,
-    ~30% cheaper transform at 512³, f32 kernel with a jnp fallback for
-    other dtypes); "auto" picks tdma when supported.  ``interpret`` runs
-    the TDMA kernel in Pallas interpret mode (CPU tests).
+    ``z_mode``: "eigen" (default) runs every axis as DST matmul passes;
+    "tdma" replaces the LAST transform pair with a Pallas Thomas
+    line-solve stage — the z axis in 3D (~30% cheaper transform at 512³),
+    the y axis in 2D (half the 2D transform's MXU work) — f32 kernels
+    with a jnp fallback for other dtypes; "auto" picks tdma when the
+    kernel shape qualifies.  ``interpret`` runs the TDMA kernels in
+    Pallas interpret mode (CPU tests).
     """
     if not spectral_supported(problem):
         raise ValueError("spectral solver needs nz==1 or (nz>=3, dz>0)")
     if z_mode == "auto":
-        z_mode = "tdma" if tdma_z_supported(problem) else "eigen"
+        if problem.is_3d:
+            sup = tdma_z_supported(problem)
+        else:
+            # Profitability gate: tdma drops the two y-axis matmuls but
+            # pads the x pair to Mx; it wins iff 2·Mx < 4·mx (square-ish
+            # grids), i.e. padding under 2×.
+            mx = problem.nx - 2
+            sup = tdma_y_supported(problem) and _ceil_to(mx, 1024) < 2 * mx
+        z_mode = "tdma" if sup else "eigen"
     if z_mode == "tdma":
-        if not tdma_z_supported(problem):
-            raise ValueError("tdma z_mode unsupported for this problem")
-        return jax.jit(_make_btilde_pipeline_tdma(problem, precision,
-                                                  interpret=interpret))
+        if problem.is_3d:
+            if not tdma_z_supported(problem):
+                raise ValueError("tdma z_mode unsupported for this problem")
+            return jax.jit(_make_btilde_pipeline_tdma(problem, precision,
+                                                      interpret=interpret))
+        if not tdma_y_supported(problem):
+            raise ValueError("tdma y-stage unsupported for this problem")
+        return jax.jit(_make_btilde_pipeline_tdma2d(problem, precision,
+                                                    interpret=interpret))
     return jax.jit(_make_btilde_pipeline(problem, precision))
 
 

@@ -124,8 +124,12 @@ def test_pipeline_auto_and_guards():
 # 2D y-stage (VMEM-resident whole-array kernel)
 # ---------------------------------------------------------------------------
 
-@pytest.mark.parametrize("ny", [3, 4, 9, 34])
+@pytest.mark.parametrize("ny", [3, 4, 9, 13, 34, 513])
 def test_tdma2d_kernel_matches_reference(ny):
+    # ny=13 -> mz=11 -> (n_main=1, rem=3) and ny=513 -> mz=511 ->
+    # (n_main=63, rem=7): both fori_loop blocks AND a nonzero static tail
+    # in the same sweep — the configuration real 2^k+1 grids hit, which
+    # the original {3,4,9,34} set never exercised (round-3 advice).
     mxp = 1024
     assert tdma2d_supported(ny, mxp)
     rng = np.random.default_rng(ny)
@@ -139,12 +143,23 @@ def test_tdma2d_kernel_matches_reference(ny):
         jnp.asarray(r[:, None, :]),
         jnp.asarray(mu, jnp.float32)[None, :], np.float32(w)))[:, 0, :]
     scale = np.abs(f32ref).max()
-    np.testing.assert_allclose(got, f32ref, rtol=0, atol=5e-6 * scale)
     if jax.config.jax_enable_x64:
+        # Long ill-conditioned chains (ny=513 with mu=1e-2 columns: Thomas
+        # recurrence condition ~2w/mu ~ 2.5e4) accumulate ~2e-4*scale of
+        # legitimate f32 rounding on ANY f32 path; the kernel's rounding
+        # path differs from the scan's, so anchor both bounds to the f32
+        # scan's own measured error against f64 truth instead of a fixed
+        # constant (measured at ny=513: ref 2.2e-4, kernel 2.5e-4 rel).
         truth = np.asarray(tdma_z_reference(
             jnp.asarray(r[:, None, :], jnp.float64),
             jnp.asarray(mu, jnp.float64)[None, :], float(w)))[:, 0, :]
-        np.testing.assert_allclose(got, truth, rtol=0, atol=2e-5 * scale)
+        err_ref = np.abs(f32ref - truth).max()
+        np.testing.assert_allclose(got, truth, rtol=0,
+                                   atol=max(2e-5 * scale, 2 * err_ref))
+        np.testing.assert_allclose(got, f32ref, rtol=0,
+                                   atol=max(5e-6 * scale, 2 * err_ref))
+    else:
+        np.testing.assert_allclose(got, f32ref, rtol=0, atol=5e-6 * scale)
 
 
 def test_tdma2d_unsupported_shapes():

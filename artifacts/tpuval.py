@@ -80,8 +80,37 @@ def proj_diff():
     return {"rms_u": rms}
 
 
+def tdma2d_diff():
+    """Compiled (Mosaic) 2D TDMA-y pipeline vs the eigen pipeline on the
+    real chip, at the sizes the auto gate enables it for (round-3 advice:
+    the kernel previously had interpret-mode coverage only)."""
+    import numpy as np
+
+    from cfd_tpu.solvers.poisson.base import PoissonProblem
+    from cfd_tpu.solvers.poisson.spectral import (make_fft_btilde_solver,
+                                                  tdma_y_supported)
+
+    out = {}
+    for n in (515, 1026):
+        p = PoissonProblem(n, n, 1, 1.0 / (n - 1), 1.0 / (n - 1), 0.0)
+        assert tdma_y_supported(p)
+        eig = make_fft_btilde_solver(p)
+        td = make_fft_btilde_solver(p, z_mode="tdma")
+        rng = np.random.default_rng(n)
+        bt = np.zeros((1, n, n), np.float32)
+        bt[:, 1:-1, 1:-1] = rng.standard_normal((n - 2, n - 2),
+                                                ).astype(np.float32)
+        bt = jnp.asarray(bt)
+        xe = eig(bt)
+        xt = td(bt)
+        scale = float(jnp.max(jnp.abs(xe)))
+        out[f"max_rel_{n}"] = float(jnp.max(jnp.abs(xt - xe))) / scale
+    return out
+
+
 CONFIGS = {
     "projection": proj_diff,
+    "tdma2d": tdma2d_diff,
     "euler": lambda: traj_diff(make_euler_step, 1e-4),
     "euler_convection":
         lambda: traj_diff(make_euler_step, 1e-4, convection=True),

@@ -116,27 +116,54 @@ def tdma_y_supported(problem: PoissonProblem) -> bool:
     return tdma2d_supported(problem.ny, _ceil_to(problem.nx - 2, 1024))
 
 
+def _tdma2d_rescue_width(mx: int, lx: np.ndarray, w: float) -> int:
+    """Number of low x-modes whose y-line solve is too ill-conditioned for
+    a plain f32 Thomas recurrence (see ``_make_btilde_pipeline_tdma2d``).
+
+    Per-mode recurrence condition ≈ 4·inv_dy2/λx[m]; measured on-chip
+    (artifacts/tdma2d_timing_probe.py + tpuval) f32 TDMA error tracks it:
+    cond<80 → ~3e-8, cond<506 → 2.6e-7, unbounded → 1.3e-3 at 1026².
+    Threshold cond ≤ 256 keeps the hybrid at eigen-class (~1e-6) accuracy;
+    round up to a lane tile for the thin rescue matmuls.
+    """
+    k = int(np.searchsorted(lx, 4.0 * w / 256.0))
+    return min(_ceil_to(max(k, 1), 128), mx)
+
+
 def _make_btilde_pipeline_tdma2d(problem: PoissonProblem, precision,
                                  use_kernel: bool = True,
                                  interpret: bool = False):
     """TDMA-y variant of the 2D transform: DSTx → Thomas y-line solve →
-    DSTx⁻¹ (`ops/pallas/tdma.py`).
+    DSTx⁻¹ (`ops/pallas/tdma.py`), with a dense eigen rescue of the lowest
+    x-modes.
 
     After the x transform the 2D pressure system decouples into per-mode
     tridiagonals along y; solving them directly replaces the two y-axis
     HIGHEST matmuls plus the eigenvalue divide — half of the 2D
     transform's MXU work — with one VMEM-resident Thomas kernel.
-    Mathematically identical to the eigen pipeline (both solve the same
-    tridiagonal exactly; differences are f32 rounding).
+
+    Unlike the 3D z-stage (where µ = λx+λy keeps every mode's recurrence
+    well-conditioned), the 2D y-lines see µ = λx alone: the smoothest
+    modes have condition ~4·inv_dy2/λx[0] ~ (2/π²)·mx², and a plain f32
+    Thomas sweep loses ~3 digits there (measured 1.3e-3 max-rel at 1026²
+    vs eigen's 1.7e-6; iterative refinement cannot fix it — the f32
+    residual itself cancels catastrophically at w·x ~ 1e6·x).  Since each
+    mode's line solve is independent, the K ill-conditioned columns
+    (cond > 256, K ≈ mx/25 rounded to a lane tile) are re-solved densely
+    via the y-DST pair on that thin slice — two (my,ny)×(ny,K) matmuls,
+    ~2% of the transform's FLOPs — restoring eigen-class accuracy at
+    TDMA speed.  Measured on-chip: see artifacts/tdma2d_timing_probe.py.
     """
     mx, my = problem.nx - 2, problem.ny - 2
     Mx = _ceil_to(mx, 1024)
     nx, ny = problem.nx, problem.ny
 
     lx = _dirichlet_eigenvalues(mx, problem.inv_dx2)
+    ly = _dirichlet_eigenvalues(my, problem.inv_dy2)
     lxp = np.pad(lx, (0, Mx - mx), mode="edge")
     w = float(problem.inv_dy2)
     scale = 2.0 / (mx + 1)                 # only the x pair normalizes
+    K = _tdma2d_rescue_width(mx, lx, w)
 
     from ...ops.pallas.tdma import make_tdma_y_2d, tdma_z_reference
 
@@ -153,13 +180,18 @@ def _make_btilde_pipeline_tdma2d(problem: PoissonProblem, precision,
         Fxp[:mx, 1:nx - 1] = _sine_matrix(mx)
         Gxp = np.zeros((nx, Mx), np_dt)
         Gxp[:, :mx] = _mirror_extended_inverse(mx, scale)
-        return Fxp, Gxp
+        # y-eigen rescue factors for the K lowest x-modes
+        Fyp = np.zeros((my, ny), np_dt)
+        Fyp[:, 1:ny - 1] = _sine_matrix(my)
+        Gyp = np.asarray(_mirror_extended_inverse(my, 2.0 / (my + 1)),
+                         np_dt)
+        return Fxp, Gxp, Fyp, Gyp
 
     def pipeline(btilde):
         dt = btilde.dtype
         if dt not in built:
             built[dt] = build(dt)
-        Fxp, Gxp = built[dt]
+        Fxp, Gxp, Fyp, Gyp = built[dt]
         prec = precision
         b = btilde[0]                                      # (ny, nx)
         a = jnp.matmul(b, Fxp.T, precision=prec)           # (ny, Mx)
@@ -168,6 +200,13 @@ def _make_btilde_pipeline_tdma2d(problem: PoissonProblem, precision,
         else:
             x = tdma_z_reference(a[:, None, :],
                                  jnp.asarray(lxp, dt)[None, :], w)[:, 0, :]
+        if dt == jnp.float32 and K < mx:
+            # dense rescue of the ill-conditioned low-mode columns
+            s = jnp.matmul(Fyp, a[:, :K], precision=prec)  # (my, K)
+            lam = (jnp.asarray(ly, dt)[:, None]
+                   + jnp.asarray(lx[:K], dt)[None, :])
+            s = jnp.matmul(Gyp, s / lam, precision=prec)   # (ny, K)
+            x = lax.dynamic_update_slice(x, s, (0, 0))
         a = jnp.matmul(x, Gxp.T, precision=prec)           # (ny, nx)
         return a[None]
 

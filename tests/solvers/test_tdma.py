@@ -168,6 +168,28 @@ def test_tdma2d_unsupported_shapes():
     assert not tdma2d_supported(8, 1536)     # Mx/8 not 128-aligned
 
 
+def test_pipeline2d_hybrid_rescue_accuracy():
+    """The 2D TDMA-y stage sees per-mode recurrence condition ~4w/λx[m]
+    (only ONE transformed axis, unlike 3D's λx+λy), so a plain f32 Thomas
+    sweep loses ~3 digits on the smooth modes at production sizes
+    (measured 1.3e-3 max-rel at 1026² vs eigen's 1.7e-6).  The pipeline
+    densely re-solves the K ill-conditioned columns via the y-DST pair;
+    this pins the hybrid's error vs f64 truth at eigen class."""
+    n = 1026
+    p = PoissonProblem(n, n, 1, 1.0 / (n - 1), 1.0 / (n - 1), 0.0)
+    assert tdma_y_supported(p)
+    rng = np.random.default_rng(n)
+    bt = np.zeros((1, n, n), np.float64)
+    bt[:, 1:-1, 1:-1] = rng.standard_normal((n - 2, n - 2))
+    eig = make_fft_btilde_solver(p)
+    td = make_fft_btilde_solver(p, z_mode="tdma", interpret=True)
+    truth = np.asarray(eig(jnp.asarray(bt)))          # f64 eigen
+    got = np.asarray(td(jnp.asarray(bt, jnp.float32)))
+    scale = np.abs(truth).max()
+    # eigen-f32 measures 1.7e-6 here; plain (unrescued) TDMA 1.3e-3
+    np.testing.assert_allclose(got, truth, rtol=0, atol=5e-6 * scale)
+
+
 @pytest.mark.parametrize("shape", [(34, 130), (9, 258)])
 def test_pipeline2d_matches_eigen(shape):
     ny, nx = shape

@@ -61,24 +61,41 @@ def _tg_field(shape):
 
 
 def _time_steps(step, field, dt, steps=TIMED_STEPS):
+    """Time ``steps`` steps of ``step`` on-device, marginally.
+
+    Returns Δtime/Δsteps × steps between two in-jit budgets (steps and
+    4×steps, best of 3 each) — the single-call measurement this replaces
+    folded the axon tunnel's ~30 ms fixed round-trip into the result,
+    understating throughput by up to 2× on ms-scale steps (CLAUDE.md:
+    measure device work marginally, never from one call).
+    """
     import jax
     import jax.numpy as jnp
     from jax import lax
 
-    @jax.jit
-    def multi(f):
-        def body(i, f):
-            f2, _ = step(f, dt, i)
-            return f2
-        f = lax.fori_loop(0, steps, body, f)
-        # Tiny scalar fetch forces device completion (plain block_until_ready
-        # can return early over remote-tunnel transports).
-        return jnp.sum(f.u[0, 0])
+    def make(n):
+        @jax.jit
+        def multi(f):
+            def body(i, f):
+                f2, _ = step(f, dt, i)
+                return f2
+            f = lax.fori_loop(0, n, body, f)
+            # Tiny scalar fetch forces device completion (plain
+            # block_until_ready can return early over remote tunnels).
+            return jnp.sum(f.u[0, 0])
+        return multi
 
-    float(multi(field))  # compile + warmup
-    t0 = time.perf_counter()
-    float(multi(field))
-    return time.perf_counter() - t0
+    lo, hi = make(steps), make(4 * steps)
+    best = {}
+    for tag, fn in (("lo", lo), ("hi", hi)):
+        float(fn(field))  # compile + warmup
+        t = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            float(fn(field))
+            t = min(t, time.perf_counter() - t0)
+        best[tag] = t
+    return (best["hi"] - best["lo"]) / (3 * steps) * steps
 
 
 def _make_step(grid, mu=0.01, use_pallas=True, **kw):

@@ -205,7 +205,13 @@ def make_marching_stencil_2d(ny: int, nx: int,
             + [pltpu.SemaphoreType.DMA((2, n_halo + n_plane)),
                pltpu.SemaphoreType.DMA((2, n_out))]
             + ([pltpu.SemaphoreType.DMA((n_pinned,))] if n_pinned else [])),
-        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        compiler_params=pltpu.CompilerParams(
+            has_side_effects=True,
+            # scratch stays under _VMEM_BUDGET; the rest is headroom for
+            # compiler-inserted stack/copies (the default 16 MiB scoped
+            # limit left ~3 MiB and overflowed by 0.5 MiB at 2048² once
+            # the tdma transform joined the program — v5e has 128 MiB)
+            vmem_limit_bytes=_VMEM_BUDGET + 24 * 1024 * 1024),
         interpret=interpret,
     )
 

@@ -547,19 +547,26 @@ def run_poisson_iters(n: int = 100) -> dict:
 
 
 def ghia_gate(n: int = 128, steps: int = 20000, dt: float = 5e-4,
-              re: int = 100):
-    """Lid cavity on-chip (f32, fused path) → (rms_u, rms_v) vs the Ghia
-    (1982) table at the given Reynolds number.
+              re: int = 100, measure_mlups: bool = False):
+    """Lid cavity on-chip (f32, fused path) → (rms_u, rms_v[, mlups]) vs
+    the Ghia (1982) table at the given Reynolds number.
 
-    The Re=1000 configuration (513², t=60) is the north-star accuracy
-    gate: centerlines within 1% (`cavity_reference_data.h:25-87`,
-    `docs/validation/lid-driven-cavity.md:149-160`).  Measured r3 sweep
-    (artifacts/ghia1000_sweep.py): 129²→0.030, 257²→0.0099, 385²→0.0058,
-    513²→0.0038/0.0041 — grid-limited, comfortably under the bar.  Note
-    the odd 2^k+1 grids fall outside the 2D kernel alignment (nx%128), so
-    this gate runs the jnp step + exact DST; the Re=100 gate at 128²
-    exercises the fused kernels."""
+    The Re=1000 configuration (t=60) is the north-star accuracy gate:
+    centerlines within 1% (`cavity_reference_data.h:25-87`,
+    `docs/validation/lid-driven-cavity.md:149-160`).  Measured sweeps:
+    jnp+DST 129²→0.030, 257²→0.0099, 385²→0.0058, 513²→0.0038/0.0041
+    (artifacts/ghia1000_sweep.py, r3); the gate now runs at 512² so the
+    FUSED marching kernels (nx%128, ny%8 alignment) are the code path
+    being graded — fast path and accurate path are the same configuration.
+    Even grids have no x=0.5 node; the node-centered linspace puts the
+    centerline exactly midway between columns n/2−1 and n/2, so the
+    profile is the average of the two (exact linear interpolation).
+
+    With measure_mlups=True the run uses a dynamic-trip-count fori_loop
+    (one compile) and reports marginal MLUPS between a full and a half
+    budget — the Δ method CLAUDE.md mandates for tunnel timing."""
     import sys
+    import time
 
     import jax
     import jax.numpy as jnp
@@ -578,31 +585,54 @@ def ghia_gate(n: int = 128, steps: int = 20000, dt: float = 5e-4,
     u_bc = DirichletValues(top=1.0)
     v_bc = DirichletValues()
 
-    def cavity_step(field, i):
+    def cavity_step(i, carry):
+        field, worst = carry
         field = field.replace(
             u=apply_dirichlet_scalar(field.u, u_bc),
             v=apply_dirichlet_scalar(field.v, v_bc),
             p=apply_neumann_scalar(field.p))
         field, res = step(field, dt, i)
-        return field, res.status
+        return field, jnp.maximum(worst, jnp.abs(res.status))
 
     @jax.jit
-    def run(field):
-        field, statuses = lax.scan(cavity_step, field,
-                                   jnp.arange(steps, dtype=jnp.int32))
-        return field, jnp.max(jnp.abs(statuses))
+    def run(field, n_steps):
+        field, worst = lax.fori_loop(
+            0, n_steps, cavity_step, (field, jnp.int32(0)))
+        # scalar diag forces completion through the tunnel (CLAUDE.md)
+        return field, worst, jnp.sum(field.u[0, n // 2])
+
+    def timed(field0, n_steps):
+        t0 = time.perf_counter()
+        field, worst, diag = run(field0, jnp.int32(n_steps))
+        float(diag)
+        return time.perf_counter() - t0, field, worst
 
     field0 = FlowField.quiescent(n, n, pressure=0.0, dtype=jnp.float32)
-    field, bad = run(field0)
+    mlups = None
+    if measure_mlups:
+        timed(field0, 1)   # pay the compile outside the timed pair
+        t_half, _, _ = timed(field0, steps // 2)
+        t_full, field, bad = timed(field0, steps)
+        mlups = n * n * (steps - steps // 2) / (t_full - t_half) / 1e6
+    else:
+        _, field, bad = timed(field0, steps)
     assert int(bad) == 0, "cavity run failed on-chip"
-    u_prof = np.asarray(field.u)[0, :, n // 2]
-    v_prof = np.asarray(field.v)[0, n // 2, :]
+    u = np.asarray(field.u)[0]
+    v = np.asarray(field.v)[0]
+    if n % 2 == 0:
+        u_prof = 0.5 * (u[:, n // 2 - 1] + u[:, n // 2])
+        v_prof = 0.5 * (v[n // 2 - 1, :] + v[n // 2, :])
+    else:
+        u_prof = u[:, n // 2]
+        v_prof = v[n // 2, :]
     y = np.asarray(grid.y)
     x = np.asarray(grid.x)
     rms_u = ghia_data.profile_rms_error(y, u_prof, ghia_data.Y_COORDS,
                                         ghia_data.U_TABLES[re])
     rms_v = ghia_data.profile_rms_error(x, v_prof, ghia_data.X_COORDS,
                                         ghia_data.V_TABLES[re])
+    if measure_mlups:
+        return float(rms_u), float(rms_v), float(mlups)
     return float(rms_u), float(rms_v)
 
 
@@ -690,16 +720,24 @@ def main():
     out["ghia_rms_u"] = round(rms_u, 4)
     out["ghia_rms_v"] = round(rms_v, 4)
     out["ghia_config"] = "Re=100 128x128 f32 fused, t=10"
-    # North-star accuracy gate: Re=1000 centerlines within 1% on-chip
-    # (513², t=60; dt=4e-4 sits under the 513² diffusive limit ~9.5e-4).
-    rms_u_1k, rms_v_1k = ghia_gate(n=513, steps=150000, dt=4e-4, re=1000)
+    # North-star accuracy gate: Re=1000 centerlines within 1% on-chip,
+    # run through the FUSED 2D marching kernels (512² satisfies the
+    # nx%128/ny%8 alignment; dt=4e-4 sits under the diffusive limit
+    # ~9.5e-4) — the fast path and the accurate path are the same
+    # configuration, and the row reports that run's own MLUPS.
+    from cfd_tpu.ops.pallas.projection2d import projection2d_supported
+    assert projection2d_supported(512, 512), \
+        "gate grid no longer dispatches the fused 2D kernels"
+    rms_u_1k, rms_v_1k, mlups_1k = ghia_gate(
+        n=512, steps=150000, dt=4e-4, re=1000, measure_mlups=True)
     assert rms_u_1k < 0.01 and rms_v_1k < 0.01, (
         f"Re=1000 north-star gate failed: rms_u={rms_u_1k:.4f} "
         f"rms_v={rms_v_1k:.4f}")
     out["ghia_re1000_rms_u"] = round(rms_u_1k, 4)
     out["ghia_re1000_rms_v"] = round(rms_v_1k, 4)
+    out["ghia_re1000_mlups"] = round(mlups_1k, 1)
     out["ghia_re1000_config"] = \
-        "Re=1000 513x513 f32 jnp+DST, t=60 (<=1% gate)"
+        "Re=1000 512x512 f32 FUSED marching kernels, t=60 (<=1% gate)"
 
     print(json.dumps(out))
 

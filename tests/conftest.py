@@ -25,6 +25,15 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 
+# Sanitizer-analog CI leg (the reference gates releases on ASan/UBSan/TSan,
+# CMakeLists.txt:32-49; the TPU build's equivalent hazard class is silent
+# numeric corruption): CFD_TPU_DEBUG_NANS=1 makes every op that produces a
+# NaN/Inf raise at the op, instead of the value flowing into a result.
+# Tests that inject NaNs on purpose carry @pytest.mark.nan_injection and
+# are excluded from that leg.
+if os.environ.get("CFD_TPU_DEBUG_NANS"):
+    jax.config.update("jax_debug_nans", True)
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
@@ -56,6 +65,18 @@ def pytest_configure(config):
         "markers",
         "heavy: slow interpret-mode Pallas test; runs under --heavy or "
         "--full-validation (each has a lighter default-tier sibling)")
+    config.addinivalue_line(
+        "markers",
+        "nan_injection: intentionally injects NaN/Inf to exercise "
+        "divergence detection; excluded from the CFD_TPU_DEBUG_NANS "
+        "(jax_debug_nans) sanitizer-analog CI leg")
+    config.addinivalue_line(
+        "markers",
+        "nan_shell: exercises raw fused-CG kernels whose Dirichlet-0 "
+        "work-vector shells are never written BY DESIGN (CLAUDE.md "
+        "semantics) — interpret mode initializes those don't-care shells "
+        "to NaN, a false positive for the debug-nans leg; also excluded "
+        "from it")
 
 
 def pytest_collection_modifyitems(config, items):

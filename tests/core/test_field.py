@@ -6,6 +6,7 @@ import numpy as np
 
 from cfd_tpu import FlowField, Grid
 from cfd_tpu.core import derived
+import pytest
 
 
 def test_zeros_shape_and_w_allocated():
@@ -45,6 +46,7 @@ def test_field_is_pytree():
     np.testing.assert_allclose(np.asarray(f2.u), 1.0)
 
 
+@pytest.mark.nan_injection
 def test_is_finite_flag():
     f = FlowField.zeros(4, 4)
     assert bool(f.is_finite())

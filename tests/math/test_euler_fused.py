@@ -91,6 +91,7 @@ def test_fused_euler_clamps_and_rho_guard():
     np.testing.assert_allclose(float(ff.u[4, 8, 64]), float(f.u[4, 8, 64]))
 
 
+@pytest.mark.nan_injection
 def test_fused_euler_divergence_detection():
     params = NSParams()
     _, fus = _steps(params)

@@ -81,6 +81,7 @@ def test_mega_diag_catches_shell_extremum():
     assert float(rf.max_velocity) >= 9.0
 
 
+@pytest.mark.nan_injection
 def test_mega_divergence_detection():
     """NaN injection is still caught through the fused max-reductions."""
     g = Grid.uniform(128, 16, 8, zmin=0.0, zmax=1.0)

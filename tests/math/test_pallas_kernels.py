@@ -36,6 +36,7 @@ def test_fused_available_for_bench_shape():
     assert not fused_kernels_available(2, 16, 16)  # nz too small
 
 
+@pytest.mark.nan_shell
 def test_lap_dot_windowed_matches_jnp(problem):
     r, p = rand_fields(problem)
     ld = make_lap_dot_fused(*problem.shape[::-1][::-1],
@@ -99,6 +100,7 @@ def test_cg_update_matches_jnp(problem):
                                   np.asarray(r)[:, 0, :])
 
 
+@pytest.mark.nan_shell
 def test_fused_cg_solver_matches_jnp_cg(problem):
     """Full fused-CG solve vs jnp CG in interpret mode: same iteration count
     and matching solution."""

@@ -74,6 +74,7 @@ def test_fused_rk4_multi_step():
 
 
 @pytest.mark.heavy
+@pytest.mark.nan_injection
 def test_fused_rk_divergence_detection():
     g = _grid()
     fus = jax.jit(make_rk2_step(g, NSParams(), dtype=jnp.float32,

@@ -48,6 +48,7 @@ def test_quiescent_field_stays_quiescent(method):
     np.testing.assert_allclose(np.asarray(f2.v), 0.0, atol=1e-12)
 
 
+@pytest.mark.nan_injection
 def test_divergence_detection():
     """NaN in the field must be flagged as DIVERGED, and the iteration count
     reflects the early stop."""

@@ -45,7 +45,7 @@ class ProjectionKernels:
                  dtype=jnp.float32, interpret=False, global_nz=None,
                  emit="btilde", with_sources=True,
                  beta=0.0, T_ref=0.0, gravity=(0.0, 0.0, 0.0),
-                 global_ny=None):
+                 global_ny=None, dst_mats=None, dst_precision=None):
         """``global_nz``: sharded (z-decomposed) mode — the kernels operate
         on a halo-padded local block of ``nz`` planes belonging to a global
         ``global_nz``-plane domain; the btilde kernel then takes the shard's
@@ -59,7 +59,23 @@ class ProjectionKernels:
         (global row of padded local row 0) as one more trailing scalar;
         interior masks, the sin(πy) source coordinate, and the b̃ Neumann
         face coefficients all evaluate at *global* row indices, so the
-        in-plane save/restore shells land on the true domain faces only."""
+        in-plane save/restore shells land on the true domain faces only.
+
+        ``dst_mats``: the DST-fused mega path — a (FxT, Fy, GxT, Gy) tuple
+        of host numpy sine matrices (see ``spectral.make_dst_fused_mats``).
+        The predictor mega kernel then emits the **xy-transformed** b̃
+        (two in-kernel MXU dots per plane, riding the otherwise-idle MXU
+        while the engine streams — measured overlap in
+        artifacts/overlap_probe.py), and the corrector mega kernel
+        inverse-transforms the z-TDMA output as planes ARRIVE in its
+        rolling window (once per plane) and emits the physical pressure as
+        a fourth output with mirror z-shells.  Only the z line solve
+        remains between the two sweeps: the whole spectral projection step
+        is two marching kernels plus one TDMA.  Requires the mode dims to
+        equal the grid dims (guaranteed by the engine's nx%128 / ny%8
+        gates: ceil(nx−2, 128) == nx), single-chip mega mode only.
+        ``dst_precision`` sets the in-kernel contraction precision
+        (default HIGHEST, matching the eigen pipeline)."""
         self.shape = (nz, ny, nx)
         self.global_nz = global_nz
         self.global_ny = global_ny
@@ -67,6 +83,27 @@ class ProjectionKernels:
         gny = ny if global_ny is None else global_ny
         buoy = beta != 0.0
         self.buoyant = buoy
+        self.dst = dst_mats is not None
+        if self.dst:
+            if global_nz is not None or global_ny is not None:
+                raise ValueError("dst_mats is single-chip mega mode only")
+            if emit != "btilde":
+                raise ValueError("dst_mats requires emit='btilde'")
+            fxt, fyl, gxt, gyl = dst_mats
+            # host numpy on purpose (trace safety, docs/design.md); the
+            # engine's run() converts per call.
+            self._pred_mats = (fxt, fyl)
+            self._corr_mats = (gxt, gyl)
+        dst_prec = dst_precision or jax.lax.Precision.HIGHEST
+
+        def plane_dot_rl(plane, right, left):
+            """left · (plane · right) — one xy DST stage pair on the MXU."""
+            t = jax.lax.dot_general(
+                plane, right, (((1,), (0,)), ((), ())),
+                precision=dst_prec, preferred_element_type=dtype)
+            return jax.lax.dot_general(
+                left, t, (((1,), (0,)), ((), ())),
+                precision=dst_prec, preferred_element_type=dtype)
         inv_2dx = 1.0 / (2.0 * dx)
         inv_2dy = 1.0 / (2.0 * dy)
         inv_dx2 = 1.0 / (dx * dx)
@@ -245,7 +282,7 @@ class ProjectionKernels:
         # VMEM budget (~128 MiB); the per-component kernels above remain
         # for the sharded path and as fallback.
 
-        def pred_bt_compute(k, scalars, halos, planes):
+        def pred_bt_compute(k, scalars, halos, planes, pinned=None):
             dt_, nu_, su_amp, sv_amp, rod = scalars[:5]
             uw, vw, ww = halos[:3]  # 5-plane windows (k−2 … k+2)
             Tw = halos[3] if buoy else None
@@ -296,6 +333,10 @@ class ProjectionKernels:
                           + (k == nz - 2).astype(dtype))
                     coeff = coeff + inv_dz2 * kf
                 out = jnp.where(maskb, coeff * pc - rod * div, 0.0)
+                if self.dst:
+                    # forward x then y DST of the b̃ plane, in-kernel on
+                    # the MXU (overlaps the window streaming for free)
+                    out = plane_dot_rl(out, pinned[0], pinned[1])
             else:
                 out = jnp.where(maskb, rod * div, 0.0)
             return [us, vs, ws, out], None
@@ -306,9 +347,11 @@ class ProjectionKernels:
                 nz, ny, nx, 4 if buoy else 3, 1, 4, pred_bt_compute,
                 dtype, n_scalars=5,
                 shell_passthrough=[0, 1, 2, None], halo_window=2,
+                pinned_mats=([m.shape for m in self._pred_mats]
+                             if self.dst else None),
                 interpret=interpret)
 
-        def corr_all_compute(k, scalars, halos, planes):
+        def corr_all_compute(k, scalars, halos, planes, pinned=None):
             (pm, pc, pp) = halos[0]
             us, vs, ws = planes
             mask, _, _ = plane_masks(ny, nx, dtype)
@@ -322,14 +365,27 @@ class ProjectionKernels:
                           jnp.clip(ws - s * (pp - pm) * inv_2dz,
                                    -CLAMP, CLAMP), ws)
             m2 = jnp.max(u * u + v * v + w * w)
-            return [u, v, w], (m2, jnp.max(pc), jnp.max(jnp.abs(pc)))
+            outs = [u, v, w] + ([pc] if self.dst else [])
+            return outs, (m2, jnp.max(pc), jnp.max(jnp.abs(pc)))
+
+        def corr_inverse_dst(plane, mats):
+            """Arrival hook: x̂ plane (z-TDMA output, transform space) →
+            physical p plane via the mirror-extended inverse pair."""
+            return plane_dot_rl(plane, mats[0], mats[1])
 
         self.corr_all = None
         if global_nz is None and global_ny is None:
             self.corr_all = make_rolling_stencil(
-                nz, ny, nx, 1, 3, 3, corr_all_compute, dtype, n_scalars=1,
+                nz, ny, nx, 1, 3, 4 if self.dst else 3, corr_all_compute,
+                dtype, n_scalars=1,
                 reductions=("max", "max", "max"),
-                shell_passthrough=[1, 2, 3], interpret=interpret)
+                shell_passthrough=([1, 2, 3, None] if self.dst
+                                   else [1, 2, 3]),
+                shell_sources={3: ("p1", "pN2")} if self.dst else None,
+                pinned_mats=([m.shape for m in self._corr_mats]
+                             if self.dst else None),
+                halo_transform={0: corr_inverse_dst} if self.dst else None,
+                interpret=interpret)
 
         self.mega_ok = (self.pred_bt is not None
                         and self.corr_all is not None)
@@ -339,21 +395,28 @@ class ProjectionKernels:
     def predictor_poisson_input(self, u, v, w, p, dt, nu,
                                 src_u_amp, src_v_amp, rho_over_dt, T=None):
         """Mega path: (u*, v*, w*, b̃-or-rhs) in ONE sweep.  With buoyancy
-        compiled in, pass the step-start temperature ``T``."""
+        compiled in, pass the step-start temperature ``T``.  In DST mode
+        the fourth output is the xy-transformed b̃ (z-TDMA input)."""
         s = jnp.stack([jnp.asarray(dt), jnp.asarray(nu),
                        jnp.asarray(src_u_amp), jnp.asarray(src_v_amp),
                        jnp.asarray(rho_over_dt)])
+        mats = self._pred_mats if self.dst else ()
         if self.buoyant:
-            return self.pred_bt(s, u, v, w, T, p)
-        return self.pred_bt(s, u, v, w, p)
+            return self.pred_bt(s, u, v, w, T, p, *mats)
+        return self.pred_bt(s, u, v, w, p, *mats)
 
     def corrector_diag(self, us, vs, ws, p, dt_over_rho):
         """Mega path: (u, v, w, max|vel|² , max p, max|p|) in ONE sweep.
 
         The reductions cover the computed interior planes; callers fold in
-        the two z-shell planes with cheap jnp face maxima."""
+        the two z-shell planes with cheap jnp face maxima.  In DST mode
+        ``p`` is the z-TDMA output x̂ (transform space): planes are
+        inverse-DSTed on window arrival, and the physical pressure comes
+        back as a fourth output (mirror z-shells) before the reductions:
+        (u, v, w, p, max|vel|², max p, max|p|)."""
         s = jnp.asarray(dt_over_rho)[None]
-        return self.corr_all(s, p, us, vs, ws)
+        mats = self._corr_mats if self.dst else ()
+        return self.corr_all(s, p, us, vs, ws, *mats)
 
     def _with_y(self, parts, y_offset):
         """Append the global-row-offset scalar in y-sharded mode."""

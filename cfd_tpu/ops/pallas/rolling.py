@@ -61,6 +61,8 @@ def make_rolling_stencil(nz: int, ny: int, nx: int,
                          shell_periodic: Optional[Sequence[int]] = None,
                          shell_sources: Optional[dict] = None,
                          n_pinned: int = 0,
+                         pinned_mats: Optional[Sequence[tuple]] = None,
+                         halo_transform: Optional[dict] = None,
                          halo_window: int = 1,
                          interpret: bool = False):
     """Build the rolling kernel.
@@ -93,6 +95,18 @@ def make_rolling_stencil(nz: int, ny: int, nx: int,
     VMEM at the prologue and handed to compute as (plane0, plane1) tuples —
     used for periodic z-wrap neighbor planes that the streaming window
     can't see (the RK kernels' f[nz−2] / f[1] substitutes).
+    ``pinned_mats`` appends arbitrary-shape 2D inputs (a list of (rows,
+    cols) shapes), also fetched once at the prologue; they arrive as plain
+    arrays AFTER the n_pinned pairs in compute's ``pinned`` argument (which
+    is passed whenever either is nonempty).  Used to hold DST sine matrices
+    for in-kernel MXU transforms — measured (artifacts/overlap_probe.py):
+    an in-kernel HIGHEST dot runs at 31.7 TF/s and fully overlaps the
+    engine's DMA streaming (combined kernel = max(DMA, MXU)).
+    ``halo_transform`` maps a halo-input index to ``fn(plane, mats) →
+    plane`` applied ONCE per plane on DMA arrival (ring-slot rewrite), so
+    stencil windows see transformed planes with no re-compute per window
+    position — this is how the corrector kernel inverse-DSTs the pressure
+    while streaming it.
 
     ``with_reduction=True`` is the legacy spelling of
     ``reductions=("sum",)`` with the partial returned as a bare scalar.
@@ -111,11 +125,17 @@ def make_rolling_stencil(nz: int, ny: int, nx: int,
     snap_outs = tuple(o for o, (lo, hi) in sorted(shell_src.items())
                       if isinstance(lo, str) or isinstance(hi, str))
     sp_list = snap_outs  # retains the old name used below
+    mats = tuple(tuple(s) for s in (pinned_mats or ()))
+    n_mats = len(mats)
+    halo_transform = dict(halo_transform or {})
+    plane_bytes = ny * nx * 4
+    mat_planes = -(-sum(r * c * 4 for r, c in mats) // plane_bytes)
     if not rolling_supported(nz, ny, nx, n_halo, n_plane,
-                             n_out + len(sp_list) + n_pinned, halo_window):
+                             n_out + len(sp_list) + n_pinned + mat_planes,
+                             halo_window):
         return None
     rows = nz * ny
-    n_in = n_halo + n_plane + n_pinned
+    n_in = n_halo + n_plane + n_pinned + n_mats
     W = int(halo_window)
     R = 2 * W + 2  # halo ring slots: 2W+1 live + 1 prefetch target
     S = W + 2      # plane staging: plane k lives from fetch (k−W−1) to read (k)
@@ -153,10 +173,11 @@ def make_rolling_stencil(nz: int, ny: int, nx: int,
         obufs = refs[idx:idx + n_out]; idx += n_out
         sbufs = refs[idx:idx + len(sp_list)]; idx += len(sp_list)
         pbufs = refs[idx:idx + n_pinned]; idx += n_pinned
+        mbufs = refs[idx:idx + n_mats]; idx += n_mats
         in_sems = refs[idx]; idx += 1
         out_sems = refs[idx]; idx += 1
         pin_sems = None
-        if n_pinned:
+        if n_pinned or n_mats:
             pin_sems = refs[idx]; idx += 1
 
         scalars = [scal_ref[0, i] for i in range(n_scalars)]
@@ -200,11 +221,18 @@ def make_rolling_stencil(nz: int, ny: int, nx: int,
 
         # Prologue: fetch planes 0..W+1 (the first compute at c=1 reads
         # planes up to 1+W); plane 2+W prefetches inside the first body.
-        # Pinned inputs (each a (2·ny, nx) HBM array) land whole in VMEM.
+        # Pinned inputs (each a (2·ny, nx) HBM array) and pinned matrices
+        # land whole in VMEM.
         pins = []
         for q in range(n_pinned):
             d = pltpu.make_async_copy(
                 in_hbm[n_halo + n_plane + q], pbufs[q], pin_sems.at[q])
+            d.start()
+            pins.append(d)
+        for q in range(n_mats):
+            d = pltpu.make_async_copy(
+                in_hbm[n_halo + n_plane + n_pinned + q], mbufs[q],
+                pin_sems.at[n_pinned + q])
             d.start()
             pins.append(d)
         first = min(W + 1, nz - 1)
@@ -214,6 +242,21 @@ def make_rolling_stencil(nz: int, ny: int, nx: int,
             wait_all(in_dma(k, k % 2))
         for d in pins:
             d.wait()
+
+        def mat_arrays():
+            return [mbufs[q][...] for q in range(n_mats)]
+
+        def transform_arrival(k):
+            """Rewrite freshly-arrived ring slots of transformed halo
+            inputs — each plane transformed exactly once."""
+            for a, fn in halo_transform.items():
+                slot = ring_slot(k)
+                rings[a][pl.ds(slot, 1)] = fn(rings[a][slot],
+                                              mat_arrays())[None]
+
+        for k in range(first + 1):
+            if halo_transform:
+                transform_arrival(k)
 
         def body(c, acc):
             c = jnp.asarray(c, jnp.int32)
@@ -227,6 +270,8 @@ def make_rolling_stencil(nz: int, ny: int, nx: int,
             @pl.when((c + W <= nz - 1) & (c > 1))
             def _():
                 wait_all(in_dma(c + W, jax.lax.rem(c + W, jnp.int32(2))))
+                if halo_transform:
+                    transform_arrival(c + W)
 
             halo_windows = []
             for a in range(n_halo):
@@ -235,9 +280,9 @@ def make_rolling_stencil(nz: int, ny: int, nx: int,
             planes = [stages[b][jax.lax.rem(c, jnp.int32(S))]
                       for b in range(n_plane)]
 
-            if n_pinned:
+            if n_pinned or n_mats:
                 pinned = [(pbufs[q][0:ny, :], pbufs[q][ny:2 * ny, :])
-                          for q in range(n_pinned)]
+                          for q in range(n_pinned)] + mat_arrays()
                 outs, partials = compute(c, scalars, halo_windows, planes,
                                          pinned)
             else:
@@ -328,9 +373,11 @@ def make_rolling_stencil(nz: int, ny: int, nx: int,
             + [pltpu.VMEM((2, ny, nx), dtype) for _ in range(n_out)]
             + [pltpu.VMEM((2, ny, nx), dtype) for _ in sp_list]
             + [pltpu.VMEM((2 * ny, nx), dtype) for _ in range(n_pinned)]
+            + [pltpu.VMEM((r, c), dtype) for r, c in mats]
             + [pltpu.SemaphoreType.DMA((2, n_in)),
                pltpu.SemaphoreType.DMA((2, n_out))]
-            + ([pltpu.SemaphoreType.DMA((n_pinned,))] if n_pinned else [])),
+            + ([pltpu.SemaphoreType.DMA((n_pinned + n_mats,))]
+               if n_pinned or n_mats else [])),
         compiler_params=pltpu.CompilerParams(
             has_side_effects=True,
             # v5e carries 128 MiB of VMEM; XLA's default scoped limit is
@@ -341,10 +388,14 @@ def make_rolling_stencil(nz: int, ny: int, nx: int,
 
     def run(scalars, *fields):
         scal = jnp.asarray(scalars, dtype).reshape(1, max(1, n_scalars))
-        # streamed inputs flatten to (nz·ny, nx); pinned to (2·ny, nx)
+        # streamed inputs flatten to (nz·ny, nx); pinned to (2·ny, nx);
+        # pinned matrices pass through at their declared (r, c) shapes
         flat = [f.reshape(rows, nx) for f in fields[:n_halo + n_plane]]
         flat += [f.reshape(2 * ny, nx)
-                 for f in fields[n_halo + n_plane:]]
+                 for f in fields[n_halo + n_plane:
+                                 n_halo + n_plane + n_pinned]]
+        flat += [jnp.asarray(f, dtype)
+                 for f in fields[n_halo + n_plane + n_pinned:]]
         results = call(scal, *flat)
         outs = [results[o].reshape(nz, ny, nx) for o in range(n_out)]
         if with_reduction:

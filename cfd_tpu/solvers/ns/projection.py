@@ -65,7 +65,8 @@ def make_projection_step(grid: Grid, params: NSParams, dtype=None,
                          use_pallas_cg: bool = None,
                          spectral_precision=None,
                          differentiable: bool = False,
-                         poisson_solve_override=None):
+                         poisson_solve_override=None,
+                         bc_refresh=None):
     """Build the jitted projection step: (field, dt, iter) → (field, StepResult).
 
     ``use_pallas`` enables the fused Pallas fast path (float32, aligned
@@ -96,6 +97,23 @@ def make_projection_step(grid: Grid, params: NSParams, dtype=None,
     builds the hybrid step instead: fused-kernel forward value, jnp
     adjoint for the reverse pass (`.hybrid.pair_vjp`) — kernel throughput
     for loss evaluation, reverse-mode-only differentiation.
+
+    ``bc_refresh``: optional ``fn(u*, v*, w*, t_next) → (u*, v*, w*)``
+    applied to the predictor state BEFORE the pressure solve.  The default
+    (None) preserves the reference's save/restore idiom
+    (`solver_projection.c:187-189`): caller-set boundary values pass
+    through the predictor untouched, which leaves them one step stale
+    relative to the driven interior — for time-varying or driven-interior
+    BCs (pulsatile inlets, body-forced periodic channels) that excites an
+    artificial edge divergence whose pressure response grows with 1/dx
+    (~2% of the forcing at test resolutions; see
+    tests/validation/test_pulsatile_channel.py).  Passing the same BC
+    application the caller performs between steps makes the predictor's
+    shell consistent with its interior and removes the deficit.
+    ``t_next = (iter_idx + 1)·dt`` — the time level of the predictor
+    state.  The hook runs between kernels on the fused path (the
+    mega-fused single-sweep variants are bypassed since they form the
+    Poisson input in the same sweep as the predictor).
     """
     if differentiable:
         if use_pallas or use_pallas_cg:
@@ -106,7 +124,8 @@ def make_projection_step(grid: Grid, params: NSParams, dtype=None,
             from .hybrid import pair_vjp
             common = dict(dtype=dtype, poisson_method=poisson_method,
                           poisson_params=poisson_params,
-                          spectral_precision=spectral_precision)
+                          spectral_precision=spectral_precision,
+                          bc_refresh=bc_refresh)
             return pair_vjp(
                 make_projection_step(grid, params, use_pallas=True,
                                      pallas_interpret=pallas_interpret,
@@ -179,7 +198,7 @@ def make_projection_step(grid: Grid, params: NSParams, dtype=None,
     proj2d = None
     btilde2d = None
     if (use_pallas and dtype == jnp.float32 and grid.nz == 1
-            and params.source_func is None):
+            and params.source_func is None and bc_refresh is None):
         from ...ops.pallas.projection2d import (Projection2DKernels,
                                                 projection2d_supported)
         if projection2d_supported(grid.ny, grid.nx,
@@ -215,6 +234,7 @@ def make_projection_step(grid: Grid, params: NSParams, dtype=None,
     # equation runs as a jnp post-step either way).
     proj_kernels = None
     btilde_pipeline = None
+    dst_fused = False
     if (use_pallas and dtype == jnp.float32 and grid.nz > 2
             and params.source_func is None):
         from ...ops.pallas.projection_kernels import (
@@ -222,24 +242,49 @@ def make_projection_step(grid: Grid, params: NSParams, dtype=None,
         from ..poisson.spectral import spectral_supported
         use_bt3 = (Method(poisson_method) == Method.FFT_DIRECT
                    and spectral_supported(problem))
+        kern_kwargs = dict(
+            with_sources=(params.source_amplitude_u != 0.0
+                          or params.source_amplitude_v != 0.0),
+            beta=params.beta, T_ref=params.T_ref,
+            gravity=params.gravity, interpret=pallas_interpret)
         if projection_kernels_supported(grid.nz, grid.ny, grid.nx):
-            pk = ProjectionKernels(grid.nz, grid.ny, grid.nx, dx, dy,
-                                   grid.dz0, grid.xmin, grid.ymin, dtype,
-                                   emit="btilde" if use_bt3 else "rhs",
-                                   with_sources=(params.source_amplitude_u
-                                                 != 0.0
-                                                 or params.source_amplitude_v
-                                                 != 0.0),
-                                   beta=params.beta, T_ref=params.T_ref,
-                                   gravity=params.gravity,
-                                   interpret=pallas_interpret)
+            pk = None
+            # DST-fused mega path: the predictor kernel emits the
+            # xy-transformed b̃ (in-kernel MXU dots overlapping the
+            # streaming DMA) and the corrector inverse-DSTs x̂ planes as
+            # they arrive — the whole spectral solve collapses to the
+            # z-TDMA between the two sweeps (no standalone transform
+            # stages, no full-field HBM round-trips).  HIGHEST-precision
+            # contractions, matching the eigen/tdma pipelines.
+            if use_bt3 and bc_refresh is None:
+                import jax.lax as _lax
+                from ..poisson.spectral import (dst_fused_supported,
+                                                make_dst_fused_pieces)
+                if (dst_fused_supported(problem)
+                        and spectral_precision
+                        in (None, _lax.Precision.HIGHEST)):
+                    mats, zsolve = make_dst_fused_pieces(
+                        problem, dtype, interpret=pallas_interpret)
+                    pk_dst = ProjectionKernels(
+                        grid.nz, grid.ny, grid.nx, dx, dy, grid.dz0,
+                        grid.xmin, grid.ymin, dtype, emit="btilde",
+                        dst_mats=mats, **kern_kwargs)
+                    if pk_dst.ok and pk_dst.mega_ok:
+                        pk = pk_dst
+                        btilde_pipeline = zsolve
+                        dst_fused = True
+            if pk is None:
+                pk = ProjectionKernels(
+                    grid.nz, grid.ny, grid.nx, dx, dy, grid.dz0,
+                    grid.xmin, grid.ymin, dtype,
+                    emit="btilde" if use_bt3 else "rhs", **kern_kwargs)
             if pk.ok:
                 proj_kernels = pk
             # Spectral fast path: the btilde/pred_bt kernel feeds the DST
             # pipeline directly (no materialized Poisson rhs, no residual
             # diagnostics — exactness is certified by
             # tests/solvers/test_spectral.py).
-            if (pk.ok and use_bt3
+            if (pk.ok and use_bt3 and not dst_fused
                     and (pk.btilde_k is not None or pk.mega_ok)):
                 from ..poisson.spectral import make_fft_btilde_solver
                 # z_mode="auto": the TDMA z-stage (Pallas Thomas solve)
@@ -260,7 +305,7 @@ def make_projection_step(grid: Grid, params: NSParams, dtype=None,
         sv = params.source_amplitude_v * decay
         rho0 = field.rho[0, 0, 0]
         rho0 = jnp.where(rho0 < 1e-10, 1.0, rho0)
-        mega = proj_kernels.mega_ok
+        mega = proj_kernels.mega_ok and bc_refresh is None
 
         if mega:
             us, vs, ws, pin = proj_kernels.predictor_poisson_input(
@@ -270,27 +315,42 @@ def make_projection_step(grid: Grid, params: NSParams, dtype=None,
             us, vs, ws = proj_kernels.predictor(
                 field.u, field.v, field.w, dt, params.mu, su, sv,
                 T=field.T)
+            if bc_refresh is not None:
+                us, vs, ws = bc_refresh(us, vs, ws, (iter_idx + 1) * dt)
             pin = None
 
-        if btilde_pipeline is not None:
-            if pin is None:
-                pin = proj_kernels.btilde(us, vs, ws, field.p, rho0 / dt)
-            p_new = btilde_pipeline(pin)
+        if dst_fused:
+            # pin is the xy-transformed b̃; only the z line solve runs
+            # between the two mega sweeps, and the corrector
+            # inverse-transforms x̂ in its streaming window, returning
+            # the physical pressure as a fourth output.
+            xhat = btilde_pipeline(pin)
             residual = jnp.zeros((), dtype)
             poisson_ok = jnp.bool_(True)   # direct solve
+            u, v, w, p_new, m2i, pmaxi, pabsi = \
+                proj_kernels.corrector_diag(us, vs, ws, xhat, dt / rho0)
         else:
-            if pin is None:
-                pin = proj_kernels.rhs(us, vs, ws, rho0 / dt)
-            pres = poisson_solve(field.p, pin)
-            p_new = pres.x
-            residual = pres.final_residual
-            poisson_ok = pres.status == 0
+            if btilde_pipeline is not None:
+                if pin is None:
+                    pin = proj_kernels.btilde(us, vs, ws, field.p,
+                                              rho0 / dt)
+                p_new = btilde_pipeline(pin)
+                residual = jnp.zeros((), dtype)
+                poisson_ok = jnp.bool_(True)   # direct solve
+            else:
+                if pin is None:
+                    pin = proj_kernels.rhs(us, vs, ws, rho0 / dt)
+                pres = poisson_solve(field.p, pin)
+                p_new = pres.x
+                residual = pres.final_residual
+                poisson_ok = pres.status == 0
 
-        if mega:
-            u, v, w, m2i, pmaxi, pabsi = proj_kernels.corrector_diag(
-                us, vs, ws, p_new, dt / rho0)
-        else:
-            u, v, w = proj_kernels.corrector(us, vs, ws, p_new, dt / rho0)
+            if mega:
+                u, v, w, m2i, pmaxi, pabsi = proj_kernels.corrector_diag(
+                    us, vs, ws, p_new, dt / rho0)
+            else:
+                u, v, w = proj_kernels.corrector(us, vs, ws, p_new,
+                                                 dt / rho0)
         new_field = field.replace(u=u, v=v, w=w, p=p_new)
 
         if energy_step is not None:
@@ -412,6 +472,11 @@ def make_projection_step(grid: Grid, params: NSParams, dtype=None,
         u_star = stencils.set_interior(u, u_star_i)
         v_star = stencils.set_interior(v, v_star_i)
         w_star = stencils.set_interior(w, w_star_i)
+        if bc_refresh is not None:
+            # opt-in: caller BCs re-applied at the predictor's time level,
+            # killing the stale-shell edge divergence (see docstring)
+            u_star, v_star, w_star = bc_refresh(u_star, v_star, w_star,
+                                                (iter_idx + 1) * dt)
 
         # ---- Poisson: ∇²p = (ρ/dt)·∇·u* ----------------------------------
         rho0 = field.rho[0, 0, 0]

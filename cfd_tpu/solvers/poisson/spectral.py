@@ -213,6 +213,77 @@ def _make_btilde_pipeline_tdma2d(problem: PoissonProblem, precision,
     return pipeline
 
 
+def dst_fused_supported(problem: PoissonProblem) -> bool:
+    """Whether the in-kernel DST-fused projection pieces apply: 3D,
+    TDMA-z kernel shape, and mode dims equal to grid dims (true exactly
+    when nx % 128 == 0 and ny % 8 == 0, the rolling engine's own gates —
+    then ceil(nx−2, 128) == nx and ceil(ny−2, 8) == ny, so the
+    xy-transformed planes keep the (ny, nx) plane shape the marching
+    kernels stream)."""
+    if not (problem.nz >= 3 and problem.dz > 0.0):
+        return False
+    if (_ceil_to(problem.nx - 2, 128) != problem.nx
+            or _ceil_to(problem.ny - 2, 8) != problem.ny):
+        return False
+    return tdma_z_supported(problem)
+
+
+def make_dst_fused_pieces(problem: PoissonProblem, dtype=jnp.float32,
+                          use_kernel: bool = True, interpret: bool = False):
+    """Pieces for the DST-fused projection step (`ops/pallas/
+    projection_kernels.ProjectionKernels(dst_mats=...)`): the predictor
+    mega kernel applies the forward x/y DST per b̃ plane in-kernel, the
+    corrector applies the mirror-extended inverse per x̂ plane on window
+    arrival, and only the z line solve runs between the two sweeps.
+
+    Returns ``(mats, zsolve)``:
+
+    * ``mats = (FxT, Fy, GxT, Gy)`` — host numpy matrices (trace-safe)
+      such that forward = Fy·(plane·FxT) and inverse = Gy·(plane·GxT),
+      numerically identical factors to `_make_btilde_pipeline_tdma`'s
+      einsums (scale folded into Gx);
+    * ``zsolve(bxy) → x̂`` — the TDMA z-stage on (nz, ny, nx)
+      transform-space arrays, mirror-extended z-shells on output.
+    """
+    mx, my = problem.nx - 2, problem.ny - 2
+    Mx, My = _ceil_to(mx, 128), _ceil_to(my, 8)
+    nx, ny, nz = problem.nx, problem.ny, problem.nz
+    if (Mx, My) != (nx, ny):
+        raise ValueError("dst-fused pieces need mode dims == grid dims")
+    np_dt = np.dtype(dtype)
+
+    lx = _dirichlet_eigenvalues(mx, problem.inv_dx2)
+    ly = _dirichlet_eigenvalues(my, problem.inv_dy2)
+    w = float(problem.inv_dz2)
+    scale = (2.0 / (mx + 1)) * (2.0 / (my + 1))
+    mu_np = (np.pad(ly, (0, My - my), mode="edge")[:, None]
+             + np.pad(lx, (0, Mx - mx), mode="edge")[None, :])
+
+    Fxp = np.zeros((Mx, nx), np_dt)
+    Fxp[:mx, 1:nx - 1] = _sine_matrix(mx)
+    Fyp = np.zeros((My, ny), np_dt)
+    Fyp[:my, 1:ny - 1] = _sine_matrix(my)
+    Gxp = np.zeros((nx, Mx), np_dt)
+    Gxp[:, :mx] = _mirror_extended_inverse(mx, scale)
+    Gyp = np.zeros((ny, My), np_dt)
+    Gyp[:, :my] = _mirror_extended_inverse(my, 1.0)
+    mats = (np.ascontiguousarray(Fxp.T), Fyp,
+            np.ascontiguousarray(Gxp.T), Gyp)
+
+    from ...ops.pallas.tdma import make_tdma_z, tdma_z_reference
+
+    zfn = None
+    if use_kernel and dtype == jnp.float32:
+        zfn = make_tdma_z(nz, My, Mx, mu_np, w, jnp.float32,
+                          interpret=interpret)
+    if zfn is None:
+        # numpy held, converted per trace (trace safety, docs/design.md)
+        def zfn(a, _mu=mu_np.astype(np_dt)):
+            return tdma_z_reference(a, jnp.asarray(_mu), w)
+
+    return mats, zfn
+
+
 def _make_btilde_pipeline_tdma(problem: PoissonProblem, precision,
                                use_kernel: bool = True,
                                interpret: bool = False):

@@ -77,7 +77,9 @@ def test_pulsatile_channel_mass_conservation_and_periodicity():
     assert rel_inst < 0.5, rel_inst
     mean_rel = abs(np.mean(outflux[s]) - np.mean(influx[s])) \
         / abs(np.mean(influx[s]))
-    assert mean_rel < 0.10, mean_rel
+    # measured r4: 0.0166 (the residual is the zero-gradient outlet's
+    # phase lag, not the stale-shell deficit — bc_refresh moves it <3%)
+    assert mean_rel < 0.03, mean_rel
 
     # The inlet signal modulates sinusoidally: influx max/min ratio matches
     # (offset ± amplitude) = 1.5 / 0.5 within discretization slack.
@@ -107,7 +109,7 @@ def _womersley_exact(y, t, G, omega, nu, h):
 
 
 def _run_womersley(alpha, nu=0.05, ny=65, nx=32, n_cycles=4.0,
-                   samples_per_cycle=8):
+                   samples_per_cycle=8, bc_refresh=False):
     """Periodic channel driven by a uniform oscillatory body force; returns
     (y, sample times, sampled centerplane u-profiles, params).
 
@@ -118,7 +120,13 @@ def _run_womersley(alpha, nu=0.05, ny=65, nx=32, n_cycles=4.0,
     pressure mode does not decay with distance — the residual effective-
     forcing deficit is ~2% of G at this dx/dt (measured floor; shrinking
     dx makes it WORSE since the column divergence scales with 1/dx).  The
-    3% profile bound covers it plus the O(dt) splitting error."""
+    3% profile bound covers it plus the O(dt) splitting error.
+
+    ``bc_refresh=True`` opts into the stale-shell fix (`make_projection_
+    step(bc_refresh=...)`): the caller BCs are re-applied to the predictor
+    state before the pressure solve, making the shell consistent with the
+    driven interior — measured r4 at α=3: 0.0188 → 0.0016 max relative
+    profile error (test_womersley_bc_refresh)."""
     h = 0.5
     omega = alpha * alpha * nu / (h * h)
     G = 1.0
@@ -134,16 +142,22 @@ def _run_womersley(alpha, nu=0.05, ny=65, nx=32, n_cycles=4.0,
     g = Grid.uniform(nx, ny, xmax=8.0, ymax=1.0)
     params = NSParams(mu=nu, source_amplitude_u=0.0, source_amplitude_v=0.0,
                       source_func=source)
-    step = make_projection_step(g, params, poisson_method=Method.FFT_DIRECT)
 
     from cfd_tpu.boundary import apply_periodic_scalar
 
-    def body(field, i):
-        u = apply_periodic_scalar(field.u)
-        v = apply_periodic_scalar(field.v)
+    def bcs(u, v, w, t):
+        u = apply_periodic_scalar(u)
+        v = apply_periodic_scalar(v)
         # no-slip walls overwrite the periodic y-wrap (walls win corners)
         u = u.at[0, 0, :].set(0.0).at[0, -1, :].set(0.0)
         v = v.at[0, 0, :].set(0.0).at[0, -1, :].set(0.0)
+        return u, v, w
+
+    step = make_projection_step(g, params, poisson_method=Method.FFT_DIRECT,
+                                bc_refresh=bcs if bc_refresh else None)
+
+    def body(field, i):
+        u, v, _ = bcs(field.u, field.v, field.w, None)
         field = field.replace(u=u, v=v, p=apply_neumann_scalar(field.p))
         field, res = step(field, dt, i)
         return field, (res.status, field.u[0, :, nx // 2])
@@ -182,6 +196,62 @@ def test_womersley_profiles(full_validation, alpha, cycles):
     err = np.abs(profs - exact).max()
     # O(dt) splitting + O(h²) spatial errors: a few % of the peak velocity.
     assert err < 0.03 * u_scale, (alpha, err, u_scale)
+
+
+@pytest.mark.heavy
+def test_womersley_bc_refresh():
+    """The stale-shell fix: `make_projection_step(bc_refresh=...)` re-applies
+    the caller's BCs to the predictor state, removing the O(1/dx)-growing
+    effective-forcing deficit of the save/restore idiom.  Measured r4 at
+    α=3 / 4 cycles / 65×32: parity 0.0188 → refresh 0.0016 max relative
+    profile error (12×).  The parity default stays untouched — this is the
+    opt-in accuracy mode for time-varying / driven-interior BCs."""
+    y, ts, profs, p = _run_womersley(3.0, n_cycles=4.0, bc_refresh=True)
+    exact = _womersley_exact(y, ts, p["G"], p["omega"], p["nu"], p["h"])
+    u_scale = np.abs(exact).max()
+    err = np.abs(profs - exact).max() / u_scale
+    assert err < 0.005, err
+
+    y, ts, profs, p = _run_womersley(3.0, n_cycles=4.0, bc_refresh=False)
+    err_parity = np.abs(profs - _womersley_exact(
+        y, ts, p["G"], p["omega"], p["nu"], p["h"])).max() / u_scale
+    assert err < err_parity / 5.0, (err, err_parity)
+
+
+def test_bc_refresh_fused_matches_jnp():
+    """With ``bc_refresh`` set the fused path drops to the per-component
+    kernels (the mega sweep forms the Poisson input before the hook could
+    run) and must match the jnp step."""
+    g = Grid.uniform(128, 16, 8, zmin=0.0, zmax=1.0)
+    params = NSParams(mu=0.01, source_amplitude_u=0.0,
+                      source_amplitude_v=0.0)
+
+    def bcs(u, v, w, t):
+        u = u.at[:, 0, :].set(0.0).at[:, -1, :].set(0.0)
+        v = v.at[:, 0, :].set(0.0).at[:, -1, :].set(0.0)
+        return u, v, w
+
+    rng = np.random.default_rng(3)
+    f = FlowField.zeros(128, 16, 8, dtype=jnp.float32)
+    f = f.replace(
+        u=jnp.asarray(rng.standard_normal((8, 16, 128)) * 0.1, jnp.float32),
+        v=jnp.asarray(rng.standard_normal((8, 16, 128)) * 0.1, jnp.float32),
+        w=jnp.asarray(rng.standard_normal((8, 16, 128)) * 0.1, jnp.float32))
+
+    outs = []
+    for up in (True, False):
+        step = make_projection_step(g, params, dtype=jnp.float32,
+                                    poisson_method=Method.FFT_DIRECT,
+                                    use_pallas=up, pallas_interpret=up,
+                                    bc_refresh=bcs)
+        ff, res = step(f, 1e-3, 0)
+        assert int(res.status) == 0
+        outs.append(ff)
+    for name in ("u", "v", "w", "p"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(outs[0], name)),
+            np.asarray(getattr(outs[1], name)), atol=5e-6,
+            err_msg=name)
 
 
 def _run_womersley_euler(alpha, beta, scheme, nu=0.05, ny=17, nx=8,

@@ -45,7 +45,8 @@ class ProjectionKernels:
                  dtype=jnp.float32, interpret=False, global_nz=None,
                  emit="btilde", with_sources=True,
                  beta=0.0, T_ref=0.0, gravity=(0.0, 0.0, 0.0),
-                 global_ny=None, dst_mats=None, dst_precision=None):
+                 global_ny=None, dst_mats=None, dst_precision=None,
+                 tdma_fwd=None):
         """``global_nz``: sharded (z-decomposed) mode — the kernels operate
         on a halo-padded local block of ``nz`` planes belonging to a global
         ``global_nz``-plane domain; the btilde kernel then takes the shard's
@@ -75,7 +76,19 @@ class ProjectionKernels:
         equal the grid dims (guaranteed by the engine's nx%128 / ny%8
         gates: ceil(nx−2, 128) == nx), single-chip mega mode only.
         ``dst_precision`` sets the in-kernel contraction precision
-        (default HIGHEST, matching the eigen pipeline)."""
+        (default HIGHEST, matching the eigen pipeline).
+
+        ``tdma_fwd``: a ``(mu, w)`` pair (host numpy (ny, nx) eigenvalue
+        plane, scalar 1/dz²) — fuses the Thomas FORWARD sweep of the
+        z line solve into the predictor sweep as well: the transformed b̃
+        plane feeds the (t, d′) recurrence carried across plane
+        iterations (the engine's ``carry_planes``), and the kernel emits
+        d′ and t as 4th/5th outputs.  Only the backward substitution
+        (`tdma.make_tdma_z_bwd`) remains between the sweeps — the
+        standalone forward kernel's 3 HBM passes disappear, and the
+        recurrence itself is VPU work fully hidden under the MXU dots.
+        Requires ``dst_mats``.  Bit-identical to the standalone forward
+        kernel (same op sequence, same f32 coefficients)."""
         self.shape = (nz, ny, nx)
         self.global_nz = global_nz
         self.global_ny = global_ny
@@ -94,6 +107,16 @@ class ProjectionKernels:
             # engine's run() converts per call.
             self._pred_mats = (fxt, fyl)
             self._corr_mats = (gxt, gyl)
+        self.tdma_fused = tdma_fwd is not None
+        tdma_w = 0.0
+        if self.tdma_fused:
+            if not self.dst:
+                raise ValueError("tdma_fwd requires dst_mats")
+            mu_plane, tdma_w = tdma_fwd
+            if mu_plane.shape != (ny, nx):
+                raise ValueError("tdma_fwd mu plane must be (ny, nx)")
+            self._pred_mats = self._pred_mats + (mu_plane,)
+            tdma_w = float(tdma_w)
         dst_prec = dst_precision or jax.lax.Precision.HIGHEST
 
         def plane_dot_rl(plane, right, left):
@@ -282,7 +305,8 @@ class ProjectionKernels:
         # VMEM budget (~128 MiB); the per-component kernels above remain
         # for the sharded path and as fallback.
 
-        def pred_bt_compute(k, scalars, halos, planes, pinned=None):
+        def pred_bt_compute(k, scalars, halos, planes, pinned=None,
+                            carry=None):
             dt_, nu_, su_amp, sv_amp, rod = scalars[:5]
             uw, vw, ww = halos[:3]  # 5-plane windows (k−2 … k+2)
             Tw = halos[3] if buoy else None
@@ -337,18 +361,31 @@ class ProjectionKernels:
                     # forward x then y DST of the b̃ plane, in-kernel on
                     # the MXU (overlaps the window streaming for free)
                     out = plane_dot_rl(out, pinned[0], pinned[1])
+                if self.tdma_fused:
+                    # Thomas forward step on the transformed plane: the
+                    # (t, d′) recurrence rides the engine carry; padded
+                    # modes have r = 0 (zero F rows) → d′ = 0 there.
+                    t_c, dp_c = carry
+                    wf = dtype(tdma_w)
+                    rec = 1.0 / (pinned[2] + 2.0 * wf - wf * t_c)
+                    t_c = wf * rec
+                    dp_c = (out + wf * dp_c) * rec
+                    return [us, vs, ws, dp_c, t_c], None, [t_c, dp_c]
             else:
                 out = jnp.where(maskb, rod * div, 0.0)
             return [us, vs, ws, out], None
 
         self.pred_bt = None
         if global_nz is None and global_ny is None:
+            n_pred_out = 5 if self.tdma_fused else 4
             self.pred_bt = make_rolling_stencil(
-                nz, ny, nx, 4 if buoy else 3, 1, 4, pred_bt_compute,
-                dtype, n_scalars=5,
-                shell_passthrough=[0, 1, 2, None], halo_window=2,
+                nz, ny, nx, 4 if buoy else 3, 1, n_pred_out,
+                pred_bt_compute, dtype, n_scalars=5,
+                shell_passthrough=[0, 1, 2, None, None][:n_pred_out],
+                halo_window=2,
                 pinned_mats=([m.shape for m in self._pred_mats]
                              if self.dst else None),
+                carry_planes=2 if self.tdma_fused else 0,
                 interpret=interpret)
 
         def corr_all_compute(k, scalars, halos, planes, pinned=None):
@@ -396,7 +433,9 @@ class ProjectionKernels:
                                 src_u_amp, src_v_amp, rho_over_dt, T=None):
         """Mega path: (u*, v*, w*, b̃-or-rhs) in ONE sweep.  With buoyancy
         compiled in, pass the step-start temperature ``T``.  In DST mode
-        the fourth output is the xy-transformed b̃ (z-TDMA input)."""
+        the fourth output is the xy-transformed b̃ (z-TDMA input); with
+        ``tdma_fwd`` also set, outputs are (u*, v*, w*, d′, t) — the
+        Thomas-forward-swept planes ready for backward substitution."""
         s = jnp.stack([jnp.asarray(dt), jnp.asarray(nu),
                        jnp.asarray(src_u_amp), jnp.asarray(src_v_amp),
                        jnp.asarray(rho_over_dt)])

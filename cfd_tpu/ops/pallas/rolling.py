@@ -64,6 +64,7 @@ def make_rolling_stencil(nz: int, ny: int, nx: int,
                          pinned_mats: Optional[Sequence[tuple]] = None,
                          halo_transform: Optional[dict] = None,
                          halo_window: int = 1,
+                         carry_planes: int = 0,
                          interpret: bool = False):
     """Build the rolling kernel.
 
@@ -107,6 +108,13 @@ def make_rolling_stencil(nz: int, ny: int, nx: int,
     stencil windows see transformed planes with no re-compute per window
     position — this is how the corrector kernel inverse-DSTs the pressure
     while streaming it.
+    ``carry_planes`` threads that many (ny, nx) planes through the z-march
+    as fori_loop-carried values (zero-initialized): compute then receives
+    one more positional argument ``carry`` (a list) and must return
+    ``(outs, partials, new_carry)``.  Array-carry fori beats per-iteration
+    ref read/write on Mosaic (measured, tdma.py) — this is how the DST
+    predictor runs the Thomas forward recurrence across planes in the same
+    sweep that produces them.
 
     ``with_reduction=True`` is the legacy spelling of
     ``reductions=("sum",)`` with the partial returned as a bare scalar.
@@ -258,7 +266,8 @@ def make_rolling_stencil(nz: int, ny: int, nx: int,
             if halo_transform:
                 transform_arrival(k)
 
-        def body(c, acc):
+        def body(c, acc_carry):
+            acc, carry = acc_carry
             c = jnp.asarray(c, jnp.int32)
             # prefetch plane c+W+1 (its arrival is awaited at c+1)
             @pl.when(c + W + 1 <= nz - 1)
@@ -280,13 +289,17 @@ def make_rolling_stencil(nz: int, ny: int, nx: int,
             planes = [stages[b][jax.lax.rem(c, jnp.int32(S))]
                       for b in range(n_plane)]
 
+            args = [c, scalars, halo_windows, planes]
             if n_pinned or n_mats:
-                pinned = [(pbufs[q][0:ny, :], pbufs[q][ny:2 * ny, :])
-                          for q in range(n_pinned)] + mat_arrays()
-                outs, partials = compute(c, scalars, halo_windows, planes,
-                                         pinned)
+                args.append([(pbufs[q][0:ny, :], pbufs[q][ny:2 * ny, :])
+                             for q in range(n_pinned)] + mat_arrays())
+            if carry_planes:
+                if len(args) == 4:
+                    args.append(None)
+                outs, partials, carry = compute(*args, list(carry))
+                carry = tuple(carry)
             else:
-                outs, partials = compute(c, scalars, halo_windows, planes)
+                outs, partials = compute(*args)
 
             s_out = jax.lax.rem(c, jnp.int32(2))
             for o in range(n_out):
@@ -307,9 +320,12 @@ def make_rolling_stencil(nz: int, ny: int, nx: int,
                 if with_reduction:
                     partials = (partials,)
                 acc = _red_combine(acc, partials)
-            return acc
+            return acc, carry
 
-        acc = jax.lax.fori_loop(1, nz - 1, body, _red_init())
+        carry0 = tuple(jnp.zeros((ny, nx), dtype)
+                       for _ in range(carry_planes))
+        acc, _ = jax.lax.fori_loop(1, nz - 1, body,
+                                   (_red_init(), carry0))
 
         # Epilogue: drain output DMAs, then fill the z-shell planes —
         # zeros by default, or a passthrough copy of an input's shells.

@@ -107,6 +107,17 @@ def _march_call(kernel, n_stream_in, n_out, rows_out, block, my, mx,
     )
 
 
+def _bwd_coeff_planes(mu64, w64, np_dt):
+    """Analytic-variant coefficient planes, float64 on the host (the
+    in-kernel f32 log/sqrt chain was the dominant on-chip error)."""
+    s = mu64 / (2.0 * w64)
+    sh = np.sqrt(s * (2.0 + s))                  # sinh φ
+    einvphi = 1.0 / (1.0 + s + sh)               # e^{−φ}
+    phi2 = 2.0 * np.log1p(s + sh)                # 2φ
+    return np.concatenate([einvphi.astype(np_dt),
+                           phi2.astype(np_dt)], axis=0)    # (2·my, mx)
+
+
 def make_tdma_z(nz: int, my: int, mx: int, mu, w,
                 dtype=jnp.float32, variant: str = "stored",
                 interpret: bool = False):
@@ -132,14 +143,7 @@ def make_tdma_z(nz: int, my: int, mx: int, mu, w,
     mu64 = np.asarray(mu, np.float64)
     w64 = float(w)
     mu32 = mu64.astype(np_dt)
-    # Backward-sweep coefficient planes, in float64 on the host (the
-    # in-kernel f32 log/sqrt chain was the dominant on-chip error).
-    s = mu64 / (2.0 * w64)
-    sh = np.sqrt(s * (2.0 + s))                  # sinh φ
-    einvphi = 1.0 / (1.0 + s + sh)               # e^{−φ}
-    phi2 = 2.0 * np.log1p(s + sh)                # 2φ
-    aux32 = np.concatenate([einvphi.astype(np_dt),
-                            phi2.astype(np_dt)], axis=0)   # (2·my, mx)
+    aux32 = _bwd_coeff_planes(mu64, w64, np_dt)
     wf = np_dt.type(w64)
 
     # ------------------------------------------------------------------
@@ -224,9 +228,64 @@ def make_tdma_z(nz: int, my: int, mx: int, mu, w,
             if nb >= 2:
                 out_dma(nb - 2, o, (nb - 2) % 2).wait()
 
-    # ------------------------------------------------------------------
-    # Backward sweep: d′ (+ t | aux) → x, B planes per step, k descending
-    # ------------------------------------------------------------------
+    fwd = _march_call(fwd_kernel, 1, n_fout, [mz * my] * n_fout, B, my,
+                      mx, dtype, my, interpret)
+    bwd = _build_bwd(nz, my, mx, B, stored, dtype, interpret, in_off=-1)
+
+    def run(r):
+        r2 = r.reshape(nz * my, mx)
+        if stored:
+            d, t = fwd(r2, jnp.asarray(mu32))
+            (x,) = bwd(d, t, jnp.asarray(mu32))
+        else:
+            (d,) = fwd(r2, jnp.asarray(mu32))
+            (x,) = bwd(d, jnp.asarray(aux32))
+        return x.reshape(nz, my, mx)
+
+    return run
+
+
+def make_tdma_z_bwd(nz: int, my: int, mx: int, mu, w,
+                    dtype=jnp.float32, variant: str = "stored",
+                    interpret: bool = False):
+    """Backward-substitution-only twin of :func:`make_tdma_z` for callers
+    that run the Thomas FORWARD sweep fused into a producing kernel (the
+    DST-fused predictor emits d′ and t directly, plane k at rows k·my
+    with zero z-shell planes — `ops/pallas/projection_kernels.py`).
+
+    Returns fn(d, t) -> x (stored variant) or fn(d) -> x (analytic), all
+    (nz, my, mx), x with mirror-extended z-shells.  None when unsupported.
+    """
+    if not tdma_supported(nz, my, mx):
+        return None
+    if variant not in ("stored", "analytic"):
+        raise ValueError(f"unknown tdma variant {variant!r}")
+    stored = variant == "stored"
+    B = _pick_block(nz - 2, my, mx)
+    np_dt = np.dtype(jnp.float32 if dtype == jnp.float32 else dtype)
+    mu64 = np.asarray(mu, np.float64)
+    mu32 = mu64.astype(np_dt)
+    aux32 = _bwd_coeff_planes(mu64, float(w), np_dt)
+    bwd = _build_bwd(nz, my, mx, B, stored, dtype, interpret, in_off=0)
+
+    def run(d, t=None):
+        if stored:
+            (x,) = bwd(d.reshape(nz * my, mx), t.reshape(nz * my, mx),
+                       jnp.asarray(mu32))
+        else:
+            (x,) = bwd(d.reshape(nz * my, mx), jnp.asarray(aux32))
+        return x.reshape(nz, my, mx)
+
+    return run
+
+
+def _build_bwd(nz, my, mx, B, stored, dtype, interpret, in_off):
+    """Backward sweep pallas_call: d′ (+ t | aux) → x, B planes per step,
+    k descending.  ``in_off``: input row of plane k is (k + in_off)·my —
+    −1 for the dense (mz·my)-row layout the forward kernel writes, 0 for
+    full (nz·my)-row arrays with shell rows (the fused-predictor layout)."""
+    mz = nz - 2
+    nb = mz // B
     n_bin = 2 if stored else 1
 
     def bwd_kernel(*refs):
@@ -245,9 +304,10 @@ def make_tdma_z(nz: int, my: int, mx: int, mu, w,
         def in_dma(j, c, slot):
             # backward block c covers planes k_lo..k_hi with
             # k_hi = mz − cB, k_lo = k_hi − B + 1; d′/t plane k is at
-            # rows (k−1)·my → block rows start (mz − cB − B)·my
+            # rows (k + in_off)·my → block rows start (k_lo + in_off)·my
             return pltpu.make_async_copy(
-                ins_hbm[j].at[pl.ds((mz - c * B - B) * my, B * my), :],
+                ins_hbm[j].at[pl.ds((mz - c * B - B + 1 + in_off) * my,
+                                    B * my), :],
                 stages[j].at[slot], in_sems.at[slot, j])
 
         def out_dma(c, slot):
@@ -338,22 +398,8 @@ def make_tdma_z(nz: int, my: int, mx: int, mu, w,
         shell_dma(0, nz - 1).wait()
         shell_dma(1, 0).wait()
 
-    fwd = _march_call(fwd_kernel, 1, n_fout, [mz * my] * n_fout, B, my,
-                      mx, dtype, my, interpret)
-    bwd = _march_call(bwd_kernel, n_bin, 1, [nz * my], B, my, mx, dtype,
-                      my if stored else 2 * my, interpret)
-
-    def run(r):
-        r2 = r.reshape(nz * my, mx)
-        if stored:
-            d, t = fwd(r2, jnp.asarray(mu32))
-            (x,) = bwd(d, t, jnp.asarray(mu32))
-        else:
-            (d,) = fwd(r2, jnp.asarray(mu32))
-            (x,) = bwd(d, jnp.asarray(aux32))
-        return x.reshape(nz, my, mx)
-
-    return run
+    return _march_call(bwd_kernel, n_bin, 1, [nz * my], B, my, mx, dtype,
+                       my if stored else 2 * my, interpret)
 
 
 _VMEM2D_BUDGET = 100 * 1024 * 1024
@@ -458,6 +504,24 @@ def make_tdma_y_2d(ny: int, mxp: int, mu, w, dtype=jnp.float32,
         return x.reshape(ny, mxp)
 
     return run
+
+
+def tdma_z_bwd_reference(d, t):
+    """jnp (lax.scan) backward substitution for pre-swept (d′, t) arrays
+    in the fused-predictor layout: plane k at index k, zero z-shell
+    planes (`projection_kernels.ProjectionKernels(tdma_fwd=...)`).
+    Returns x (nz, my, mx) with mirror-extended z-shells — the CPU/test
+    twin of :func:`make_tdma_z_bwd`."""
+    nz = d.shape[0]
+
+    def bwd(x, td):
+        tk, dk = td
+        x_new = dk + tk * x
+        return x_new, x_new
+
+    _, xs_rev = lax.scan(bwd, jnp.zeros_like(d[0]),
+                         (t[1:nz - 1], d[1:nz - 1]), reverse=True)
+    return jnp.concatenate([xs_rev[:1], xs_rev, xs_rev[-1:]], axis=0)
 
 
 def tdma_z_reference(r, mu, w):

@@ -263,16 +263,33 @@ def make_projection_step(grid: Grid, params: NSParams, dtype=None,
                 if (dst_fused_supported(problem)
                         and spectral_precision
                         in (None, _lax.Precision.HIGHEST)):
-                    mats, zsolve = make_dst_fused_pieces(
-                        problem, dtype, interpret=pallas_interpret)
+                    # Preferred: Thomas forward sweep fused into the
+                    # predictor (d′, t outputs) — only the backward
+                    # substitution runs between the sweeps.  Falls back
+                    # to the emit-b̃ + full-TDMA form if the 5-output
+                    # predictor doesn't fit VMEM at this grid.
+                    mats, tfwd, zbwd = make_dst_fused_pieces(
+                        problem, dtype, interpret=pallas_interpret,
+                        fuse_fwd=True)
                     pk_dst = ProjectionKernels(
                         grid.nz, grid.ny, grid.nx, dx, dy, grid.dz0,
                         grid.xmin, grid.ymin, dtype, emit="btilde",
-                        dst_mats=mats, **kern_kwargs)
+                        dst_mats=mats, tdma_fwd=tfwd, **kern_kwargs)
                     if pk_dst.ok and pk_dst.mega_ok:
                         pk = pk_dst
-                        btilde_pipeline = zsolve
+                        btilde_pipeline = zbwd
                         dst_fused = True
+                    else:
+                        mats, zsolve = make_dst_fused_pieces(
+                            problem, dtype, interpret=pallas_interpret)
+                        pk_dst = ProjectionKernels(
+                            grid.nz, grid.ny, grid.nx, dx, dy, grid.dz0,
+                            grid.xmin, grid.ymin, dtype, emit="btilde",
+                            dst_mats=mats, **kern_kwargs)
+                        if pk_dst.ok and pk_dst.mega_ok:
+                            pk = pk_dst
+                            btilde_pipeline = zsolve
+                            dst_fused = True
             if pk is None:
                 pk = ProjectionKernels(
                     grid.nz, grid.ny, grid.nx, dx, dy, grid.dz0,
@@ -308,9 +325,12 @@ def make_projection_step(grid: Grid, params: NSParams, dtype=None,
         mega = proj_kernels.mega_ok and bc_refresh is None
 
         if mega:
-            us, vs, ws, pin = proj_kernels.predictor_poisson_input(
+            pred_outs = proj_kernels.predictor_poisson_input(
                 field.u, field.v, field.w, field.p, dt, params.mu,
                 su, sv, rho0 / dt, T=field.T)
+            us, vs, ws = pred_outs[:3]
+            # tdma-fused DST mode emits (d′, t); otherwise one plane set
+            pin = pred_outs[3:] if len(pred_outs) == 5 else pred_outs[3]
         else:
             us, vs, ws = proj_kernels.predictor(
                 field.u, field.v, field.w, dt, params.mu, su, sv,
@@ -320,11 +340,13 @@ def make_projection_step(grid: Grid, params: NSParams, dtype=None,
             pin = None
 
         if dst_fused:
-            # pin is the xy-transformed b̃; only the z line solve runs
-            # between the two mega sweeps, and the corrector
-            # inverse-transforms x̂ in its streaming window, returning
-            # the physical pressure as a fourth output.
-            xhat = btilde_pipeline(pin)
+            # pin is the xy-transformed b̃ (or its pre-swept (d′, t)
+            # pair); only the z line solve (or just its backward
+            # substitution) runs between the two mega sweeps, and the
+            # corrector inverse-transforms x̂ in its streaming window,
+            # returning the physical pressure as a fourth output.
+            xhat = (btilde_pipeline(*pin) if isinstance(pin, tuple)
+                    else btilde_pipeline(pin))
             residual = jnp.zeros((), dtype)
             poisson_ok = jnp.bool_(True)   # direct solve
             u, v, w, p_new, m2i, pmaxi, pabsi = \

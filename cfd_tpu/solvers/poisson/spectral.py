@@ -229,7 +229,8 @@ def dst_fused_supported(problem: PoissonProblem) -> bool:
 
 
 def make_dst_fused_pieces(problem: PoissonProblem, dtype=jnp.float32,
-                          use_kernel: bool = True, interpret: bool = False):
+                          use_kernel: bool = True, interpret: bool = False,
+                          fuse_fwd: bool = False):
     """Pieces for the DST-fused projection step (`ops/pallas/
     projection_kernels.ProjectionKernels(dst_mats=...)`): the predictor
     mega kernel applies the forward x/y DST per b̃ plane in-kernel, the
@@ -244,6 +245,13 @@ def make_dst_fused_pieces(problem: PoissonProblem, dtype=jnp.float32,
       einsums (scale folded into Gx);
     * ``zsolve(bxy) → x̂`` — the TDMA z-stage on (nz, ny, nx)
       transform-space arrays, mirror-extended z-shells on output.
+
+    With ``fuse_fwd=True`` the Thomas FORWARD sweep moves into the
+    predictor kernel too (`ProjectionKernels(tdma_fwd=...)`), and the
+    return becomes ``(mats, (mu_plane, w), zbwd)`` with
+    ``zbwd(d, t) → x̂`` the backward substitution only
+    (`tdma.make_tdma_z_bwd`) — the standalone forward kernel's 3 HBM
+    passes disappear from the step.
     """
     mx, my = problem.nx - 2, problem.ny - 2
     Mx, My = _ceil_to(mx, 128), _ceil_to(my, 8)
@@ -270,7 +278,17 @@ def make_dst_fused_pieces(problem: PoissonProblem, dtype=jnp.float32,
     mats = (np.ascontiguousarray(Fxp.T), Fyp,
             np.ascontiguousarray(Gxp.T), Gyp)
 
-    from ...ops.pallas.tdma import make_tdma_z, tdma_z_reference
+    from ...ops.pallas.tdma import (make_tdma_z, make_tdma_z_bwd,
+                                    tdma_z_bwd_reference, tdma_z_reference)
+
+    if fuse_fwd:
+        zbwd = None
+        if use_kernel and dtype == jnp.float32:
+            zbwd = make_tdma_z_bwd(nz, My, Mx, mu_np, w, jnp.float32,
+                                   interpret=interpret)
+        if zbwd is None:
+            zbwd = tdma_z_bwd_reference
+        return mats, (mu_np.astype(np_dt), w), zbwd
 
     zfn = None
     if use_kernel and dtype == jnp.float32:

@@ -79,6 +79,48 @@ def test_kernel_matches_reference(nz, variant):
         np.testing.assert_allclose(got, truth, rtol=0, atol=2e-5 * scale)
 
 
+@pytest.mark.parametrize("variant", ["stored", "analytic"])
+@pytest.mark.parametrize("nz", [3, 9, 34])
+def test_bwd_only_matches_full_solve(nz, variant):
+    """make_tdma_z_bwd on pre-swept (d′, t) planes (the fused-predictor
+    layout: plane k at index k, zero shells) reproduces the full
+    make_tdma_z solve, and the jnp bwd reference matches too."""
+    from cfd_tpu.ops.pallas.tdma import (make_tdma_z_bwd,
+                                         tdma_z_bwd_reference)
+
+    my, mx = 16, 128
+    rng = np.random.default_rng(nz)
+    r = np.zeros((nz, my, mx), np.float32)
+    r[1:-1] = rng.standard_normal((nz - 2, my, mx)).astype(np.float32)
+    mu = np.exp(rng.uniform(np.log(1e-2), np.log(1e3), (my, mx)))
+    w = 123.4
+    want = np.asarray(make_tdma_z(nz, my, mx, mu, w, jnp.float32,
+                                  variant=variant,
+                                  interpret=True)(jnp.asarray(r)))
+
+    # forward sweep in f32 (same arithmetic as the kernels), fused layout
+    t = np.zeros((nz, my, mx), np.float32)
+    d = np.zeros((nz, my, mx), np.float32)
+    mu32, w32 = mu.astype(np.float32), np.float32(w)
+    tk = dk = np.zeros((my, mx), np.float32)
+    for k in range(1, nz - 1):
+        rec = np.float32(1.0) / (mu32 + 2 * w32 - w32 * tk)
+        tk = w32 * rec
+        dk = (r[k] + w32 * dk) * rec
+        t[k], d[k] = tk, dk
+
+    bwd = make_tdma_z_bwd(nz, my, mx, mu, w, jnp.float32,
+                          variant=variant, interpret=True)
+    args = (jnp.asarray(d), jnp.asarray(t)) if variant == "stored" \
+        else (jnp.asarray(d),)
+    got = np.asarray(bwd(*args))
+    scale = max(np.abs(want).max(), 1e-30)
+    np.testing.assert_allclose(got, want, rtol=0, atol=5e-6 * scale)
+
+    ref = np.asarray(tdma_z_bwd_reference(jnp.asarray(d), jnp.asarray(t)))
+    np.testing.assert_allclose(ref, want, rtol=0, atol=5e-6 * scale)
+
+
 def test_unsupported_shapes():
     assert not tdma_supported(2, 8, 128)    # no interior plane
     assert not tdma_supported(8, 8, 100)    # lanes not 128-aligned

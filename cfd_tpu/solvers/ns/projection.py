@@ -30,6 +30,7 @@ import jax.numpy as jnp
 from ...boundary.apply import copy_boundary_velocities
 from ...core.field import FlowField
 from ...core.grid import Grid
+from ...core.status import CFDError, Status
 from ...ops import stencils
 from ..energy import apply_thermal_bcs, compute_buoyancy, make_energy_step, \
     validate_thermal_bc
@@ -149,10 +150,72 @@ def make_projection_step(grid: Grid, params: NSParams, dtype=None,
     inv_2dz, inv_dz2 = z_constants(grid)
     nu = params.mu
 
-    coords = grid.coordinate_arrays(dtype)
-    energy_step = make_energy_step(grid, params.alpha, params.heat_source_func)
+    # Consistent-scheme projection on stretched x/y grids — a framework
+    # extension past the reference's dx0-parity momentum + uniform
+    # pressure Poisson, which cap stretched-grid projection at the O(h)
+    # error floor `examples/poiseuille_stretched_grid.c:255-258`
+    # documents.  Exact 3-point nonuniform momentum/divergence/gradient
+    # operators (`common.spacing_operators`) + the variable-coefficient
+    # pressure Poisson (`poisson.nonuniform`: FV-symmetrized CG/BiCGSTAB
+    # or the generalized-eigenbasis direct solve).  Uniform grids keep
+    # the reference-parity path regardless of the scheme flag (the two
+    # coincide there).
+    consistent = (params.nonuniform_scheme == "consistent"
+                  and not (grid.is_uniform("x") and grid.is_uniform("y")))
+    if consistent and differentiable:
+        raise CFDError(Status.ERROR_UNSUPPORTED,
+                       "differentiable consistent-scheme projection is "
+                       "not supported yet (use euler/RK or a uniform "
+                       "grid)")
 
-    problem = PoissonProblem(grid.nx, grid.ny, grid.nz, dx, dy, grid.dz0)
+    coords = grid.coordinate_arrays(dtype)
+    energy_step = make_energy_step(grid, params.alpha,
+                                   params.heat_source_func,
+                                   scheme=params.nonuniform_scheme)
+
+    # Derivative operators for the jnp step body: reference-parity
+    # uniform-constant stencils, or the exact nonuniform triples.
+    if consistent:
+        from .common import spacing_operators
+        cd1x, cd1y, cd2x, cd2y, _ = spacing_operators(grid, dtype,
+                                                      "consistent")
+
+        def op_ddx(f):
+            return cd1x(stencils.sx_m(f), f, stencils.sx_p(f))
+
+        def op_ddy(f):
+            return cd1y(stencils.sy_m(f), f, stencils.sy_p(f))
+
+        def op_lap(f):
+            out = (cd2x(stencils.sx_m(f), f, stencils.sx_p(f))
+                   + cd2y(stencils.sy_m(f), f, stencils.sy_p(f)))
+            if grid.nz > 1:
+                out = out + (stencils.sz_p(f) - 2.0 * f
+                             + stencils.sz_m(f)) * inv_dz2
+            return out
+
+        def op_div(u, v, w):
+            return op_ddx(u) + op_ddy(v) + stencils.ddz(w, inv_2dz)
+    else:
+        def op_ddx(f):
+            return stencils.ddx(f, inv_2dx)
+
+        def op_ddy(f):
+            return stencils.ddy(f, inv_2dy)
+
+        def op_lap(f):
+            return stencils.laplacian(f, inv_dx2, inv_dy2, inv_dz2)
+
+        def op_div(u, v, w):
+            return stencils.divergence(u, v, w, inv_2dx, inv_2dy,
+                                       inv_2dz)
+
+    if consistent:
+        from ..poisson.nonuniform import NonuniformPoissonProblem
+        problem = NonuniformPoissonProblem.from_grid(grid)
+    else:
+        problem = PoissonProblem(grid.nx, grid.ny, grid.nz, dx, dy,
+                                 grid.dz0)
     pparams = poisson_params or PoissonParams()
     # An externally built (x, rhs) → PoissonResult pressure solve wins over
     # every maker below.  The sharded dispatch uses this to run the fused
@@ -160,6 +223,25 @@ def make_projection_step(grid: Grid, params: NSParams, dtype=None,
     # predictor/corrector — MG's 2^k+1 grids sit outside the rolling
     # kernels' nx%128 support, so the V-cycles are the only fusable cost.
     poisson_solve = poisson_solve_override
+    if poisson_solve is None and consistent:
+        # Variable-coefficient solves only: the unmodified Krylov makers
+        # (legitimate on the FV-symmetrized operator via the problem's
+        # volume-weighted dot) or the generalized-eigenbasis direct
+        # solve.  Stationary/MG formulas still assume uniform weights.
+        method = Method(poisson_method)
+        if method == Method.FFT_DIRECT:
+            from ..poisson.nonuniform import make_nonuniform_direct
+            poisson_solve = make_nonuniform_direct(
+                problem, pparams, dtype=dtype,
+                precision=spectral_precision)
+        elif method in (Method.CG, Method.BICGSTAB):
+            poisson_solve = (make_cg if method == Method.CG
+                             else make_bicgstab)(problem, pparams)
+        else:
+            raise CFDError(
+                Status.ERROR_UNSUPPORTED,
+                f"consistent-scheme projection supports poisson_method "
+                f"FFT_DIRECT/CG/BICGSTAB, got {method.name}")
     if poisson_solve is None and use_pallas \
             and Method(poisson_method) == Method.CG \
             and dtype == jnp.float32:
@@ -198,7 +280,8 @@ def make_projection_step(grid: Grid, params: NSParams, dtype=None,
     proj2d = None
     btilde2d = None
     if (use_pallas and dtype == jnp.float32 and grid.nz == 1
-            and params.source_func is None and bc_refresh is None):
+            and params.source_func is None and bc_refresh is None
+            and not consistent):
         from ...ops.pallas.projection2d import (Projection2DKernels,
                                                 projection2d_supported)
         if projection2d_supported(grid.ny, grid.nx,
@@ -236,7 +319,7 @@ def make_projection_step(grid: Grid, params: NSParams, dtype=None,
     btilde_pipeline = None
     dst_fused = False
     if (use_pallas and dtype == jnp.float32 and grid.nz > 2
-            and params.source_func is None):
+            and params.source_func is None and not consistent):
         from ...ops.pallas.projection_kernels import (
             ProjectionKernels, projection_kernels_supported)
         from ..poisson.spectral import spectral_supported
@@ -461,23 +544,23 @@ def make_projection_step(grid: Grid, params: NSParams, dtype=None,
         u, v, w, p = field.u, field.v, field.w, field.p
 
         # ---- Predictor: u* = u + dt(−u·∇u + ν∇²u + f) --------------------
-        du_dx = stencils.ddx(u, inv_2dx)
-        du_dy = stencils.ddy(u, inv_2dy)
+        du_dx = op_ddx(u)
+        du_dy = op_ddy(u)
         du_dz = stencils.ddz(u, inv_2dz)
-        dv_dx = stencils.ddx(v, inv_2dx)
-        dv_dy = stencils.ddy(v, inv_2dy)
+        dv_dx = op_ddx(v)
+        dv_dy = op_ddy(v)
         dv_dz = stencils.ddz(v, inv_2dz)
-        dw_dx = stencils.ddx(w, inv_2dx)
-        dw_dy = stencils.ddy(w, inv_2dy)
+        dw_dx = op_ddx(w)
+        dw_dy = op_ddy(w)
         dw_dz = stencils.ddz(w, inv_2dz)
 
         conv_u = u * du_dx + v * du_dy + w * du_dz
         conv_v = u * dv_dx + v * dv_dy + w * dv_dz
         conv_w = u * dw_dx + v * dw_dy + w * dw_dz
 
-        visc_u = nu * stencils.laplacian(u, inv_dx2, inv_dy2, inv_dz2)
-        visc_v = nu * stencils.laplacian(v, inv_dx2, inv_dy2, inv_dz2)
-        visc_w = nu * stencils.laplacian(w, inv_dx2, inv_dy2, inv_dz2)
+        visc_u = nu * op_lap(u)
+        visc_v = nu * op_lap(v)
+        visc_w = nu * op_lap(w)
 
         su, sv, sw = source_terms(coords, params, iter_idx, dt)
         if params.buoyancy_enabled:
@@ -503,8 +586,7 @@ def make_projection_step(grid: Grid, params: NSParams, dtype=None,
         # ---- Poisson: ∇²p = (ρ/dt)·∇·u* ----------------------------------
         rho0 = field.rho[0, 0, 0]
         rho0 = jnp.where(rho0 < 1e-10, 1.0, rho0)
-        div = stencils.divergence(u_star, v_star, w_star,
-                                  inv_2dx, inv_2dy, inv_2dz)
+        div = op_div(u_star, v_star, w_star)
         rhs = problem.zero_boundary((rho0 / dt) * div)
 
         pres = poisson_solve(p, rhs)
@@ -513,9 +595,9 @@ def make_projection_step(grid: Grid, params: NSParams, dtype=None,
 
         # ---- Corrector: u = u* − (dt/ρ)∇p --------------------------------
         dt_over_rho = dt / rho0
-        u_corr = clamp(u_star - dt_over_rho * stencils.ddx(p_new, inv_2dx),
+        u_corr = clamp(u_star - dt_over_rho * op_ddx(p_new),
                        PROJ_MAX_VELOCITY)
-        v_corr = clamp(v_star - dt_over_rho * stencils.ddy(p_new, inv_2dy),
+        v_corr = clamp(v_star - dt_over_rho * op_ddy(p_new),
                        PROJ_MAX_VELOCITY)
         w_corr = clamp(w_star - dt_over_rho * stencils.ddz(p_new, inv_2dz),
                        PROJ_MAX_VELOCITY)

@@ -107,7 +107,8 @@ RE_STRETCHED = 100.0
 NU_STRETCHED = U_MAX * HEIGHT / RE_STRETCHED
 
 
-def run_poiseuille_stretched(beta: float, nx=40, ny=32, steps=500):
+def run_poiseuille_stretched(beta: float, nx=40, ny=32, steps=500,
+                             scheme="parity", poisson_method=None):
     """The reference's run_case: tanh-β grid, analytic init, channel BCs,
     diffusive-limit dt cap, L2 error at the last interior column."""
     if beta:
@@ -117,8 +118,10 @@ def run_poiseuille_stretched(beta: float, nx=40, ny=32, steps=500):
     min_dy = float(np.min(grid.dy))
     dt = min(5e-4, 0.25 * min_dy * min_dy / NU_STRETCHED)
     params = NSParams(dt=dt, mu=NU_STRETCHED, max_iter=1,
-                      source_amplitude_u=0.0, source_amplitude_v=0.0)
-    step = make_projection_step(grid, params)
+                      source_amplitude_u=0.0, source_amplitude_v=0.0,
+                      nonuniform_scheme=scheme)
+    kw = {} if poisson_method is None else {"poisson_method": poisson_method}
+    step = make_projection_step(grid, params, **kw)
     inlet = InletConfig.parabolic(U_MAX)
     outlet = OutletConfig.zero_gradient()
 
@@ -168,3 +171,118 @@ def test_poiseuille_stretched_error_ordering():
     l2_uniform, _, _ = run_poiseuille_stretched(0.0)
     l2_stretched, _, _ = run_poiseuille_stretched(1.5)
     assert l2_uniform < l2_stretched
+
+
+# ---------------------------------------------------------------------------
+# Consistent-scheme projection (framework extension, VERDICT r3 item 6):
+# exact 3-point nonuniform momentum + variable-coefficient pressure Poisson
+# (`solvers/poisson/nonuniform.py`) lift the stretched-grid error floor the
+# reference documents (`poiseuille_stretched_grid.c:255-258`).
+# ---------------------------------------------------------------------------
+
+from cfd_tpu.solvers.poisson.base import Method
+
+
+def run_forced_channel_stretched(beta, scheme, poisson_method=Method.CG,
+                                 ny=33, nx=16, steps=1200):
+    """Steady body-forced periodic channel on a tanh-β wall-clustered y
+    grid — the clean stencil-accuracy probe: the exact steady state is
+    the Poiseuille parabola, there is no inlet to contaminate it (the
+    reference's parabolic inlet is parabolic in INDEX space, which on a
+    stretched grid feeds a wrong physical profile into both schemes —
+    that harness measures BC parity, not discretization order)."""
+    from cfd_tpu.boundary import apply_periodic_scalar
+
+    nu, G = 0.2, 1.0
+    grid = Grid.stretched(nx, ny, xmax=2.0, ymax=HEIGHT, beta=beta,
+                          stretch_axes="y")
+    min_dy = float(np.min(grid.dy))
+    dt = min(2e-3, 0.2 * min_dy * min_dy / nu)
+
+    def source(x, y, z, t):
+        return (G * jnp.ones_like(y), jnp.zeros_like(y),
+                jnp.zeros_like(y))
+
+    params = NSParams(mu=nu, source_amplitude_u=0.0,
+                      source_amplitude_v=0.0, source_func=source,
+                      nonuniform_scheme=scheme)
+    step = make_projection_step(grid, params,
+                                poisson_method=poisson_method)
+
+    def bc(u, v):
+        u, v = apply_periodic_scalar(u), apply_periodic_scalar(v)
+        u = u.at[0, 0, :].set(0.0).at[0, -1, :].set(0.0)
+        v = v.at[0, 0, :].set(0.0).at[0, -1, :].set(0.0)
+        return u, v
+
+    def one_step(field, i):
+        u, v = bc(field.u, field.v)
+        field, res = step(field.replace(u=u, v=v), dt, i)
+        return field, res.status
+
+    # Start ON the analytic steady state: the consistent operator keeps
+    # it (quadratic exactness ⇒ it is the discrete fixed point up to
+    # splitting noise); the parity operator drifts toward its O(h)
+    # near-wall-biased fixed point, fastest exactly where its weights
+    # are most wrong (local time scale dy_loc²/ν at the walls).
+    y = np.asarray(grid.y)
+    u_ana = (G / (2 * nu)) * y * (HEIGHT - y)
+    field0 = FlowField.quiescent(nx, ny).replace(
+        u=jnp.asarray(np.broadcast_to(u_ana[None, :, None], grid.shape)))
+    field, statuses = jax.jit(
+        lambda f: lax.scan(one_step, f, jnp.arange(steps)))(field0)
+    assert (np.asarray(statuses) == 0).all()
+
+    u_num = np.asarray(field.u)[0, :, nx // 2]
+    return float(np.sqrt(np.mean((u_num[1:-1] - u_ana[1:-1]) ** 2))
+                 / u_ana.max())
+
+
+@pytest.mark.parametrize("method", [Method.CG, Method.BICGSTAB,
+                                    Method.FFT_DIRECT])
+@pytest.mark.parametrize("beta", [1.5, 2.0])
+def test_forced_channel_consistent_beats_parity(beta, method):
+    """nonuniform_scheme='consistent' on tanh-β grids: ≥3× below the
+    parity error (VERDICT r3 item 6).  Measured r4: parity 0.49 at
+    β=1.5/2.0 (the first-cell-spacing projection relaxes to a parabola
+    in INDEX space — the reference's own stretched-grid failure mode,
+    `solver_projection.c:72-75`) → consistent ≤1e-16: the analytic
+    profile is EXACTLY the consistent discrete fixed point (quadratic
+    exactness), so nothing drifts."""
+    e_par = run_forced_channel_stretched(beta, "parity",
+                                         poisson_method=method)
+    e_con = run_forced_channel_stretched(beta, "consistent",
+                                         poisson_method=method)
+    assert e_con < e_par / 3.0, (beta, method, e_par, e_con)
+
+
+@pytest.mark.parametrize("beta", [1.5, 2.0])
+def test_inlet_channel_consistent_not_worse(beta):
+    """The inlet-driven stretched harness above is dominated by the
+    index-space parabolic inlet (a reference BC quirk fed equally to
+    both schemes); consistent must still not lose to parity there.
+    Measured r4: β=1.5 parity 0.126 → consistent 0.090."""
+    l2_par, _, _ = run_poiseuille_stretched(beta)
+    l2_con, _, _ = run_poiseuille_stretched(beta, scheme="consistent",
+                                            poisson_method=Method.CG)
+    assert l2_con < l2_par, (beta, l2_par, l2_con)
+
+
+def test_consistent_scheme_uniform_grid_is_parity():
+    """On a uniform grid the consistent flag keeps the reference-parity
+    path (the schemes coincide; gating is by actual non-uniformity)."""
+    l2_p, fp, _ = run_poiseuille_stretched(0.0)
+    l2_c, fc, _ = run_poiseuille_stretched(0.0, scheme="consistent")
+    np.testing.assert_allclose(np.asarray(fc.u), np.asarray(fp.u),
+                               rtol=0, atol=0)
+
+
+def test_consistent_scheme_rejects_stationary_poisson():
+    from cfd_tpu.core.status import CFDError
+
+    grid = Grid.stretched(12, 10, xmax=LENGTH, ymax=HEIGHT, beta=1.5)
+    params = NSParams(nonuniform_scheme="consistent",
+                      source_amplitude_u=0.0, source_amplitude_v=0.0)
+    with pytest.raises(CFDError, match="consistent-scheme"):
+        make_projection_step(grid, params,
+                             poisson_method=Method.REDBLACK_SOR)

@@ -138,6 +138,11 @@ CONFIGS = {
     "rk2_2d_stretched_consistent":
         lambda: traj_diff(make_rk2_step, 1e-4, two_d=True, stretched=True,
                           scheme="consistent"),
+    # r4: the DST-fused mega projection (in-kernel xy transforms +
+    # Thomas-forward carry in the predictor, inverse-DST-on-arrival +
+    # bwd-only TDMA corrector) — same fused-vs-jnp trajectory check as
+    # "projection", under the new auto-picked kernel family.
+    "projection_dst_fused": proj_diff,
 }
 
 PATH = "TPUVAL_r03.json"

@@ -82,3 +82,55 @@ for beta in (1.5, 2.0):
 print("\nThe consistent scheme removes the stretched-grid penalty the "
       "reference documents; see tests/validation/test_pulsatile_channel.py "
       "for the oscillatory (Womersley) version of this comparison.")
+
+
+# ---------------------------------------------------------------------------
+# Act 3 (round 4): the PROJECTION solver on the same stretched channel.
+# The reference's projection discretizes with the FIRST-cell spacings
+# everywhere (`solver_projection.c:72-75`), so on a wall-clustered grid it
+# relaxes toward a parabola in INDEX space — ~0.5 relative error.  With
+# nonuniform_scheme="consistent" the momentum operators use the exact
+# 3-point weights and the pressure Poisson becomes the variable-coefficient
+# solve (`cfd_tpu.solvers.poisson.nonuniform`: FV-symmetrized CG/BiCGSTAB,
+# or the generalized-eigenbasis direct solve behind FFT_DIRECT) — the
+# analytic profile is then the exact discrete fixed point.
+# ---------------------------------------------------------------------------
+
+from cfd_tpu.solvers.ns.projection import make_projection_step
+from cfd_tpu.solvers.poisson.base import Method
+
+
+def run_projection(beta, scheme, steps=2000):
+    grid = Grid.stretched(NX, NY, xmax=4.0, ymax=H, beta=beta,
+                          stretch_axes="y")
+    params = NSParams(mu=NU, source_amplitude_u=0.0,
+                      source_amplitude_v=0.0, source_func=source,
+                      nonuniform_scheme=scheme)
+    dt = min(1e-3, 0.2 * float(np.min(grid.dy)) ** 2 / NU)
+    step = make_projection_step(grid, params,
+                                poisson_method=Method.FFT_DIRECT)
+
+    def body(field, i):
+        u = apply_periodic_scalar(field.u)
+        v = apply_periodic_scalar(field.v)
+        u = u.at[0, 0, :].set(0.0).at[0, -1, :].set(0.0)
+        v = v.at[0, 0, :].set(0.0).at[0, -1, :].set(0.0)
+        field, _ = step(field.replace(u=u, v=v), dt, i)
+        return field, None
+
+    y = np.asarray(grid.y)
+    exact = G / (2.0 * NU) * y * (H - y)
+    f0 = FlowField.quiescent(NX, NY).replace(
+        u=jnp.asarray(np.broadcast_to(exact[None, :, None], grid.shape)))
+    field = jax.jit(lambda f: lax.scan(body, f, jnp.arange(steps))[0])(f0)
+    u = np.asarray(field.u)[0, :, NX // 2]
+    return float(np.sqrt(np.mean((u - exact) ** 2)) / exact.max())
+
+
+print("\nProjection solver, started ON the analytic profile "
+      "(does the scheme hold it?)")
+for beta in (1.5, 2.0):
+    e_p = run_projection(beta, "parity")
+    e_c = run_projection(beta, "consistent")
+    print(f"beta={beta}:  parity drifts to rel L2 = {e_p:.3f}   "
+          f"consistent holds at {e_c:.2e}")

@@ -109,7 +109,8 @@ def _womersley_exact(y, t, G, omega, nu, h):
 
 
 def _run_womersley(alpha, nu=0.05, ny=65, nx=32, n_cycles=4.0,
-                   samples_per_cycle=8, bc_refresh=False):
+                   samples_per_cycle=8, bc_refresh=False,
+                   stretched_beta=None, scheme="parity"):
     """Periodic channel driven by a uniform oscillatory body force; returns
     (y, sample times, sampled centerplane u-profiles, params).
 
@@ -139,9 +140,13 @@ def _run_womersley(alpha, nu=0.05, ny=65, nx=32, n_cycles=4.0,
         return (jnp.broadcast_to(su, X.shape), jnp.zeros_like(X),
                 jnp.zeros_like(X))
 
-    g = Grid.uniform(nx, ny, xmax=8.0, ymax=1.0)
+    if stretched_beta:
+        g = Grid.stretched(nx, ny, xmax=8.0, ymax=1.0, beta=stretched_beta,
+                           stretch_axes="y")
+    else:
+        g = Grid.uniform(nx, ny, xmax=8.0, ymax=1.0)
     params = NSParams(mu=nu, source_amplitude_u=0.0, source_amplitude_v=0.0,
-                      source_func=source)
+                      source_func=source, nonuniform_scheme=scheme)
 
     from cfd_tpu.boundary import apply_periodic_scalar
 
@@ -175,7 +180,7 @@ def _run_womersley(alpha, nu=0.05, ny=65, nx=32, n_cycles=4.0,
     idx = [steps - 1 - int(round(k * period / samples_per_cycle / dt))
            for k in range(samples_per_cycle)]
     idx = sorted(idx)
-    y = np.asarray(jnp.linspace(0.0, 1.0, ny))
+    y = np.asarray(g.y)
     return (y, t_grid[idx], np.asarray(profiles)[idx],
             dict(G=G, omega=omega, nu=nu, h=h))
 
@@ -252,6 +257,34 @@ def test_bc_refresh_fused_matches_jnp():
             np.asarray(getattr(outs[0], name)),
             np.asarray(getattr(outs[1], name)), atol=5e-6,
             err_msg=name)
+
+
+@pytest.mark.heavy
+def test_womersley_projection_stretched_consistent():
+    """Womersley α=3 through the PROJECTION solver on a wall-clustered
+    tanh β=1.5 grid with nonuniform_scheme='consistent' — the oscillatory
+    validation of the variable-coefficient pressure Poisson
+    (`solvers/poisson/nonuniform.py`, r4).  33 stretched points beat the
+    65-point uniform run's 3% bound (the Stokes layer gets the points);
+    bc_refresh removes the stale-shell forcing deficit.  The parity
+    scheme on the SAME grid discretizes with the first-cell (smallest)
+    spacing everywhere and lands >10× worse.  Measured r4: consistent
+    0.0082, parity 0.853 (of peak u — 104×)."""
+    y, ts, profs, p = _run_womersley(3.0, ny=33, nx=16, n_cycles=3.0,
+                                     bc_refresh=True, stretched_beta=1.5,
+                                     scheme="consistent")
+    exact = _womersley_exact(y, ts, p["G"], p["omega"], p["nu"], p["h"])
+    u_scale = np.abs(exact).max()
+    err = np.abs(profs - exact).max() / u_scale
+    assert err < 0.02, err
+
+    y2, ts2, profs2, p2 = _run_womersley(3.0, ny=33, nx=16, n_cycles=3.0,
+                                         bc_refresh=True,
+                                         stretched_beta=1.5,
+                                         scheme="parity")
+    err_par = np.abs(profs2 - _womersley_exact(
+        y2, ts2, p2["G"], p2["omega"], p2["nu"], p2["h"])).max() / u_scale
+    assert err < err_par / 10.0, (err, err_par)
 
 
 def _run_womersley_euler(alpha, beta, scheme, nu=0.05, ny=17, nx=8,

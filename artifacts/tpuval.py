@@ -76,6 +76,25 @@ def traj_diff(mk, dt, convection=False, stretched=False, scheme="parity",
 
 
 def proj_diff():
+    """At 128³ the auto-dispatch picks the DST-fused mega family — this
+    forces the emit-b̃ + full-TDMA fallback (the production family at
+    VMEM-edge shapes where the 5-output DST predictor doesn't fit, and
+    the family the pre-r4 'projection' rows recorded) by patching the
+    DST-fusion gate off for the fused build."""
+    from cfd_tpu.solvers.poisson import spectral
+    orig = spectral.dst_fused_supported
+    spectral.dst_fused_supported = lambda problem: False
+    try:
+        rms = bench.run_fused_vs_jnp_rms(n=N, steps=STEPS)
+    finally:
+        spectral.dst_fused_supported = orig
+    return {"rms_u": rms}
+
+
+def proj_dst_fused_diff():
+    """The auto-picked DST-fused mega family (in-kernel xy transforms +
+    Thomas-forward carry in the predictor, inverse-DST-on-arrival +
+    bwd-only TDMA corrector) — 128³ qualifies, so no forcing needed."""
     rms = bench.run_fused_vs_jnp_rms(n=N, steps=STEPS)
     return {"rms_u": rms}
 
@@ -138,11 +157,11 @@ CONFIGS = {
     "rk2_2d_stretched_consistent":
         lambda: traj_diff(make_rk2_step, 1e-4, two_d=True, stretched=True,
                           scheme="consistent"),
-    # r4: the DST-fused mega projection (in-kernel xy transforms +
-    # Thomas-forward carry in the predictor, inverse-DST-on-arrival +
-    # bwd-only TDMA corrector) — same fused-vs-jnp trajectory check as
-    # "projection", under the new auto-picked kernel family.
-    "projection_dst_fused": proj_diff,
+    # r4: the DST-fused mega projection — same fused-vs-jnp trajectory
+    # check as "projection" but under the auto-picked DST-fused family
+    # ("projection" now forces the emit-b̃ + full-TDMA fallback so both
+    # production families carry an on-chip row).
+    "projection_dst_fused": proj_dst_fused_diff,
 }
 
 PATH = "TPUVAL_r03.json"

@@ -112,9 +112,12 @@ def make_projection_step(grid: Grid, params: NSParams, dtype=None,
     application the caller performs between steps makes the predictor's
     shell consistent with its interior and removes the deficit.
     ``t_next = (iter_idx + 1)·dt`` — the time level of the predictor
-    state.  The hook runs between kernels on the fused path (the
-    mega-fused single-sweep variants are bypassed since they form the
-    Poisson input in the same sweep as the predictor).
+    state.  On the fused 3D path the hook runs between the per-component
+    kernels (the mega-fused single-sweep variants are bypassed since they
+    form the Poisson input in the same sweep as the predictor).  The 2D
+    fused kernel is single-sweep only, so a 2D grid with ``bc_refresh``
+    falls back to the jnp body (a logged throughput cliff — pulsatile 2D
+    channels trade the ~2600-MLUPS kernel for the stale-shell fix).
     """
     if differentiable:
         if use_pallas or use_pallas_cg:
@@ -279,6 +282,14 @@ def make_projection_step(grid: Grid, params: NSParams, dtype=None,
     # ny block-divisible; same gating exclusions as 3D).
     proj2d = None
     btilde2d = None
+    if (use_pallas and dtype == jnp.float32 and grid.nz == 1
+            and params.source_func is None and bc_refresh is not None
+            and not consistent):
+        from ...core.logging import warning as log_warning
+        log_warning("projection",
+                    "bc_refresh on a 2D grid disables the fused "
+                    "single-sweep kernel (no two-pass 2D variant exists); "
+                    "the step runs the jnp body")
     if (use_pallas and dtype == jnp.float32 and grid.nz == 1
             and params.source_func is None and bc_refresh is None
             and not consistent):

@@ -200,8 +200,11 @@ def _make_btilde_pipeline_tdma2d(problem: PoissonProblem, precision,
         else:
             x = tdma_z_reference(a[:, None, :],
                                  jnp.asarray(lxp, dt)[None, :], w)[:, 0, :]
-        if dt == jnp.float32 and K < mx:
-            # dense rescue of the ill-conditioned low-mode columns
+        if dt == jnp.float32:
+            # dense rescue of the ill-conditioned low-mode columns.  When
+            # a forced z_mode="tdma" hits K == mx (all columns
+            # ill-conditioned — auto picks eigen there) this degenerates
+            # to the full dense y-solve, keeping accuracy over speed.
             s = jnp.matmul(Fyp, a[:, :K], precision=prec)  # (my, K)
             lam = (jnp.asarray(ly, dt)[:, None]
                    + jnp.asarray(lx[:K], dt)[None, :])
@@ -477,6 +480,14 @@ def make_fft_btilde_solver(problem: PoissonProblem,
             # grids), i.e. padding under 2×.
             mx = problem.nx - 2
             sup = tdma_y_supported(problem) and _ceil_to(mx, 1024) < 2 * mx
+            if sup:
+                # Accuracy/profit gate #2: on strongly anisotropic grids
+                # (dy ≪ dx) every x-mode's y-line is ill-conditioned and
+                # the dense rescue covers all columns — the Thomas stage
+                # then does no useful work, so keep the eigen path.
+                lx = _dirichlet_eigenvalues(mx, problem.inv_dx2)
+                sup = _tdma2d_rescue_width(
+                    mx, lx, float(problem.inv_dy2)) < mx
         z_mode = "tdma" if sup else "eigen"
     if z_mode == "tdma":
         if problem.is_3d:

@@ -232,6 +232,38 @@ def test_pipeline2d_hybrid_rescue_accuracy():
     np.testing.assert_allclose(got, truth, rtol=0, atol=5e-6 * scale)
 
 
+def test_pipeline2d_anisotropic_full_rescue():
+    """dy ≪ dx drives every x-mode's y-line condition 4·inv_dy2/λx[m]
+    past the rescue threshold (K == mx): "auto" must keep the eigen path
+    (the Thomas stage would do no useful work there), and a *forced* tdma
+    build must degenerate to the full dense y-solve instead of silently
+    skipping the rescue (the old `K < mx` guard returned the unrescued
+    ~1e-3 Thomas result exactly on the most ill-conditioned grids)."""
+    from cfd_tpu.solvers.poisson.spectral import (_dirichlet_eigenvalues,
+                                                  _tdma2d_rescue_width)
+    n = 258
+    dy = 1.0 / 32.0                       # inv_dy2 = 1024 > 256·inv_dx2
+    p = PoissonProblem(n, n, 1, 1.0, dy, 0.0)
+    assert tdma_y_supported(p)
+    mx = n - 2
+    lx = _dirichlet_eigenvalues(mx, p.inv_dx2)
+    assert _tdma2d_rescue_width(mx, lx, float(p.inv_dy2)) == mx
+    rng = np.random.default_rng(7)
+    bt = np.zeros((1, n, n), np.float32)
+    bt[:, 1:-1, 1:-1] = rng.standard_normal((n - 2, n - 2)
+                                            ).astype(np.float32)
+    bt = jnp.asarray(bt)
+    eig = make_fft_btilde_solver(p)
+    xe = np.asarray(eig(bt))
+    # forced tdma: the rescue now covers all columns → eigen-class result
+    td = make_fft_btilde_solver(p, z_mode="tdma", interpret=True)
+    np.testing.assert_allclose(np.asarray(td(bt)), xe, rtol=0,
+                               atol=5e-6 * np.abs(xe).max())
+    # auto: the K == mx gate rejects tdma, returning the eigen pipeline
+    auto = make_fft_btilde_solver(p, z_mode="auto")
+    assert np.array_equal(np.asarray(auto(bt)), xe)
+
+
 @pytest.mark.parametrize("shape", [(34, 130), (9, 258)])
 def test_pipeline2d_matches_eigen(shape):
     ny, nx = shape

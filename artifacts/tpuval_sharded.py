@@ -1,0 +1,215 @@
+"""On-chip Mosaic validation of the SHARDED fused paths, on a 1-device mesh.
+
+`artifacts/tpuval.py` records hardware truth for the single-chip kernel
+families; this script does the same for the production shard_map wrappers.
+Only one real TPU chip is reachable (the axon tunnel), but a 1-device
+`Mesh` (and a (1,1) (z, y) mesh) still engages the exact multi-chip code:
+global-row/global-z kernel modes, the halo ring machinery (self-permutes),
+pencil-transpose DSTs, the fused sharded CG/BiCGSTAB/MG — all through REAL
+Mosaic compiles, which interpret-mode CI cannot exercise (see
+docs/validation.md "On-chip (Mosaic) validation records" for why that gap
+is real).  Each config runs 3 sharded steps and compares against the
+single-chip fused step; MG rows assert iteration parity with the
+single-chip fused V-cycle.
+
+Incremental + resumable like tpuval.py: each config writes the JSON as it
+lands; recorded (non-ERROR) configs are skipped on rerun.
+Run: cd /root/repo && python artifacts/tpuval_sharded.py [config ...]
+
+This file recreates the lost round-3 script that produced
+TPUVAL_SHARDED_r03.json (same configs and tolerances; grids may differ in
+detail from the r03 run).
+"""
+
+import json
+import sys
+
+sys.path.insert(0, ".")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cfd_tpu import FlowField, Grid
+from cfd_tpu.boundary.types import (BCType, DirichletValues,
+                                    ThermalBCConfig)
+from cfd_tpu.parallel import make_mesh, make_sharded_step
+from cfd_tpu.solvers.ns import NSParams
+from cfd_tpu.solvers.ns.euler import make_euler_step
+from cfd_tpu.solvers.ns.projection import make_projection_step
+from cfd_tpu.solvers.ns.rk import make_rk2_step, make_rk4_step
+from cfd_tpu.solvers.poisson.base import Method, PoissonParams
+
+STEPS = 3
+PATH = "TPUVAL_SHARDED_r04.json"
+
+_MAKERS = {"explicit_euler": make_euler_step, "rk2": make_rk2_step,
+           "rk4": make_rk4_step, "projection": make_projection_step}
+
+CONV = NSParams(source_amplitude_u=0.0, source_amplitude_v=0.0,
+                alpha=1e-3, beta=0.05, T_ref=300.0,
+                gravity=(0.0, -9.81, 0.0),
+                thermal_bc=ThermalBCConfig(
+                    left=BCType.DIRICHLET, right=BCType.DIRICHLET,
+                    bottom=BCType.NEUMANN, top=BCType.NEUMANN,
+                    dirichlet_values=DirichletValues(left=305.0,
+                                                     right=295.0)))
+
+
+def _random_field(grid, seed=0, amp=0.05):
+    rng = np.random.default_rng(seed)
+    f = FlowField.initialize(grid, dtype=jnp.float32)
+
+    def r():
+        return jnp.asarray(rng.normal(0, amp, grid.shape), jnp.float32)
+
+    f = f.replace(u=r(), v=r(), p=r())
+    if grid.nz > 1:
+        f = f.replace(w=r())
+    return f
+
+
+def _run_steps(step, f, dt):
+    res = None
+    for i in range(STEPS):
+        f, res = step(f, jnp.float32(dt), i)
+    f.u.block_until_ready()
+    return f, res
+
+
+def pair(grid, method, mesh_axes, params=None, dt=1e-4, tol=1e-5,
+         poisson_method=None, pparams=None, want_status=False):
+    """3 sharded steps vs 3 single-chip fused steps; max |Δ| over
+    (u, v, w, T) and over p."""
+    params = params or NSParams()
+    mk = _MAKERS[method]
+    kw = {}
+    if poisson_method is not None:
+        kw = dict(poisson_method=poisson_method, poisson_params=pparams)
+    ref_step = jax.jit(mk(grid, params, dtype=jnp.float32,
+                          use_pallas=True, **kw))
+    f0 = _random_field(grid)
+    f_ref, _ = _run_steps(ref_step, f0, dt)
+
+    mesh = make_mesh(jax.devices()[:1], axes=mesh_axes)
+    step, place = make_sharded_step(grid, params, mesh, method,
+                                    use_pallas=True, strict=True,
+                                    dtype=jnp.float32, **kw)
+    f_sh, res = _run_steps(step, place(f0), dt)
+    if want_status:
+        assert int(res.status) == 0, "sharded pressure solve not converged"
+
+    dv = max(float(jnp.max(jnp.abs(getattr(f_sh, n) - getattr(f_ref, n))))
+             for n in ("u", "v", "w", "T"))
+    dp = float(jnp.max(jnp.abs(f_sh.p - f_ref.p)))
+    return {"max_diff_vel_T": dv, "max_diff_p": dp,
+            "ok": dv <= tol and dp <= 10 * tol, "tol": tol}
+
+
+def mg_parity(mesh_axes):
+    """Sharded fused multigrid vs the single-chip fused V-cycle:
+    iteration parity + solution agreement (tests/parallel/
+    test_fused_mg_sharded.py run on the real chip)."""
+    from cfd_tpu.parallel.fused_mg import make_multigrid_sharded
+    from cfd_tpu.solvers.poisson.base import PoissonProblem
+    from cfd_tpu.solvers.poisson.multigrid import make_multigrid
+
+    n = 33
+    h = 1.0 / (n - 1)
+    prob = PoissonProblem(n, n, n, h, h, h)
+    pp = PoissonParams(tolerance=1e-6)
+    rng = np.random.default_rng(0)
+    rhs = rng.normal(0.0, 1.0, (n, n, n))
+    rhs[0] = rhs[-1] = 0.0
+    rhs[:, 0] = rhs[:, -1] = 0.0
+    rhs[:, :, 0] = rhs[:, :, -1] = 0.0
+    rhs = jnp.asarray(rhs, jnp.float32)
+    x0 = jnp.zeros((n, n, n), jnp.float32)
+
+    ref = jax.jit(make_multigrid(prob, pp, use_pallas=True,
+                                 min_fused_nx=0))
+    r_ref = ref(x0, rhs)
+    mesh = make_mesh(jax.devices()[:1], axes=mesh_axes)
+    r_sh = jax.jit(make_multigrid_sharded(prob, pp, mesh))(x0, rhs)
+    iters = [int(r_sh.iterations), int(r_ref.iterations)]
+    diff = float(jnp.max(jnp.abs(r_sh.x - r_ref.x)))
+    ok = (int(r_sh.status) == int(r_ref.status) == 0
+          and iters[0] == iters[1] and diff < 1e-4)
+    return {"iterations": iters, "max_diff": diff, "ok": ok}
+
+
+def _grids():
+    g3 = Grid.uniform(128, 8, 16, zmin=0.0, zmax=1.0)
+    g3s = Grid.stretched(128, 8, 16, zmin=0.0, zmax=1.0, beta=1.5,
+                         stretch_axes="xy")
+    g2 = Grid.uniform(128, 24)
+    g2s = Grid.stretched(128, 24, beta=1.5, stretch_axes="xy")
+    return g3, g3s, g2, g2s
+
+
+def _configs():
+    g3, g3s, g2, g2s = _grids()
+    krylov = PoissonParams(max_iterations=400, tolerance=1e-6)
+    rows = {}
+    for tag, axes in (("z", ("z",)), ("zy", ("z", "y"))):
+        rows[f"euler_{tag}"] = (
+            lambda a=axes: pair(g3, "explicit_euler", a))
+        rows[f"euler_{tag}_stretched"] = (
+            lambda a=axes: pair(g3s, "explicit_euler", a))
+        rows[f"rk2_{tag}"] = lambda a=axes: pair(g3, "rk2", a)
+        rows[f"proj_{tag}_dst"] = (
+            lambda a=axes: pair(g3, "projection", a, dt=1e-3,
+                                poisson_method=Method.FFT_DIRECT))
+        rows[f"proj_{tag}_cg"] = (
+            lambda a=axes: pair(g3, "projection", a, dt=1e-3, tol=1e-4,
+                                poisson_method=Method.CG, pparams=krylov,
+                                want_status=True))
+        rows[f"proj_{tag}_bicgstab"] = (
+            lambda a=axes: pair(g3, "projection", a, dt=1e-3, tol=1e-3,
+                                poisson_method=Method.BICGSTAB,
+                                pparams=krylov, want_status=True))
+        rows[f"mg_{tag}"] = lambda a=axes: mg_parity(a)
+    rows["euler_z_convection"] = (
+        lambda: pair(g3, "explicit_euler", ("z",), params=CONV))
+    rows["rk4_z"] = lambda: pair(g3, "rk4", ("z",))
+    # 2D y-decomposition (block-marching kernels in global-row mode)
+    rows["euler_2d_y"] = lambda: pair(g2, "explicit_euler", ("y",))
+    rows["euler_2d_y_stretched"] = (
+        lambda: pair(g2s, "explicit_euler", ("y",)))
+    rows["rk2_2d_y"] = lambda: pair(g2, "rk2", ("y",))
+    rows["proj_2d_y"] = (
+        lambda: pair(g2, "projection", ("y",), dt=1e-3,
+                     poisson_method=Method.FFT_DIRECT))
+    return rows
+
+
+def main():
+    import os
+    out = {"round": 4, "steps": STEPS, "dtype": "float32",
+           "platform": "tpu (axon), 1-device mesh"}
+    if os.path.exists(PATH):
+        with open(PATH) as f:
+            out.update(json.load(f))
+    configs = _configs()
+    names = sys.argv[1:] or list(configs)
+    for name in names:
+        prev = out.get(name)
+        if isinstance(prev, dict):
+            print(name, "already done:", prev, flush=True)
+            continue
+        try:
+            out[name] = configs[name]()
+        except Exception as e:  # noqa: BLE001
+            out[name] = f"ERROR: {e!r}"[:200]
+        print(name, out[name], flush=True)
+        out["failures"] = sum(
+            1 for v in out.values()
+            if (isinstance(v, str) and v.startswith("ERROR"))
+            or (isinstance(v, dict) and v.get("ok") is False))
+        with open(PATH, "w") as f:
+            json.dump(out, f, indent=1)
+    print("done, failures =", out.get("failures", 0), flush=True)
+
+
+if __name__ == "__main__":
+    main()

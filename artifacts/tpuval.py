@@ -164,20 +164,29 @@ CONFIGS = {
     "projection_dst_fused": proj_dst_fused_diff,
 }
 
-PATH = "TPUVAL_r03.json"
-
-
 def main():
     """Incremental + resumable: each config writes the JSON as it lands,
     and configs already recorded (without an ERROR) are skipped — reruns
-    pick up where a slow compile service cut the previous attempt off."""
+    pick up where a slow compile service cut the previous attempt off.
+
+    ``--round N`` stamps the record file (TPUVAL_r{N}.json, default 05) —
+    one file per validation round keeps the audit trail on filenames
+    (round-4 verdict: refreshed rows must not append into older records).
+    """
     import os
-    out = {"round": 3, "grid": f"{N}^3", "steps": STEPS,
+    args = sys.argv[1:]
+    rnd = "05"
+    if "--round" in args:
+        i = args.index("--round")
+        rnd = args[i + 1].zfill(2)
+        del args[i:i + 2]
+    path = f"TPUVAL_r{rnd}.json"
+    out = {"round": rnd, "grid": f"{N}^3", "steps": STEPS,
            "dtype": "float32", "platform": "tpu (axon)"}
-    if os.path.exists(PATH):
-        with open(PATH) as f:
+    if os.path.exists(path):
+        with open(path) as f:
             out.update(json.load(f))
-    names = sys.argv[1:] or list(CONFIGS)
+    names = args or list(CONFIGS)
     for name in names:
         prev = out.get(name)
         if isinstance(prev, dict):
@@ -188,7 +197,9 @@ def main():
         except Exception as e:  # noqa: BLE001
             out[name] = f"ERROR: {e!r}"[:200]
         print(name, out[name], flush=True)
-        with open(PATH, "w") as f:
+        out["failures"] = [k for k, v in out.items()
+                           if isinstance(v, str) and v.startswith("ERROR")]
+        with open(path, "w") as f:
             json.dump(out, f, indent=1)
     print("done", flush=True)
 

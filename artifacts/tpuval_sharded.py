@@ -41,7 +41,6 @@ from cfd_tpu.solvers.ns.rk import make_rk2_step, make_rk4_step
 from cfd_tpu.solvers.poisson.base import Method, PoissonParams
 
 STEPS = 3
-PATH = "TPUVAL_SHARDED_r04.json"
 
 _MAKERS = {"explicit_euler": make_euler_step, "rk2": make_rk2_step,
            "rk4": make_rk4_step, "projection": make_projection_step}
@@ -185,13 +184,20 @@ def _configs():
 
 def main():
     import os
-    out = {"round": 4, "steps": STEPS, "dtype": "float32",
+    args = sys.argv[1:]
+    rnd = "05"
+    if "--round" in args:
+        i = args.index("--round")
+        rnd = args[i + 1].zfill(2)
+        del args[i:i + 2]
+    path = f"TPUVAL_SHARDED_r{rnd}.json"
+    out = {"round": rnd, "steps": STEPS, "dtype": "float32",
            "platform": "tpu (axon), 1-device mesh"}
-    if os.path.exists(PATH):
-        with open(PATH) as f:
+    if os.path.exists(path):
+        with open(path) as f:
             out.update(json.load(f))
     configs = _configs()
-    names = sys.argv[1:] or list(configs)
+    names = args or list(configs)
     for name in names:
         prev = out.get(name)
         if isinstance(prev, dict):
@@ -206,7 +212,7 @@ def main():
             1 for v in out.values()
             if (isinstance(v, str) and v.startswith("ERROR"))
             or (isinstance(v, dict) and v.get("ok") is False))
-        with open(PATH, "w") as f:
+        with open(path, "w") as f:
             json.dump(out, f, indent=1)
     print("done, failures =", out.get("failures", 0), flush=True)
 

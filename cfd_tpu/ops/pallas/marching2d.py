@@ -60,6 +60,8 @@ def make_marching_stencil_2d(ny: int, nx: int,
                              n_scalars: int = 0,
                              n_pinned: int = 0,
                              pinned_rows: int = 8,
+                             pinned_mats=None,
+                             halo_transform=None,
                              interpret: bool = False):
     """Build the marching kernel.
 
@@ -75,6 +77,16 @@ def make_marching_stencil_2d(ny: int, nx: int,
         periodic-interior y-wrap rows)
       * outs: list of n_out (B, nx) blocks — every row final
 
+    ``pinned_mats`` appends arbitrary-shape 2D inputs (a list of (rows,
+    cols) shapes), also fetched once at the prologue; they arrive AFTER
+    the n_pinned arrays in ``pinned`` — the 2D twin of the rolling
+    engine's DST sine-matrix pins (in-kernel MXU dots overlap the block
+    streaming).  ``halo_transform`` maps a halo-input index to
+    ``fn(block, mats) → block`` applied ONCE per block on DMA arrival
+    (ring-slot rewrite), so stencil triples see transformed blocks with
+    no recompute — how the 2D corrector inverse-DSTs the pressure while
+    streaming it.
+
     Returns fn(scalars_array, *fields) → outs on (ny, nx) arrays, or None
     when unsupported.
     """
@@ -82,7 +94,10 @@ def make_marching_stencil_2d(ny: int, nx: int,
     if B is None:
         return None
     nyb = ny // B
-    n_in = n_halo + n_plane + n_pinned
+    mats = tuple(tuple(s) for s in (pinned_mats or ()))
+    n_mats = len(mats)
+    halo_transform = dict(halo_transform or {})
+    n_in = n_halo + n_plane + n_pinned + n_mats
 
     def kernel(*refs):
         idx = 0
@@ -93,10 +108,11 @@ def make_marching_stencil_2d(ny: int, nx: int,
         stages = refs[idx:idx + n_plane]; idx += n_plane
         obufs = refs[idx:idx + n_out]; idx += n_out
         pbufs = refs[idx:idx + n_pinned]; idx += n_pinned
+        mbufs = refs[idx:idx + n_mats]; idx += n_mats
         in_sems = refs[idx]; idx += 1
         out_sems = refs[idx]; idx += 1
         pin_sems = None
-        if n_pinned:
+        if n_pinned or n_mats:
             pin_sems = refs[idx]; idx += 1
 
         scalars = [scal_ref[0, i] for i in range(n_scalars)]
@@ -136,11 +152,30 @@ def make_marching_stencil_2d(ny: int, nx: int,
                 in_hbm[n_halo + n_plane + q], pbufs[q], pin_sems.at[q])
             d.start()
             pins.append(d)
+        for q in range(n_mats):
+            d = pltpu.make_async_copy(
+                in_hbm[n_halo + n_plane + n_pinned + q], mbufs[q],
+                pin_sems.at[n_pinned + q])
+            d.start()
+            pins.append(d)
         start_all(in_dma(0, 0))
         start_all(in_dma(1, 1))
         wait_all(in_dma(0, 0))
         for d in pins:
             d.wait()
+
+        def mat_arrays():
+            return [mbufs[q][...] for q in range(n_mats)]
+
+        def transform_arrival(k):
+            """Rewrite freshly-arrived ring slots of transformed halo
+            inputs — each block transformed exactly once on arrival."""
+            for a, fn in halo_transform.items():
+                s = jax.lax.rem(jnp.asarray(k, jnp.int32), jnp.int32(4))
+                rings[a][pl.ds(s, 1)] = fn(rings[a][s], mat_arrays())[None]
+
+        if halo_transform:
+            transform_arrival(0)
 
         def body(c, carry):
             c = jnp.asarray(c, jnp.int32)
@@ -148,6 +183,8 @@ def make_marching_stencil_2d(ny: int, nx: int,
             @pl.when(c + 1 <= nyb - 1)
             def _():
                 wait_all(in_dma(c + 1, jax.lax.rem(c + 1, jnp.int32(2))))
+                if halo_transform:
+                    transform_arrival(c + 1)
 
             @pl.when(c + 2 <= nyb - 1)
             def _():
@@ -165,9 +202,10 @@ def make_marching_stencil_2d(ny: int, nx: int,
             planes = [stages[b][jax.lax.rem(c, jnp.int32(3))]
                       for b in range(n_plane)]
 
-            if n_pinned:
+            if n_pinned or n_mats:
                 outs = compute(c * B, scalars, halo_triples, planes,
-                               [pbufs[q][...] for q in range(n_pinned)])
+                               [pbufs[q][...] for q in range(n_pinned)]
+                               + mat_arrays())
             else:
                 outs = compute(c * B, scalars, halo_triples, planes)
 
@@ -190,6 +228,7 @@ def make_marching_stencil_2d(ny: int, nx: int,
                   for _ in range(n_out)]
     out_specs = [pl.BlockSpec(memory_space=pl.ANY) for _ in range(n_out)]
 
+    mat_bytes = sum(r * c * 4 for r, c in mats)
     call = pl.pallas_call(
         kernel,
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
@@ -202,25 +241,32 @@ def make_marching_stencil_2d(ny: int, nx: int,
             + [pltpu.VMEM((2, B, nx), dtype) for _ in range(n_out)]
             + [pltpu.VMEM((pinned_rows, nx), dtype)
                for _ in range(n_pinned)]
+            + [pltpu.VMEM((r, c), dtype) for r, c in mats]
             + [pltpu.SemaphoreType.DMA((2, n_halo + n_plane)),
                pltpu.SemaphoreType.DMA((2, n_out))]
-            + ([pltpu.SemaphoreType.DMA((n_pinned,))] if n_pinned else [])),
+            + ([pltpu.SemaphoreType.DMA((n_pinned + n_mats,))]
+               if n_pinned or n_mats else [])),
         compiler_params=pltpu.CompilerParams(
             has_side_effects=True,
-            # scratch stays under _VMEM_BUDGET; the rest is headroom for
-            # compiler-inserted stack/copies (the default 16 MiB scoped
-            # limit left ~3 MiB and overflowed by 0.5 MiB at 2048² once
-            # the tdma transform joined the program — v5e has 128 MiB)
-            vmem_limit_bytes=_VMEM_BUDGET + 24 * 1024 * 1024),
+            # scratch stays under _VMEM_BUDGET (+ the resident DST pins);
+            # the rest is headroom for compiler-inserted stack/copies (the
+            # default 16 MiB scoped limit left ~3 MiB and overflowed by
+            # 0.5 MiB at 2048² once the tdma transform joined the program
+            # — v5e has 128 MiB)
+            vmem_limit_bytes=(_VMEM_BUDGET + 24 * 1024 * 1024
+                              + mat_bytes)),
         interpret=interpret,
     )
 
     def run(scalars, *fields):
-        # trailing n_pinned args are (pinned_rows, nx); the rest (ny, nx)
+        # trailing args: n_pinned (pinned_rows, nx) + n_mats declared
+        # 2D shapes; the rest (ny, nx)
         scal = jnp.asarray(scalars, dtype).reshape(1, max(1, n_scalars))
-        n_march = len(fields) - n_pinned
+        n_march = len(fields) - n_pinned - n_mats
         flat = [f.reshape(ny, nx) for f in fields[:n_march]]
-        pins = [f.reshape(pinned_rows, nx) for f in fields[n_march:]]
-        return call(scal, *flat, *pins)
+        pins = [f.reshape(pinned_rows, nx)
+                for f in fields[n_march:n_march + n_pinned]]
+        ms = [jnp.asarray(f, dtype) for f in fields[n_march + n_pinned:]]
+        return call(scal, *flat, *pins, *ms)
 
     return run

@@ -30,9 +30,10 @@ from .marching2d import make_marching_stencil_2d, marching2d_supported
 CLAMP = 100.0  # PROJ_MAX_VELOCITY
 
 
-def projection2d_supported(ny: int, nx: int, buoyant: bool = False) -> bool:
+def projection2d_supported(ny: int, nx: int, buoyant: bool = False,
+                           dst: bool = False) -> bool:
     return (marching2d_supported(ny, nx, 4 if buoyant else 3, 1, 4)
-            and marching2d_supported(ny, nx, 1, 2, 2))
+            and marching2d_supported(ny, nx, 1, 2, 3 if dst else 2))
 
 
 class Projection2DKernels:
@@ -41,7 +42,8 @@ class Projection2DKernels:
     def __init__(self, ny, nx, dx, dy, xmin, ymin, dtype=jnp.float32,
                  emit="btilde", with_sources=True, interpret=False,
                  global_ny=None, beta=0.0, T_ref=0.0,
-                 gravity=(0.0, 0.0, 0.0)):
+                 gravity=(0.0, 0.0, 0.0), dst_mats=None,
+                 dst_precision=None):
         """``global_ny``: sharded (y-decomposed) mode — the kernels operate
         on a halo-padded local row block of ``ny`` rows belonging to a
         global ``global_ny``-row domain; each kernel takes the shard's
@@ -51,11 +53,40 @@ class Projection2DKernels:
 
         ``beta != 0`` fuses Boussinesq buoyancy into the predictor: T rides
         as a fourth halo input and −β·g·(T−T_ref) joins the sources (the
-        2D de Vahl Davis configuration keeps the fused path)."""
+        2D de Vahl Davis configuration keeps the fused path).
+
+        ``dst_mats``: the DST-fused 2D path — an (FxT, GxT) pair of host
+        numpy sine factors (`spectral.make_dst2d_fused_pieces`).  The
+        predictor then emits the **x-transformed** b̃ (one in-kernel MXU
+        dot per block, riding the otherwise-idle MXU while the engine
+        streams), and the corrector inverse-transforms the y-line-solve
+        output x̂ as blocks ARRIVE in its halo ring (once per block) and
+        emits the physical pressure as a third output.  Only the TDMA-y
+        stage (+ dense low-mode rescue) runs between the two sweeps —
+        the 2D twin of the 3D mega DST fusion (r4).  Requires the x mode
+        dim to equal nx (nx % 1024 == 0), single-chip only.
+        ``dst_precision`` sets the in-kernel contraction precision
+        (default HIGHEST, matching the eigen pipeline)."""
         self.shape = (ny, nx)
         self.global_ny = global_ny
         buoy = beta != 0.0
         self.buoyant = buoy
+        self.dst = dst_mats is not None
+        if self.dst:
+            if global_ny is not None:
+                raise ValueError("dst_mats is single-chip 2D mode only")
+            if emit != "btilde":
+                raise ValueError("dst_mats requires emit='btilde'")
+            fxt, gxt = dst_mats
+            self._fx = fxt     # host numpy (trace safety)
+            self._gx = gxt
+        dst_prec = dst_precision or jax.lax.Precision.HIGHEST
+
+        def block_dot(block, mat):
+            """block · mat — one x DST stage on the MXU."""
+            return jax.lax.dot_general(
+                block, mat, (((1,), (0,)), ((), ())),
+                precision=dst_prec, preferred_element_type=dtype)
         gn = ny if global_ny is None else global_ny
         inv_2dx = 1.0 / (2.0 * dx)
         inv_2dy = 1.0 / (2.0 * dy)
@@ -73,7 +104,7 @@ class Projection2DKernels:
         def interior(jg, ii):
             return (jg > 0) & (jg < gn - 1) & (ii > 0) & (ii < nx - 1)
 
-        def pred_bt_compute(row0, scalars, halos, planes):
+        def pred_bt_compute(row0, scalars, halos, planes, pinned=None):
             dt, nu, su_amp, sv_amp, rod = scalars[:5]
             if global_ny is not None:
                 row0 = row0 + scalars[5].astype(jnp.int32)
@@ -141,6 +172,10 @@ class Projection2DKernels:
                          + inv_dy2 * ((jg == 1).astype(dtype)
                                       + (jg == gn - 2).astype(dtype)))
                 out = jnp.where(mask, coeff * pc - rod * div, zero)
+                if self.dst:
+                    # forward x-DST of the b̃ block, in-kernel on the MXU
+                    # (overlaps the block streaming for free)
+                    out = block_dot(out, pinned[0])
             else:
                 out = jnp.where(mask, rod * div, zero)
             return [us_e[1:-1], vs_e[1:-1], ws_e[1:-1], out]
@@ -148,9 +183,10 @@ class Projection2DKernels:
         self.pred_bt = make_marching_stencil_2d(
             ny, nx, 4 if buoy else 3, 1, 4, pred_bt_compute, dtype,
             n_scalars=5 if global_ny is None else 6,
+            pinned_mats=[self._fx.shape] if self.dst else None,
             interpret=interpret)
 
-        def corr_compute(row0, scalars, halos, planes):
+        def corr_compute(row0, scalars, halos, planes, pinned=None):
             dt_over_rho = scalars[0]
             if global_ny is not None:
                 row0 = row0 + scalars[1].astype(jnp.int32)
@@ -166,11 +202,20 @@ class Projection2DKernels:
                                          -CLAMP, CLAMP), us)
             v = jnp.where(mask, jnp.clip(vs - dt_over_rho * dpdy,
                                          -CLAMP, CLAMP), vs)
-            return [u, v]
+            # in DST mode pc is already physical (arrival hook below) —
+            # it rides out as the pressure result
+            return [u, v] + ([pc] if self.dst else [])
+
+        def corr_inverse_dst(block, mats):
+            """Arrival hook: x̂ block (y-line-solve output, transform
+            space) → physical p block via the mirror-extended inverse."""
+            return block_dot(block, mats[0])
 
         self.corr = make_marching_stencil_2d(
-            ny, nx, 1, 2, 2, corr_compute, dtype,
+            ny, nx, 1, 2, 3 if self.dst else 2, corr_compute, dtype,
             n_scalars=1 if global_ny is None else 2,
+            pinned_mats=[self._gx.shape] if self.dst else None,
+            halo_transform={0: corr_inverse_dst} if self.dst else None,
             interpret=interpret)
 
         self.ok = self.pred_bt is not None and self.corr is not None
@@ -184,7 +229,8 @@ class Projection2DKernels:
 
         In sharded mode (``global_ny`` set) pass ``y_offset`` — the global
         row index of the local block's first row.  With buoyancy compiled
-        in, pass the step-start temperature ``T``."""
+        in, pass the step-start temperature ``T``.  In DST mode the
+        fourth output is the x-transformed b̃ (TDMA-y input)."""
         parts = [jnp.asarray(dt), jnp.asarray(nu),
                  jnp.asarray(src_u_amp), jnp.asarray(src_v_amp),
                  jnp.asarray(rho_over_dt)]
@@ -192,15 +238,24 @@ class Projection2DKernels:
             parts.append(jnp.asarray(y_offset).astype(parts[0].dtype))
         s = jnp.stack(parts)
         extra = (T[0].astype(u.dtype),) if self.buoyant else ()
-        us, vs, ws, bt = self.pred_bt(s, u[0], v[0], w[0], *extra, p[0])
+        mats = (self._fx,) if self.dst else ()
+        us, vs, ws, bt = self.pred_bt(s, u[0], v[0], w[0], *extra, p[0],
+                                      *mats)
         return us[None], vs[None], ws[None], bt[None]
 
     def corrector(self, us, vs, p, dt_over_rho, y_offset=None):
-        """(u, v) corrected; w is identity in 2D (handled by the caller)."""
+        """(u, v) corrected; w is identity in 2D (handled by the caller).
+
+        In DST mode ``p`` is the y-line-solve output x̂ (transform
+        space): blocks are inverse-DSTed on ring arrival and the physical
+        pressure comes back as a third output: (u, v, p)."""
         s = jnp.asarray(dt_over_rho)
         if self.global_ny is not None:
             s = jnp.stack([s, jnp.asarray(y_offset).astype(s.dtype)])
         else:
             s = s[None]
+        if self.dst:
+            u, v, pn = self.corr(s, p[0], us[0], vs[0], self._gx)
+            return u[None], v[None], pn[None]
         u, v = self.corr(s, p[0], us[0], vs[0])
         return u[None], v[None]

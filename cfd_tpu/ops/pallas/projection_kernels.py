@@ -74,9 +74,22 @@ class ProjectionKernels:
         remains between the two sweeps: the whole spectral projection step
         is two marching kernels plus one TDMA.  Requires the mode dims to
         equal the grid dims (guaranteed by the engine's nx%128 / ny%8
-        gates: ceil(nx−2, 128) == nx), single-chip mega mode only.
+        gates: ceil(nx−2, 128) == nx).
         ``dst_precision`` sets the in-kernel contraction precision
         (default HIGHEST, matching the eigen pipeline).
+
+        ``dst_mats`` composes with ``global_nz`` (z-sharded): the xy
+        transforms are plane-local, so the mega kernels run unchanged per
+        shard — the predictor takes a ±2-plane halo block (nzl+4 planes,
+        two exchanged planes per side) plus the shard's global plane
+        offset as a 6th scalar, computes planes 1..nzl+2 (owned:
+        2..nzl+1 — the callers trim [2:-2]), and the corrector streams a
+        1-halo x̂ block exchanged in TRANSFORM space (arrival hooks
+        inverse-DST neighbor halos exactly once).  Only the z line solve
+        crosses shards (all_to_all y-pencils in `parallel.fused`).
+        ``tdma_fwd`` stays single-chip — the Thomas recurrence is
+        sequential in global z.  Sharded mega kernels carry no in-kernel
+        reductions (the wrapper's GSPMD diagnostics cover the field).
 
         ``tdma_fwd``: a ``(mu, w)`` pair (host numpy (ny, nx) eigenvalue
         plane, scalar 1/dz²) — fuses the Thomas FORWARD sweep of the
@@ -98,8 +111,9 @@ class ProjectionKernels:
         self.buoyant = buoy
         self.dst = dst_mats is not None
         if self.dst:
-            if global_nz is not None or global_ny is not None:
-                raise ValueError("dst_mats is single-chip mega mode only")
+            if global_ny is not None:
+                raise ValueError("dst_mats does not support y-sharded "
+                                 "(global_ny) mode")
             if emit != "btilde":
                 raise ValueError("dst_mats requires emit='btilde'")
             fxt, fyl, gxt, gyl = dst_mats
@@ -112,6 +126,10 @@ class ProjectionKernels:
         if self.tdma_fused:
             if not self.dst:
                 raise ValueError("tdma_fwd requires dst_mats")
+            if global_nz is not None:
+                raise ValueError("tdma_fwd is single-chip only (the "
+                                 "Thomas recurrence is sequential in "
+                                 "global z)")
             mu_plane, tdma_w = tdma_fwd
             if mu_plane.shape != (ny, nx):
                 raise ValueError("tdma_fwd mu plane must be (ny, nx)")
@@ -296,14 +314,25 @@ class ProjectionKernels:
                        self.divergence, self.corr_u, self.corr_v,
                        self.corr_w))
 
-        # ---- mega kernels (single-chip fast path) ---------------------------
+        # ---- mega kernels (single-chip + z-sharded fast path) ---------------
         # One ±2-window sweep for the whole predictor + Poisson input
         # (8 HBM passes instead of 17: the divergence's off-plane w* values
         # are recomputed from neighbor planes already resident in VMEM),
-        # and one corrector sweep producing (u, v, w) plus the step
-        # diagnostics as fused max-reductions.  Enabled by the real v5e
-        # VMEM budget (~128 MiB); the per-component kernels above remain
-        # for the sharded path and as fallback.
+        # and one corrector sweep producing (u, v, w) plus — single-chip —
+        # the step diagnostics as fused max-reductions.  Enabled by the
+        # real v5e VMEM budget (~128 MiB); the per-component kernels above
+        # remain for the y-sharded path and as fallback.
+        #
+        # In z-sharded mode (``global_nz``) the predictor operates on a
+        # 2-halo local block of nz planes (the wrapper passes nz = nzl+4):
+        # local plane k ↔ global plane z_off + k − 2, owned planes are
+        # k = 2..nz−3; the computed edge planes k=1 / nz−2 read garbage
+        # ring slots and are trimmed by the caller.  The corrector keeps a
+        # 1-halo block (local k ↔ global z_off + k − 1, all computed
+        # planes owned) and carries no reductions.
+        sharded_z = global_nz is not None
+        nz_pred = nz + 2 if sharded_z else nz
+        nz_g = global_nz if sharded_z else nz
 
         def pred_bt_compute(k, scalars, halos, planes, pinned=None,
                             carry=None):
@@ -313,6 +342,9 @@ class ProjectionKernels:
             (pc,) = planes
             mask, jj, ii = plane_masks(ny, nx, dtype)
             maskb = mask > 0
+            # global plane index of local plane k (2-halo block)
+            kg = (scalars[5].astype(jnp.int32) + k - 2 if sharded_z
+                  else k)
 
             if with_sources:
                 src_u = su_amp * source_plane(0)
@@ -337,14 +369,14 @@ class ProjectionKernels:
                 # k±1 w-stars touch garbage edge planes at k=1 / nz−2;
                 # where-select keeps NaN garbage out).
                 s = jnp.where(maskb, s, fc)
-                interior_z = (kq > 0) & (kq < nz - 1)
+                interior_z = (kq > 0) & (kq < nz_g - 1)
                 return jnp.where(interior_z, s, fc)
 
-            us = star(uw[1:4], uw[2], vw[2], ww[2], src_u + bsrc(0, 2), k)
-            vs = star(vw[1:4], uw[2], vw[2], ww[2], src_v + bsrc(1, 2), k)
-            ws = star(ww[1:4], uw[2], vw[2], ww[2], bsrc(2, 2), k)
-            ws_m = star(ww[0:3], uw[1], vw[1], ww[1], bsrc(2, 1), k - 1)
-            ws_p = star(ww[2:5], uw[3], vw[3], ww[3], bsrc(2, 3), k + 1)
+            us = star(uw[1:4], uw[2], vw[2], ww[2], src_u + bsrc(0, 2), kg)
+            vs = star(vw[1:4], uw[2], vw[2], ww[2], src_v + bsrc(1, 2), kg)
+            ws = star(ww[1:4], uw[2], vw[2], ww[2], bsrc(2, 2), kg)
+            ws_m = star(ww[0:3], uw[1], vw[1], ww[1], bsrc(2, 1), kg - 1)
+            ws_p = star(ww[2:5], uw[3], vw[3], ww[3], bsrc(2, 3), kg + 1)
 
             div = d1x(us) + d1y(vs) + (ws_p - ws_m) * inv_2dz
             if emit == "btilde":
@@ -353,8 +385,8 @@ class ProjectionKernels:
                          + inv_dy2 * ((jj == 1).astype(dtype)
                                       + (jj == ny - 2).astype(dtype)))
                 if inv_dz2:
-                    kf = ((k == 1).astype(dtype)
-                          + (k == nz - 2).astype(dtype))
+                    kf = ((kg == 1).astype(dtype)
+                          + (kg == nz_g - 2).astype(dtype))
                     coeff = coeff + inv_dz2 * kf
                 out = jnp.where(maskb, coeff * pc - rod * div, 0.0)
                 if self.dst:
@@ -376,11 +408,11 @@ class ProjectionKernels:
             return [us, vs, ws, out], None
 
         self.pred_bt = None
-        if global_nz is None and global_ny is None:
+        if global_ny is None:
             n_pred_out = 5 if self.tdma_fused else 4
             self.pred_bt = make_rolling_stencil(
-                nz, ny, nx, 4 if buoy else 3, 1, n_pred_out,
-                pred_bt_compute, dtype, n_scalars=5,
+                nz_pred, ny, nx, 4 if buoy else 3, 1, n_pred_out,
+                pred_bt_compute, dtype, n_scalars=6 if sharded_z else 5,
                 shell_passthrough=[0, 1, 2, None, None][:n_pred_out],
                 halo_window=2,
                 pinned_mats=([m.shape for m in self._pred_mats]
@@ -401,8 +433,10 @@ class ProjectionKernels:
             w = jnp.where(maskb,
                           jnp.clip(ws - s * (pp - pm) * inv_2dz,
                                    -CLAMP, CLAMP), ws)
-            m2 = jnp.max(u * u + v * v + w * w)
             outs = [u, v, w] + ([pc] if self.dst else [])
+            if sharded_z:
+                return outs, None
+            m2 = jnp.max(u * u + v * v + w * w)
             return outs, (m2, jnp.max(pc), jnp.max(jnp.abs(pc)))
 
         def corr_inverse_dst(plane, mats):
@@ -411,14 +445,15 @@ class ProjectionKernels:
             return plane_dot_rl(plane, mats[0], mats[1])
 
         self.corr_all = None
-        if global_nz is None and global_ny is None:
+        if global_ny is None:
             self.corr_all = make_rolling_stencil(
                 nz, ny, nx, 1, 3, 4 if self.dst else 3, corr_all_compute,
                 dtype, n_scalars=1,
-                reductions=("max", "max", "max"),
+                reductions=None if sharded_z else ("max", "max", "max"),
                 shell_passthrough=([1, 2, 3, None] if self.dst
                                    else [1, 2, 3]),
-                shell_sources={3: ("p1", "pN2")} if self.dst else None,
+                shell_sources=({3: ("p1", "pN2")}
+                               if self.dst and not sharded_z else None),
                 pinned_mats=([m.shape for m in self._corr_mats]
                              if self.dst else None),
                 halo_transform={0: corr_inverse_dst} if self.dst else None,
@@ -430,15 +465,24 @@ class ProjectionKernels:
     # ---- step pieces -------------------------------------------------------
 
     def predictor_poisson_input(self, u, v, w, p, dt, nu,
-                                src_u_amp, src_v_amp, rho_over_dt, T=None):
+                                src_u_amp, src_v_amp, rho_over_dt, T=None,
+                                z_offset=None):
         """Mega path: (u*, v*, w*, b̃-or-rhs) in ONE sweep.  With buoyancy
         compiled in, pass the step-start temperature ``T``.  In DST mode
         the fourth output is the xy-transformed b̃ (z-TDMA input); with
         ``tdma_fwd`` also set, outputs are (u*, v*, w*, d′, t) — the
-        Thomas-forward-swept planes ready for backward substitution."""
-        s = jnp.stack([jnp.asarray(dt), jnp.asarray(nu),
-                       jnp.asarray(src_u_amp), jnp.asarray(src_v_amp),
-                       jnp.asarray(rho_over_dt)])
+        Thomas-forward-swept planes ready for backward substitution.
+
+        In z-sharded mode (``global_nz``) the field arguments are 2-halo
+        local blocks (nzl+4 planes) and ``z_offset`` is the global plane
+        index of the shard's first OWNED plane; output planes 2..nzl+1
+        are valid (callers trim [2:-2])."""
+        parts = [jnp.asarray(dt), jnp.asarray(nu),
+                 jnp.asarray(src_u_amp), jnp.asarray(src_v_amp),
+                 jnp.asarray(rho_over_dt)]
+        if self.global_nz is not None:
+            parts.append(jnp.asarray(z_offset).astype(parts[0].dtype))
+        s = jnp.stack(parts)
         mats = self._pred_mats if self.dst else ()
         if self.buoyant:
             return self.pred_bt(s, u, v, w, T, p, *mats)
@@ -452,7 +496,12 @@ class ProjectionKernels:
         ``p`` is the z-TDMA output x̂ (transform space): planes are
         inverse-DSTed on window arrival, and the physical pressure comes
         back as a fourth output (mirror z-shells) before the reductions:
-        (u, v, w, p, max|vel|², max p, max|p|)."""
+        (u, v, w, p, max|vel|², max p, max|p|).
+
+        In z-sharded mode the arguments are 1-halo local blocks (x̂ halos
+        exchanged in transform space), no reductions are accumulated, and
+        the return is just (u, v, w[, p]) — trim [1:-1] for owned
+        planes."""
         s = jnp.asarray(dt_over_rho)[None]
         mats = self._corr_mats if self.dst else ()
         return self.corr_all(s, p, us, vs, ws, *mats)

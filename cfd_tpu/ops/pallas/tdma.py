@@ -129,7 +129,12 @@ def make_tdma_z(nz: int, my: int, mx: int, mu, w,
     """Build fn(r) -> x for the z-line systems above.
 
     mu: (my, mx) positive per-column eigenvalue sums (host numpy,
-    float64 — coefficient planes derive from it at build time);
+    float64 — coefficient planes derive from it at build time), or
+    ``None`` to pass mu at CALL time instead (``run(r, mu)``) — the
+    sharded-pencil case, where every shard's y-slab sees a different
+    slice of the global eigenvalue plane but ``shard_map`` traces one
+    program (stored variant only; the analytic variant's coefficient
+    planes are host-derived in float64).
     w: scalar 1/dz².  r: (nz, my, mx) rhs with zero z-shell planes
     (transform-space b̃).  Returns x (nz, my, mx) with mirror-extended
     z-shells (x[0] = x[1], x[nz−1] = x[nz−2]) matching the eigen path's
@@ -140,15 +145,20 @@ def make_tdma_z(nz: int, my: int, mx: int, mu, w,
     if variant not in ("stored", "analytic"):
         raise ValueError(f"unknown tdma variant {variant!r}")
     stored = variant == "stored"
+    if mu is None and not stored:
+        raise ValueError("runtime-mu TDMA is stored-variant only")
     mz = nz - 2
     B = _pick_block(mz, my, mx)
     nb = mz // B
     np_dt = np.dtype(jnp.float32 if dtype == jnp.float32 else dtype)
 
-    mu64 = np.asarray(mu, np.float64)
     w64 = float(w)
-    mu32 = mu64.astype(np_dt)
-    aux32 = _bwd_coeff_planes(mu64, w64, np_dt)
+    if mu is None:
+        mu32 = aux32 = None
+    else:
+        mu64 = np.asarray(mu, np.float64)
+        mu32 = mu64.astype(np_dt)
+        aux32 = _bwd_coeff_planes(mu64, w64, np_dt)
     wf = np_dt.type(w64)
 
     # ------------------------------------------------------------------
@@ -237,13 +247,15 @@ def make_tdma_z(nz: int, my: int, mx: int, mu, w,
                       mx, dtype, my, interpret)
     bwd = _build_bwd(nz, my, mx, B, stored, dtype, interpret, in_off=-1)
 
-    def run(r):
+    def run(r, mu_in=None):
         r2 = r.reshape(nz * my, mx)
+        m = (jnp.asarray(mu32) if mu_in is None
+             else mu_in.astype(dtype).reshape(my, mx))
         if stored:
-            d, t = fwd(r2, jnp.asarray(mu32))
-            (x,) = bwd(d, t, jnp.asarray(mu32))
+            d, t = fwd(r2, m)
+            (x,) = bwd(d, t, m)
         else:
-            (d,) = fwd(r2, jnp.asarray(mu32))
+            (d,) = fwd(r2, m)
             (x,) = bwd(d, jnp.asarray(aux32))
         return x.reshape(nz, my, mx)
 

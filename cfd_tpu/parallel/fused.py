@@ -365,6 +365,29 @@ def make_fused_sharded_projection_step(grid: Grid, params: NSParams,
 
     problem = PoissonProblem(nx, ny, nz, grid.dx0, grid.dy0, grid.dz0)
     pencil = cg_local = None
+    pk_dst = zsolve_local = None
+    if poisson_method == Method.FFT_DIRECT:
+        # DST-fused mega variant (r5): the xy transforms are plane-local
+        # under z decomposition, so the single-chip mega kernels run per
+        # shard (in-kernel forward DST in the ±2-window predictor,
+        # inverse-DST-on-arrival in the corrector); the z line solve is
+        # the only cross-shard stage (y-pencil all_to_alls around a
+        # per-slab Thomas sweep).  Falls back to the emit-b̃ +
+        # pencil-transpose-DST path when the shapes don't qualify.
+        from ..solvers.poisson.spectral import (
+            dst_fused_sharded_supported, make_dst_fused_sharded_pieces)
+        if dst_fused_sharded_supported(problem, n_shards):
+            mats, zs = make_dst_fused_sharded_pieces(
+                problem, n_shards, axis_name="z", dtype=dtype,
+                interpret=interpret)
+            pk_try = ProjectionKernels(
+                nzl + 2, ny, nx, grid.dx0, grid.dy0, grid.dz0,
+                grid.xmin, grid.ymin, dtype, emit="btilde",
+                beta=params.beta, T_ref=params.T_ref,
+                gravity=params.gravity, interpret=interpret,
+                global_nz=nz, dst_mats=mats)
+            if pk_try.mega_ok:
+                pk_dst, zsolve_local = pk_try, zs
     if poisson_method == Method.CG:
         from .fused_cg import make_cg_fused_sharded_local
         cg_local = make_cg_fused_sharded_local(
@@ -382,7 +405,7 @@ def make_fused_sharded_projection_step(grid: Grid, params: NSParams,
         if cg_local is None:
             raise ValueError("fused sharded projection: BiCGSTAB kernel "
                              "build failed")
-    else:
+    elif pk_dst is None:
         pencil = make_btilde_pipeline_sharded(problem, "z", n_shards, dtype)
     energy_step = make_energy_step(grid, params.alpha,
                                    params.heat_source_func)
@@ -402,15 +425,61 @@ def make_fused_sharded_projection_step(grid: Grid, params: NSParams,
         hi = lax.ppermute(x[:1], "z", bwd)    # right neighbor's first plane
         return jnp.concatenate([lo, x, hi], axis=0)
 
-    def zpad(x):
+    def hpad2(x):
+        """±2-plane halo pad (nzl, ny, nx) → (nzl+4, ny, nx) for the
+        mega predictor's 5-plane windows; edge shards receive zero halo
+        planes (their star values are discarded by the global z-shell
+        select in-kernel + the wrapper shell fix)."""
+        if n_shards == 1:
+            return jnp.pad(x, ((2, 2), (0, 0), (0, 0)))
+        lo = lax.ppermute(x[-2:], "z", fwd)
+        hi = lax.ppermute(x[:2], "z", bwd)
+        return jnp.concatenate([lo, x, hi], axis=0)
+
+    def zpad(x, n=1):
         """Zero-pad plane-only inputs (their pad planes are never read)."""
-        return jnp.pad(x, ((1, 1), (0, 0), (0, 0)))
+        return jnp.pad(x, ((n, n), (0, 0), (0, 0)))
 
     def fix_shell(out, shell_src, first, last):
         """Restore global z-shell planes (reference save/restore idiom)."""
         out = out.at[0].set(jnp.where(first, shell_src[0], out[0]))
         out = out.at[-1].set(jnp.where(last, shell_src[-1], out[-1]))
         return out
+
+    def local_step_dst(u, v, w, p, T, dt, rho0, su_amp, sv_amp):
+        """DST-fused mega variant: 2 marching kernels + the y-pencil
+        z line solve per step (the single-chip r4 structure, per shard)."""
+        idx = lax.axis_index("z")
+        first = idx == 0
+        last = idx == n_shards - 1
+        z_off = (idx * nzl).astype(dtype)
+
+        eT = {"T": hpad2(T.astype(dtype))} if pk_dst.buoyant else {}
+        us, vs, ws, bt = [
+            o[2:-2] for o in pk_dst.predictor_poisson_input(
+                hpad2(u), hpad2(v), hpad2(w), zpad(p, 2), dt,
+                jnp.asarray(params.mu, dtype), su_amp, sv_amp,
+                rho0 / dt, z_offset=z_off, **eT)]
+        us = fix_shell(us, u, first, last)
+        vs = fix_shell(vs, v, first, last)
+        ws = fix_shell(ws, w, first, last)
+        # zero the global z-shell b̃ planes — transform-space zeroing is
+        # exact (the xy DST is linear and plane-local)
+        zero = jnp.zeros_like(bt[0])
+        bt = fix_shell(bt, jnp.stack([zero, zero]), first, last)
+
+        xhat = zsolve_local(bt)
+        # x̂ halos exchanged in TRANSFORM space; the corrector's arrival
+        # hook inverse-DSTs each plane exactly once.  The TDMA output
+        # already carries the global mirror shells on the edge shards'
+        # owned planes, so the p output needs no wrapper fix.
+        un, vn, wn, p_new = [
+            o[1:-1] for o in pk_dst.corrector_diag(
+                zpad(us), zpad(vs), zpad(ws), hpad(xhat), dt / rho0)]
+        un = fix_shell(un, us, first, last)
+        vn = fix_shell(vn, vs, first, last)
+        wn = fix_shell(wn, ws, first, last)
+        return un, vn, wn, p_new, jnp.zeros((), dtype), jnp.bool_(True)
 
     def local_step(u, v, w, p, T, dt, rho0, su_amp, sv_amp):
         idx = lax.axis_index("z")
@@ -460,7 +529,7 @@ def make_fused_sharded_projection_step(grid: Grid, params: NSParams,
 
     spec = P("z", None, None)
     smapped = jax.shard_map(
-        local_step, mesh=mesh,
+        local_step_dst if pk_dst is not None else local_step, mesh=mesh,
         in_specs=(spec, spec, spec, spec, spec, P(), P(), P(), P()),
         out_specs=(spec, spec, spec, spec, P(), P()),
         check_vma=False)

@@ -297,20 +297,47 @@ def make_projection_step(grid: Grid, params: NSParams, dtype=None,
                                                 projection2d_supported)
         if projection2d_supported(grid.ny, grid.nx,
                                   buoyant=params.buoyancy_enabled):
+            import jax.lax as _lax
             from ..poisson.spectral import spectral_supported
             use_bt = (Method(poisson_method) == Method.FFT_DIRECT
                       and spectral_supported(problem))
-            pk2 = Projection2DKernels(
-                grid.ny, grid.nx, dx, dy, grid.xmin, grid.ymin, dtype,
-                emit="btilde" if use_bt else "rhs",
+            kern2_kwargs = dict(
                 with_sources=(params.source_amplitude_u != 0.0
                               or params.source_amplitude_v != 0.0),
                 beta=params.beta, T_ref=params.T_ref,
-                gravity=params.gravity,
-                interpret=pallas_interpret)
-            if pk2.ok:
-                proj2d = pk2
-                if use_bt:
+                gravity=params.gravity, interpret=pallas_interpret)
+            pk2 = None
+            # DST-fused 2D path (r5, mirroring the 3D r4 structure): the
+            # predictor emits the x-transformed b̃ in-kernel and the
+            # corrector inverse-DSTs the pressure blocks on arrival —
+            # only the TDMA-y line solve (+ dense low-mode rescue) runs
+            # between the two sweeps; both standalone x-transform stages
+            # disappear from the step.
+            if (use_bt and spectral_precision
+                    in (None, _lax.Precision.HIGHEST,
+                        _lax.Precision.HIGH)):
+                from ..poisson.spectral import (dst2d_fused_supported,
+                                                make_dst2d_fused_pieces)
+                if (dst2d_fused_supported(problem)
+                        and projection2d_supported(
+                            grid.ny, grid.nx,
+                            buoyant=params.buoyancy_enabled, dst=True)):
+                    fxT, gxT, ysolve = make_dst2d_fused_pieces(
+                        problem, dtype, interpret=pallas_interpret,
+                        precision=(spectral_precision
+                                   or _lax.Precision.HIGHEST))
+                    pk2d = Projection2DKernels(
+                        grid.ny, grid.nx, dx, dy, grid.xmin, grid.ymin,
+                        dtype, emit="btilde", dst_mats=(fxT, gxT),
+                        dst_precision=spectral_precision, **kern2_kwargs)
+                    if pk2d.ok:
+                        pk2 = pk2d
+                        btilde2d = ysolve
+            if pk2 is None:
+                pk2 = Projection2DKernels(
+                    grid.ny, grid.nx, dx, dy, grid.xmin, grid.ymin, dtype,
+                    emit="btilde" if use_bt else "rhs", **kern2_kwargs)
+                if pk2.ok and use_bt:
                     from ..poisson.spectral import make_fft_btilde_solver
                     # z_mode="auto": at kernel-shaped sizes the TDMA
                     # y-stage (VMEM-resident Thomas solve) replaces the
@@ -321,6 +348,8 @@ def make_projection_step(grid: Grid, params: NSParams, dtype=None,
                         interpret=pallas_interpret,
                         **({} if spectral_precision is None
                            else {"precision": spectral_precision}))
+            if pk2.ok:
+                proj2d = pk2
 
     # Fully fused predictor/divergence/corrector (float32 3D, no custom
     # source callables in the kernels — those variants use the jnp path
@@ -356,19 +385,26 @@ def make_projection_step(grid: Grid, params: NSParams, dtype=None,
                                                 make_dst_fused_pieces)
                 if (dst_fused_supported(problem)
                         and spectral_precision
-                        in (None, _lax.Precision.HIGHEST)):
+                        in (None, _lax.Precision.HIGHEST,
+                            _lax.Precision.HIGH)):
                     # Preferred: Thomas forward sweep fused into the
                     # predictor (d′, t outputs) — only the backward
                     # substitution runs between the sweeps.  Falls back
                     # to the emit-b̃ + full-TDMA form if the 5-output
                     # predictor doesn't fit VMEM at this grid.
+                    # ``spectral_precision=HIGH`` runs the in-kernel DST
+                    # dots as 3-pass bf16 (the TDMA line solve stays f32
+                    # exact either way) — ~5e-5-class relative solution
+                    # error for ~2× cheaper MXU transforms, matching the
+                    # eigen pipeline's HIGH trade.
                     mats, tfwd, zbwd = make_dst_fused_pieces(
                         problem, dtype, interpret=pallas_interpret,
                         fuse_fwd=True)
                     pk_dst = ProjectionKernels(
                         grid.nz, grid.ny, grid.nx, dx, dy, grid.dz0,
                         grid.xmin, grid.ymin, dtype, emit="btilde",
-                        dst_mats=mats, tdma_fwd=tfwd, **kern_kwargs)
+                        dst_mats=mats, tdma_fwd=tfwd,
+                        dst_precision=spectral_precision, **kern_kwargs)
                     if pk_dst.ok and pk_dst.mega_ok:
                         pk = pk_dst
                         btilde_pipeline = zbwd
@@ -379,7 +415,9 @@ def make_projection_step(grid: Grid, params: NSParams, dtype=None,
                         pk_dst = ProjectionKernels(
                             grid.nz, grid.ny, grid.nx, dx, dy, grid.dz0,
                             grid.xmin, grid.ymin, dtype, emit="btilde",
-                            dst_mats=mats, **kern_kwargs)
+                            dst_mats=mats,
+                            dst_precision=spectral_precision,
+                            **kern_kwargs)
                         if pk_dst.ok and pk_dst.mega_ok:
                             pk = pk_dst
                             btilde_pipeline = zsolve
@@ -517,16 +555,23 @@ def make_projection_step(grid: Grid, params: NSParams, dtype=None,
             params.source_amplitude_v * decay, rho0 / dt, T=field.T)
 
         if btilde2d is not None:
-            p_new = btilde2d(pin)
             residual = jnp.zeros((), dtype)
             poisson_ok = jnp.bool_(True)   # direct solve
+            if proj2d.dst:
+                # pin is the x-transformed b̃; the TDMA-y stage solves the
+                # per-mode lines and the corrector inverse-transforms x̂
+                # blocks on arrival, returning physical p as a 3rd output
+                xhat = btilde2d(pin)
+                u, v, p_new = proj2d.corrector(us, vs, xhat, dt / rho0)
+            else:
+                p_new = btilde2d(pin)
+                u, v = proj2d.corrector(us, vs, p_new, dt / rho0)
         else:
             pres = poisson_solve(field.p, pin)
             p_new = pres.x
             residual = pres.final_residual
             poisson_ok = pres.status == 0
-
-        u, v = proj2d.corrector(us, vs, p_new, dt / rho0)
+            u, v = proj2d.corrector(us, vs, p_new, dt / rho0)
         # w-correction is identically zero in 2D (inv_dz2 = 0).
         new_field = field.replace(u=u, v=v, w=ws, p=p_new)
 

@@ -216,6 +216,96 @@ def _make_btilde_pipeline_tdma2d(problem: PoissonProblem, precision,
     return pipeline
 
 
+def dst2d_fused_supported(problem: PoissonProblem) -> bool:
+    """Whether the in-kernel DST-fused 2D projection pieces apply: 2D,
+    TDMA-y kernel shape, mode dims equal to grid dims on x (true exactly
+    when nx % 1024 == 0 — then ceil(nx−2, 1024) == nx, so the
+    x-transformed blocks keep the (B, nx) shape the marching kernels
+    stream), and the dense low-mode rescue not degenerating to every
+    column (strongly anisotropic dy ≪ dx grids keep the eigen path)."""
+    if problem.is_3d or problem.ny < 3 or problem.nx < 3:
+        return False
+    mx = problem.nx - 2
+    if _ceil_to(mx, 1024) != problem.nx:
+        return False
+    if not tdma_y_supported(problem):
+        return False
+    lx = _dirichlet_eigenvalues(mx, problem.inv_dx2)
+    return _tdma2d_rescue_width(mx, lx, float(problem.inv_dy2)) < mx
+
+
+def make_dst2d_fused_pieces(problem: PoissonProblem, dtype=jnp.float32,
+                            use_kernel: bool = True,
+                            interpret: bool = False,
+                            precision=lax.Precision.HIGHEST):
+    """Pieces for the DST-fused 2D projection step
+    (`ops/pallas/projection2d.Projection2DKernels(dst_mats=...)`): the
+    predictor marching kernel applies the forward x-DST per b̃ block
+    in-kernel (one MXU dot riding the block streaming), the corrector
+    applies the mirror-extended inverse per pressure block on DMA
+    arrival, and only the y line solve runs between the two sweeps — the
+    2D twin of :func:`make_dst_fused_pieces`, with the TDMA-y +
+    dense-low-mode-rescue stage (r4) as the line solve.
+
+    Returns ``(FxT, GxT, ysolve)``: host numpy factors such that
+    forward = block·FxT and inverse = block·GxT (scale folded into Gx;
+    numerically identical to `_make_btilde_pipeline_tdma2d`'s matmuls),
+    and ``ysolve(bt_x) → x̂`` on (1, ny, nx) transform-space arrays
+    (zero y-shell rows in, mirror-extended y-shell rows out).
+    """
+    if not dst2d_fused_supported(problem):
+        raise ValueError("dst2d-fused pieces unsupported for this problem")
+    mx, my = problem.nx - 2, problem.ny - 2
+    Mx = _ceil_to(mx, 1024)
+    nx, ny = problem.nx, problem.ny
+    np_dt = np.dtype(dtype)
+
+    lx = _dirichlet_eigenvalues(mx, problem.inv_dx2)
+    ly = _dirichlet_eigenvalues(my, problem.inv_dy2)
+    lxp = np.pad(lx, (0, Mx - mx), mode="edge")
+    w = float(problem.inv_dy2)
+    scale = 2.0 / (mx + 1)                 # only the x pair normalizes
+    K = _tdma2d_rescue_width(mx, lx, w)
+
+    Fxp = np.zeros((Mx, nx), np_dt)
+    Fxp[:mx, 1:nx - 1] = _sine_matrix(mx)
+    Gxp = np.zeros((nx, Mx), np_dt)
+    Gxp[:, :mx] = _mirror_extended_inverse(mx, scale)
+    FxT = np.ascontiguousarray(Fxp.T)      # (nx, Mx), Mx == nx
+    GxT = np.ascontiguousarray(Gxp.T)      # (Mx, nx)
+    # dense y-eigen rescue factors for the K lowest x-modes
+    Fyp = np.zeros((my, ny), np_dt)
+    Fyp[:, 1:ny - 1] = _sine_matrix(my)
+    Gyp = np.asarray(_mirror_extended_inverse(my, 2.0 / (my + 1)), np_dt)
+
+    from ...ops.pallas.tdma import make_tdma_y_2d, tdma_z_reference
+
+    zfn = None
+    if use_kernel and dtype == jnp.float32:
+        zfn = make_tdma_y_2d(ny, Mx, lxp, w, jnp.float32,
+                             interpret=interpret)
+
+    def ysolve(bt_x):
+        a = bt_x[0]                                        # (ny, Mx)
+        dt = a.dtype
+        if zfn is not None and dt == jnp.float32:
+            x = zfn(a)
+        else:
+            x = tdma_z_reference(a[:, None, :],
+                                 jnp.asarray(lxp, dt)[None, :], w)[:, 0, :]
+        # dense rescue of the ill-conditioned low-mode columns (same
+        # numerics as _make_btilde_pipeline_tdma2d — the f32 Thomas
+        # recurrence loses ~3 digits where cond = 4w/λx > 256)
+        s = jnp.matmul(jnp.asarray(Fyp, dt), a[:, :K], precision=precision)
+        lam = (jnp.asarray(ly, dt)[:, None]
+               + jnp.asarray(lx[:K], dt)[None, :])
+        s = jnp.matmul(jnp.asarray(Gyp, dt), s / lam, precision=precision)
+        x = lax.dynamic_update_slice(x, s, (0, 0))
+        return x[None]
+
+    return FxT, GxT, ysolve
+
+
 def dst_fused_supported(problem: PoissonProblem) -> bool:
     """Whether the in-kernel DST-fused projection pieces apply: 3D,
     TDMA-z kernel shape, and mode dims equal to grid dims (true exactly
@@ -229,6 +319,38 @@ def dst_fused_supported(problem: PoissonProblem) -> bool:
             or _ceil_to(problem.ny - 2, 8) != problem.ny):
         return False
     return tdma_z_supported(problem)
+
+
+def _dst_fused_mats(problem: PoissonProblem, np_dt):
+    """Shared factor builder for the DST-fused projection kernels:
+    ``(mats, mu, w)`` with ``mats = (FxT, Fy, GxT, Gy)`` host numpy sine
+    matrices (forward = Fy·(plane·FxT), inverse = Gy·(plane·GxT), scale
+    folded into Gx), ``mu`` the (My, Mx) per-mode eigenvalue-sum plane
+    for the z line solve, ``w = 1/dz²``."""
+    mx, my = problem.nx - 2, problem.ny - 2
+    Mx, My = _ceil_to(mx, 128), _ceil_to(my, 8)
+    nx, ny = problem.nx, problem.ny
+    if (Mx, My) != (nx, ny):
+        raise ValueError("dst-fused pieces need mode dims == grid dims")
+
+    lx = _dirichlet_eigenvalues(mx, problem.inv_dx2)
+    ly = _dirichlet_eigenvalues(my, problem.inv_dy2)
+    w = float(problem.inv_dz2)
+    scale = (2.0 / (mx + 1)) * (2.0 / (my + 1))
+    mu_np = (np.pad(ly, (0, My - my), mode="edge")[:, None]
+             + np.pad(lx, (0, Mx - mx), mode="edge")[None, :])
+
+    Fxp = np.zeros((Mx, nx), np_dt)
+    Fxp[:mx, 1:nx - 1] = _sine_matrix(mx)
+    Fyp = np.zeros((My, ny), np_dt)
+    Fyp[:my, 1:ny - 1] = _sine_matrix(my)
+    Gxp = np.zeros((nx, Mx), np_dt)
+    Gxp[:, :mx] = _mirror_extended_inverse(mx, scale)
+    Gyp = np.zeros((ny, My), np_dt)
+    Gyp[:, :my] = _mirror_extended_inverse(my, 1.0)
+    mats = (np.ascontiguousarray(Fxp.T), Fyp,
+            np.ascontiguousarray(Gxp.T), Gyp)
+    return mats, mu_np, w
 
 
 def make_dst_fused_pieces(problem: PoissonProblem, dtype=jnp.float32,
@@ -256,30 +378,10 @@ def make_dst_fused_pieces(problem: PoissonProblem, dtype=jnp.float32,
     (`tdma.make_tdma_z_bwd`) — the standalone forward kernel's 3 HBM
     passes disappear from the step.
     """
-    mx, my = problem.nx - 2, problem.ny - 2
-    Mx, My = _ceil_to(mx, 128), _ceil_to(my, 8)
+    mats, mu_np, w = _dst_fused_mats(problem, np.dtype(dtype))
     nx, ny, nz = problem.nx, problem.ny, problem.nz
-    if (Mx, My) != (nx, ny):
-        raise ValueError("dst-fused pieces need mode dims == grid dims")
     np_dt = np.dtype(dtype)
-
-    lx = _dirichlet_eigenvalues(mx, problem.inv_dx2)
-    ly = _dirichlet_eigenvalues(my, problem.inv_dy2)
-    w = float(problem.inv_dz2)
-    scale = (2.0 / (mx + 1)) * (2.0 / (my + 1))
-    mu_np = (np.pad(ly, (0, My - my), mode="edge")[:, None]
-             + np.pad(lx, (0, Mx - mx), mode="edge")[None, :])
-
-    Fxp = np.zeros((Mx, nx), np_dt)
-    Fxp[:mx, 1:nx - 1] = _sine_matrix(mx)
-    Fyp = np.zeros((My, ny), np_dt)
-    Fyp[:my, 1:ny - 1] = _sine_matrix(my)
-    Gxp = np.zeros((nx, Mx), np_dt)
-    Gxp[:, :mx] = _mirror_extended_inverse(mx, scale)
-    Gyp = np.zeros((ny, My), np_dt)
-    Gyp[:, :my] = _mirror_extended_inverse(my, 1.0)
-    mats = (np.ascontiguousarray(Fxp.T), Fyp,
-            np.ascontiguousarray(Gxp.T), Gyp)
+    My, Mx = mu_np.shape
 
     from ...ops.pallas.tdma import (make_tdma_z, make_tdma_z_bwd,
                                     tdma_z_bwd_reference, tdma_z_reference)
@@ -303,6 +405,76 @@ def make_dst_fused_pieces(problem: PoissonProblem, dtype=jnp.float32,
             return tdma_z_reference(a, jnp.asarray(_mu), w)
 
     return mats, zfn
+
+
+def dst_fused_sharded_supported(problem: PoissonProblem,
+                                n_shards: int) -> bool:
+    """Whether the z-sharded DST-fused projection applies: single-chip
+    DST-fused shape, both nz and ny divisible by the shard count (the
+    y-pencil transposes), and the y-slab TDMA kernel shape holding for
+    the (nz, ny/P, nx) pencils."""
+    from ...ops.pallas.tdma import tdma_supported
+    P = int(n_shards)
+    if not dst_fused_supported(problem):
+        return False
+    if problem.nz % P != 0 or problem.ny % P != 0:
+        return False
+    return tdma_supported(problem.nz, problem.ny // P, problem.nx)
+
+
+def make_dst_fused_sharded_pieces(problem: PoissonProblem, n_shards: int,
+                                  axis_name: str = "z",
+                                  dtype=jnp.float32,
+                                  use_kernel: bool = True,
+                                  interpret: bool = False):
+    """z-sharded twin of :func:`make_dst_fused_pieces` for use *inside*
+    ``shard_map``: the xy DSTs stay in the per-shard mega kernels
+    (plane-local under z decomposition), and the returned
+    ``zsolve_local(bt_local) → x̂_local`` runs the only cross-shard stage
+    — the z line solve — as two y-pencil ``all_to_all``s around a local
+    Thomas sweep on (nz, ny/P, nx) y-slabs.  Each shard's slab sees its
+    own slice of the (ny, nx) eigenvalue plane, passed to the TDMA kernel
+    at call time (``tdma.make_tdma_z(mu=None)``).
+
+    ``bt_local``: the shard's (nz/P, ny, nx) xy-transformed b̃ planes with
+    zero global z-shell planes; ``x̂_local`` comes back in the same layout
+    with the mirror-extended global z-shells in place (the corrector mega
+    kernel inverse-transforms per plane on window arrival).
+    """
+    P = int(n_shards)
+    if not dst_fused_sharded_supported(problem, P):
+        raise ValueError("dst-fused sharded pieces unsupported for this "
+                         "(problem, n_shards)")
+    np_dt = np.dtype(dtype)
+    mats, mu_np, w = _dst_fused_mats(problem, np_dt)
+    nx, ny, nz = problem.nx, problem.ny, problem.nz
+    nyl = ny // P
+    mu_host = mu_np.astype(np_dt)   # numpy held, converted per trace
+
+    from ...ops.pallas.tdma import make_tdma_z, tdma_z_reference
+
+    zfn = None
+    if use_kernel and dtype == jnp.float32:
+        zfn = make_tdma_z(nz, nyl, nx, None, w, jnp.float32,
+                          interpret=interpret)
+
+    def zsolve_local(bt_local):
+        idx = lax.axis_index(axis_name)
+        a = (bt_local if P == 1
+             else lax.all_to_all(bt_local, axis_name, split_axis=1,
+                                 concat_axis=0, tiled=True))
+        i0 = (idx * nyl).astype(jnp.int32)
+        mu_loc = lax.dynamic_slice(jnp.asarray(mu_host),
+                                   (i0, jnp.int32(0)), (nyl, nx))
+        if zfn is not None:
+            x = zfn(a, mu_loc)
+        else:
+            x = tdma_z_reference(a, mu_loc.astype(a.dtype), w)
+        return (x if P == 1
+                else lax.all_to_all(x, axis_name, split_axis=0,
+                                    concat_axis=1, tiled=True))
+
+    return mats, zsolve_local
 
 
 def _make_btilde_pipeline_tdma(problem: PoissonProblem, precision,

@@ -23,7 +23,11 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_enable_x64", True)
+# x64 on by default (matching the reference's all-double numerics);
+# CFD_TPU_TEST_X64=0 runs the f32-default configuration (the production
+# TPU setting) — CI scopes that leg to the dtype-explicit kernel tiers.
+jax.config.update("jax_enable_x64",
+                  os.environ.get("CFD_TPU_TEST_X64", "1") != "0")
 
 # Sanitizer-analog CI leg (the reference gates releases on ASan/UBSan/TSan,
 # CMakeLists.txt:32-49; the TPU build's equivalent hazard class is silent

@@ -97,6 +97,45 @@ def test_mega_divergence_detection():
         assert int(rf.status) == -6, where  # DIVERGED
 
 
+def test_mega_dst_high_precision(monkeypatch):
+    """``spectral_precision=HIGH`` rides the DST-fused mega path (the r4
+    gate rejected HIGH and silently fell back to the slower emit-b̃ kernel
+    family) and stays close to the HIGHEST step."""
+    from jax import lax
+
+    import cfd_tpu.solvers.poisson.spectral as spectral_mod
+
+    calls = []
+    orig = spectral_mod.make_dst_fused_pieces
+
+    def spy(*a, **k):
+        calls.append(k)
+        return orig(*a, **k)
+
+    monkeypatch.setattr(spectral_mod, "make_dst_fused_pieces", spy)
+
+    g = Grid.uniform(128, 16, 8, zmin=0.0, zmax=1.0)
+    params = NSParams(source_amplitude_u=0.0, source_amplitude_v=0.0)
+    f = _random_field(g, seed=11)
+    hi = jax.jit(make_projection_step(g, params, dtype=jnp.float32,
+                                      poisson_method=Method.FFT_DIRECT,
+                                      use_pallas=True,
+                                      pallas_interpret=True))
+    lo = jax.jit(make_projection_step(g, params, dtype=jnp.float32,
+                                      poisson_method=Method.FFT_DIRECT,
+                                      use_pallas=True,
+                                      pallas_interpret=True,
+                                      spectral_precision=lax.Precision.HIGH))
+    assert len(calls) >= 2  # both steps built DST-fused pieces
+    fh, _ = hi(f, 0.001, 0)
+    fl, rl = lo(f, 0.001, 0)
+    assert int(rl.status) == 0
+    np.testing.assert_allclose(np.asarray(fl.p), np.asarray(fh.p),
+                               atol=2e-3)
+    np.testing.assert_allclose(np.asarray(fl.u), np.asarray(fh.u),
+                               atol=1e-4)
+
+
 def test_mega_buoyant_matches_jnp():
     """Boussinesq buoyancy fused into the predictor sweep (T rides as a
     4th halo window in the mega kernel) matches the jnp projection step

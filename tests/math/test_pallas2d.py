@@ -183,3 +183,76 @@ def test_fused2d_buoyant_matches_jnp():
         np.testing.assert_allclose(np.asarray(getattr(ff, name)),
                                    np.asarray(getattr(fr, name)),
                                    atol=2e-5, err_msg=name)
+
+
+def test_dst2d_fused_matches_jnp(monkeypatch):
+    """The DST-fused 2D family (r5: in-kernel x-DST in the predictor,
+    inverse-DST-on-arrival + physical-p output in the corrector, TDMA-y
+    line solve between) engages at nx % 1024 shapes and matches the jnp
+    step."""
+    import cfd_tpu.solvers.poisson.spectral as spectral_mod
+
+    calls = []
+    orig = spectral_mod.make_dst2d_fused_pieces
+
+    def spy(*a, **k):
+        calls.append(k)
+        return orig(*a, **k)
+
+    monkeypatch.setattr(spectral_mod, "make_dst2d_fused_pieces", spy)
+
+    g = Grid.uniform(1024, 32)
+    params = NSParams()
+    f = _random_field(g, seed=17)
+    ref = jax.jit(make_projection_step(g, params, dtype=jnp.float32,
+                                       poisson_method=Method.FFT_DIRECT))
+    fus = jax.jit(make_projection_step(g, params, dtype=jnp.float32,
+                                       poisson_method=Method.FFT_DIRECT,
+                                       use_pallas=True,
+                                       pallas_interpret=True))
+    assert len(calls) == 1      # the DST-fused family was selected
+    fr, rr = ref(f, 0.001, 0)
+    ff, rf = fus(f, 0.001, 0)
+    assert int(rf.status) == int(rr.status) == 0
+    for name in ("u", "v", "p"):
+        np.testing.assert_allclose(np.asarray(getattr(ff, name)),
+                                   np.asarray(getattr(fr, name)),
+                                   atol=5e-6, err_msg=name)
+
+
+def test_dst2d_fused_multi_step_buoyant():
+    """Three buoyant steps through the DST-fused 2D family track the jnp
+    integrator (T rides the predictor; p comes back physical with its
+    mirror shells from the corrector's arrival transform)."""
+    from cfd_tpu.boundary.types import (BCType, DirichletValues,
+                                        ThermalBCConfig)
+
+    thermal = ThermalBCConfig(
+        left=BCType.DIRICHLET, right=BCType.DIRICHLET,
+        bottom=BCType.NEUMANN, top=BCType.NEUMANN,
+        dirichlet_values=DirichletValues(left=305.0, right=295.0))
+    g = Grid.uniform(1024, 32)
+    params = NSParams(source_amplitude_u=0.0, source_amplitude_v=0.0,
+                      alpha=1e-3, beta=0.05, T_ref=300.0,
+                      gravity=(0.0, -9.81, 0.0), thermal_bc=thermal)
+    rng = np.random.default_rng(41)
+    f = _random_field(g, seed=19)
+    f = f.replace(T=jnp.asarray(300.0 + rng.normal(0, 1.0, g.shape),
+                                jnp.float32))
+    ref = jax.jit(make_projection_step(g, params, dtype=jnp.float32,
+                                       poisson_method=Method.FFT_DIRECT))
+    fus = jax.jit(make_projection_step(g, params, dtype=jnp.float32,
+                                       poisson_method=Method.FFT_DIRECT,
+                                       use_pallas=True,
+                                       pallas_interpret=True))
+    fr, ff = f, f
+    for i in range(3):
+        fr, _ = ref(fr, 0.001, i)
+        ff, rf = fus(ff, 0.001, i)
+    assert int(rf.status) == 0
+    # rtol covers the buoyant pressure's larger dynamic range (|p| ~ 50:
+    # f32 roundoff scales with the value)
+    for name in ("u", "v", "p", "T"):
+        np.testing.assert_allclose(np.asarray(getattr(ff, name)),
+                                   np.asarray(getattr(fr, name)),
+                                   rtol=1e-5, atol=5e-5, err_msg=name)

@@ -1289,3 +1289,104 @@ def test_fused_sharded_2d_rk2_stretched_consistent_energy():
         np.testing.assert_allclose(np.asarray(getattr(ff, name)),
                                    np.asarray(getattr(fr, name)),
                                    atol=1e-5, err_msg=name)
+
+
+# ---------------------------------------------------------------------------
+# DST-fused mega kernels on the z-sharded path (r5): in-kernel xy DSTs per
+# shard, y-pencil all_to_all z line solve — matching the single-chip r4
+# kernel structure (parity target: the device-resident loop contract,
+# solver_projection_gpu.cu:617-772, now under domain decomposition).
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def dst_grid():
+    # ny/8 must stay a multiple of 8 (the y-pencil TDMA slab shape) for
+    # the sharded DST-fused path to engage on the 8-device mesh
+    return Grid.uniform(128, 64, 16, zmin=0.0, zmax=1.0)
+
+
+def test_dst_fused_sharded_selected(dst_grid, zmesh, monkeypatch):
+    """The DST-fused branch is actually picked at qualifying shapes (and
+    the small-ny fixture grid keeps the pencil fallback)."""
+    import cfd_tpu.solvers.poisson.spectral as spectral_mod
+    from cfd_tpu.solvers.poisson.base import PoissonProblem
+
+    prob = PoissonProblem(dst_grid.nx, dst_grid.ny, dst_grid.nz,
+                          dst_grid.dx0, dst_grid.dy0, dst_grid.dz0)
+    assert spectral_mod.dst_fused_sharded_supported(prob, 8)
+    # ny/P = 2 rows per shard: no y-slab TDMA shape
+    small = PoissonProblem(128, 16, 16, prob.dx, prob.dy, prob.dz)
+    assert not spectral_mod.dst_fused_sharded_supported(small, 8)
+
+    calls = []
+    orig = spectral_mod.make_dst_fused_sharded_pieces
+
+    def spy(*a, **k):
+        calls.append(a)
+        return orig(*a, **k)
+
+    monkeypatch.setattr(spectral_mod, "make_dst_fused_sharded_pieces", spy)
+    make_fused_sharded_projection_step(dst_grid, NSParams(), zmesh)
+    assert len(calls) == 1
+
+
+def test_dst_fused_sharded_matches_jnp(dst_grid, zmesh):
+    """One step of the sharded DST-fused mega path vs the single-device
+    jnp projection step: f32-roundoff agreement."""
+    params = NSParams()
+    f = _random_field(dst_grid, seed=21)
+
+    ref_step = jax.jit(make_projection_step(
+        dst_grid, params, dtype=jnp.float32,
+        poisson_method=Method.FFT_DIRECT))
+    f_ref, res_ref = ref_step(f, 0.001, 0)
+
+    step, place = make_sharded_step(dst_grid, params, zmesh, "projection",
+                                    use_pallas=True, dtype=jnp.float32)
+    f_out, res = step(place(f), 0.001, 0)
+    assert int(res.status) == int(res_ref.status) == 0
+    assert len(f_out.u.sharding.device_set) == 8
+    for name in ("u", "v", "w"):
+        np.testing.assert_allclose(np.asarray(getattr(f_out, name)),
+                                   np.asarray(getattr(f_ref, name)),
+                                   atol=5e-6, err_msg=name)
+    np.testing.assert_allclose(np.asarray(f_out.p), np.asarray(f_ref.p),
+                               atol=5e-5)
+
+
+@pytest.mark.heavy
+def test_dst_fused_sharded_convection_multi_step(dst_grid, zmesh):
+    """Three buoyant steps (energy + Boussinesq + mixed thermal faces)
+    through the sharded DST-fused path track the jnp integrator."""
+    from cfd_tpu.boundary.types import (BCType, DirichletValues,
+                                        ThermalBCConfig)
+
+    thermal = ThermalBCConfig(
+        left=BCType.DIRICHLET, right=BCType.DIRICHLET,
+        bottom=BCType.NEUMANN, top=BCType.NEUMANN,
+        dirichlet_values=DirichletValues(left=305.0, right=295.0))
+    params = NSParams(source_amplitude_u=0.0, source_amplitude_v=0.0,
+                      alpha=1e-3, beta=0.05, T_ref=300.0,
+                      gravity=(0.0, -9.81, 0.05), thermal_bc=thermal)
+    rng = np.random.default_rng(31)
+    f = _random_field(dst_grid, seed=23)
+    f = f.replace(T=jnp.asarray(300.0 + rng.normal(0, 1.0, dst_grid.shape),
+                                jnp.float32))
+
+    ref_step = jax.jit(make_projection_step(
+        dst_grid, params, dtype=jnp.float32,
+        poisson_method=Method.FFT_DIRECT))
+    step, place = make_sharded_step(dst_grid, params, zmesh, "projection",
+                                    use_pallas=True, dtype=jnp.float32)
+    fr, fs = f, place(f)
+    for i in range(3):
+        fr, _ = ref_step(fr, 0.001, i)
+        fs, res = step(fs, 0.001, i)
+    assert int(res.status) == 0
+    for name in ("u", "v", "w", "T"):
+        np.testing.assert_allclose(np.asarray(getattr(fs, name)),
+                                   np.asarray(getattr(fr, name)),
+                                   atol=3e-5, err_msg=name)
+    np.testing.assert_allclose(np.asarray(fs.p), np.asarray(fr.p),
+                               atol=2e-4)

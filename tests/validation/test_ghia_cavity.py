@@ -60,9 +60,14 @@ def test_cavity_physical_sanity():
 def test_ghia_re400_projection_full(full_validation):
     if not full_validation:
         pytest.skip("full-validation tier (--full-validation)")
-    rms_u, rms_v, _ = cavity_rms("projection", 65, 20000, 5e-4, 400)
-    assert rms_u < 0.10
-    assert rms_v < 0.10
+    # Grid-limited bar, not the reference's loose 0.10 (suite standard:
+    # assert what was measured).  65², dt=5e-4: t=10 is still
+    # transient-dominated (0.069/0.085); measured steady values are
+    # t=20 → 0.0324/0.0440, t=30 → 0.0273/0.0395.  t=20 with a ~25%
+    # margin pins the level while keeping the tier's runtime in check.
+    rms_u, rms_v, _ = cavity_rms("projection", 65, 40000, 5e-4, 400)
+    assert rms_u < 0.040, f"u-centerline RMS {rms_u:.4f} >= 0.040"
+    assert rms_v < 0.055, f"v-centerline RMS {rms_v:.4f} >= 0.055"
 
 
 def test_ghia_re1000_projection_full(full_validation):

@@ -28,6 +28,14 @@ N2D = 512
 STEPS = 50
 
 
+def _mk_projection_direct(grid, params, dtype, use_pallas):
+    from cfd_tpu.solvers.ns.projection import make_projection_step
+    from cfd_tpu.solvers.poisson.base import Method
+    return make_projection_step(grid, params, dtype=dtype,
+                                use_pallas=use_pallas,
+                                poisson_method=Method.FFT_DIRECT)
+
+
 def traj_diff(mk, dt, convection=False, stretched=False, scheme="parity",
               two_d=False):
     """RMS and max |Δu| between fused and jnp 50-step trajectories."""
@@ -162,6 +170,11 @@ CONFIGS = {
     # ("projection" now forces the emit-b̃ + full-TDMA fallback so both
     # production families carry an on-chip row).
     "projection_dst_fused": proj_dst_fused_diff,
+    # r5: the eigenbasis-fused consistent-scheme projection on a
+    # tanh-stretched x/y grid (nonuniform weight pins + generalized
+    # eigenbasis mats through the mega kernels).
+    "projection_consistent": lambda: traj_diff(
+        _mk_projection_direct, 1e-4, stretched=True, scheme="consistent"),
 }
 
 def main():

@@ -122,6 +122,32 @@ def run_3d(n: int, precision=None) -> float:
     return float(n) ** 3 * TIMED_STEPS / elapsed / 1e6
 
 
+def run_3d_consistent(n: int) -> float:
+    """Consistent-scheme projection MLUPS on a tanh-stretched x/y grid at
+    n³ — the accuracy-superior configuration (exact 3-point nonuniform
+    operators + generalized-eigenbasis direct solve,
+    `solvers/poisson/nonuniform.py`) through the eigenbasis-fused mega
+    kernels (r5).  The reference caps stretched-grid projection at O(h)
+    parity error (`examples/poiseuille_stretched_grid.c:255-258`); this
+    row tracks the throughput cost of being exact instead."""
+    import jax.numpy as jnp
+
+    from cfd_tpu import Grid
+    from cfd_tpu.solvers.ns import NSParams
+    from cfd_tpu.solvers.ns.projection import make_projection_step
+    from cfd_tpu.solvers.poisson.base import Method
+
+    grid = Grid.stretched(n, n, n, zmin=0.0, zmax=1.0, beta=1.5,
+                          stretch_axes="xy")
+    params = NSParams(source_amplitude_u=0.0, source_amplitude_v=0.0,
+                      mu=0.01, nonuniform_scheme="consistent")
+    step = make_projection_step(grid, params, dtype=jnp.float32,
+                                poisson_method=Method.FFT_DIRECT,
+                                use_pallas=True)
+    elapsed = _time_steps(step, _tg_field((n, n, n)), 1e-4)
+    return float(n) ** 3 * TIMED_STEPS / elapsed / 1e6
+
+
 def run_2d(n: int, precision=None) -> float:
     from cfd_tpu import Grid
 
@@ -679,6 +705,8 @@ def main():
 
     row(lambda: round(run_3d(grid3d, precision=lax.Precision.HIGH), 1),
         "mlups_3d_fast")
+    row(lambda: round(run_3d_consistent(grid3d), 1),
+        "mlups_3d_consistent_stretched")
     row(lambda: (lambda m: (round(m, 1),
                             round(m / REFERENCE_BASELINE_MLUPS, 3)))(
         run_2d(2048)), "mlups_2d_2048", "vs_baseline_2d")

@@ -31,9 +31,13 @@ CLAMP = 100.0  # PROJ_MAX_VELOCITY
 
 
 def projection2d_supported(ny: int, nx: int, buoyant: bool = False,
-                           dst: bool = False) -> bool:
-    return (marching2d_supported(ny, nx, 4 if buoyant else 3, 1, 4)
-            and marching2d_supported(ny, nx, 1, 2, 3 if dst else 2))
+                           dst: bool = False, split: bool = False) -> bool:
+    ok = (marching2d_supported(ny, nx, 4 if buoyant else 3, 1, 4)
+          and marching2d_supported(ny, nx, 1, 2, 3 if dst else 2))
+    if split:
+        ok = ok and (marching2d_supported(ny, nx, 4 if buoyant else 3, 0, 3)
+                     and marching2d_supported(ny, nx, 1, 2, 1))
+    return ok
 
 
 class Projection2DKernels:
@@ -104,18 +108,16 @@ class Projection2DKernels:
         def interior(jg, ii):
             return (jg > 0) & (jg < gn - 1) & (ii > 0) & (ii < nx - 1)
 
-        def pred_bt_compute(row0, scalars, halos, planes, pinned=None):
-            dt, nu, su_amp, sv_amp, rod = scalars[:5]
-            if global_ny is not None:
-                row0 = row0 + scalars[5].astype(jnp.int32)
+        def predict_ext(row0, dt, nu, su_amp, sv_amp, halos):
+            """Shared predictor on the two-row-extended window: rows
+            [row0−2, row0+B+2) from the resident neighbor blocks.  The
+            first/last global block's outer rows are uninitialized VMEM —
+            every consumer jnp.where-selects them away (mask-multiplying
+            would propagate NaN garbage).  Returns the (B+2)-row starred
+            fields (u*, v*, w*)."""
             (um, uc, up), (vm, vc, vp), (wm, wc, wp) = halos[:3]
-            (pc,) = planes
             B = uc.shape[0]
 
-            # Two-row extension: rows [row0−2, row0+B+2) from the resident
-            # neighbor blocks.  The first/last global block's outer rows are
-            # uninitialized VMEM — every consumer below jnp.where-selects
-            # them away (mask-multiplying would propagate NaN garbage).
             def ext(m, c, p):
                 return jnp.concatenate([m[-2:], c, p[:2]], axis=0)
 
@@ -159,10 +161,12 @@ class Projection2DKernels:
             us_e = star(ue, src_u + bsrc(0))
             vs_e = star(ve, src_v + bsrc(1))
             ws_e = star(we, bsrc(2))
+            return us_e, vs_e, ws_e
 
-            # Divergence of u* on the block's own B rows.
-            div = d1x(us_e[1:-1]) + (vs_e[2:] - vs_e[:-2]) * inv_2dy
-
+        def poisson_input_block(row0, rod, pc, div, pinned):
+            """b̃ (optionally x-DST-transformed in-kernel) or plain rhs
+            from a block's divergence."""
+            B = pc.shape[0]
             jg, ii = iotas(row0, B, nx)
             mask = interior(jg, ii)
             zero = jnp.zeros((), dtype)
@@ -178,6 +182,18 @@ class Projection2DKernels:
                     out = block_dot(out, pinned[0])
             else:
                 out = jnp.where(mask, rod * div, zero)
+            return out
+
+        def pred_bt_compute(row0, scalars, halos, planes, pinned=None):
+            dt, nu, su_amp, sv_amp, rod = scalars[:5]
+            if global_ny is not None:
+                row0 = row0 + scalars[5].astype(jnp.int32)
+            (pc,) = planes
+            us_e, vs_e, ws_e = predict_ext(row0, dt, nu, su_amp, sv_amp,
+                                           halos)
+            # Divergence of u* on the block's own B rows.
+            div = d1x(us_e[1:-1]) + (vs_e[2:] - vs_e[:-2]) * inv_2dy
+            out = poisson_input_block(row0, rod, pc, div, pinned)
             return [us_e[1:-1], vs_e[1:-1], ws_e[1:-1], out]
 
         self.pred_bt = make_marching_stencil_2d(
@@ -185,6 +201,40 @@ class Projection2DKernels:
             n_scalars=5 if global_ny is None else 6,
             pinned_mats=[self._fx.shape] if self.dst else None,
             interpret=interpret)
+
+        # Two-pass (bc_refresh) variant: predictor-only and b̃-only
+        # kernels, so caller BCs can be re-applied to the predictor state
+        # between the sweeps while both sweeps stay on the marching
+        # engine (r4 verdict item 5 — previously a jnp-body cliff).
+        self.pred_only = None
+        self.bt_only = None
+        if split:
+            if global_ny is not None:
+                raise ValueError("split (two-pass) 2D kernels are "
+                                 "single-chip only")
+
+            def pred_only_compute(row0, scalars, halos, planes,
+                                  pinned=None):
+                dt, nu, su_amp, sv_amp = scalars[:4]
+                us_e, vs_e, ws_e = predict_ext(row0, dt, nu, su_amp,
+                                               sv_amp, halos)
+                return [us_e[1:-1], vs_e[1:-1], ws_e[1:-1]]
+
+            def bt_only_compute(row0, scalars, halos, planes, pinned=None):
+                rod = scalars[0]
+                (vm, vc, vp) = halos[0]
+                us, pc = planes
+                ve = jnp.concatenate([vm[-1:], vc, vp[:1]], axis=0)
+                div = d1x(us) + (ve[2:] - ve[:-2]) * inv_2dy
+                return [poisson_input_block(row0, rod, pc, div, pinned)]
+
+            self.pred_only = make_marching_stencil_2d(
+                ny, nx, 4 if buoy else 3, 0, 3, pred_only_compute, dtype,
+                n_scalars=4, interpret=interpret)
+            self.bt_only = make_marching_stencil_2d(
+                ny, nx, 1, 2, 1, bt_only_compute, dtype, n_scalars=1,
+                pinned_mats=[self._fx.shape] if self.dst else None,
+                interpret=interpret)
 
         def corr_compute(row0, scalars, halos, planes, pinned=None):
             dt_over_rho = scalars[0]

@@ -46,7 +46,7 @@ class ProjectionKernels:
                  emit="btilde", with_sources=True,
                  beta=0.0, T_ref=0.0, gravity=(0.0, 0.0, 0.0),
                  global_ny=None, dst_mats=None, dst_precision=None,
-                 tdma_fwd=None):
+                 tdma_fwd=None, stretch_consistent=None, face_coeffs=None):
         """``global_nz``: sharded (z-decomposed) mode — the kernels operate
         on a halo-padded local block of ``nz`` planes belonging to a global
         ``global_nz``-plane domain; the btilde kernel then takes the shard's
@@ -101,7 +101,25 @@ class ProjectionKernels:
         standalone forward kernel's 3 HBM passes disappear, and the
         recurrence itself is VPU work fully hidden under the MXU dots.
         Requires ``dst_mats``.  Bit-identical to the standalone forward
-        kernel (same op sequence, same f32 coefficients)."""
+        kernel (same op sequence, same f32 coefficients).
+
+        ``stretch_consistent``: the consistent-scheme (stretched-grid)
+        projection — a ``(dx_arr, dy_arr, x_coords, y_coords)`` numpy
+        tuple.  The MEGA kernels then evaluate momentum / divergence /
+        pressure-gradient stencils with the exact 3-point nonuniform
+        weights riding pinned VMEM inputs
+        (`.stretch.stretch_pins_consistent` for the predictor,
+        `.stretch.stretch_pins_grad` for the corrector), the default
+        source basis reads true coordinates from the pins, and the b̃
+        Neumann face term uses ``face_coeffs`` — the four nonuniform
+        off-diagonal scalars ``(cxm, cxp, cym, cyp)`` from
+        `solvers.poisson.nonuniform.nonuniform_face_coeffs` (required
+        with ``emit='btilde'``).  ``dst_mats`` then carries the
+        generalized eigenbasis factors
+        (`nonuniform.make_nonuniform_fused_pieces`) instead of sines —
+        the kernels don't care which.  Single-chip, mega kernels only
+        (``ok`` stays False: the per-component kernels keep uniform
+        constants); z stays uniform (framework-wide rule)."""
         self.shape = (nz, ny, nx)
         self.global_nz = global_nz
         self.global_ny = global_ny
@@ -135,6 +153,25 @@ class ProjectionKernels:
                 raise ValueError("tdma_fwd mu plane must be (ny, nx)")
             self._pred_mats = self._pred_mats + (mu_plane,)
             tdma_w = float(tdma_w)
+        consistent = stretch_consistent is not None
+        self.consistent = consistent
+        self._pred_pins = ()
+        self._corr_pins = ()
+        if consistent:
+            if global_nz is not None or global_ny is not None:
+                raise ValueError("stretch_consistent is single-chip only")
+            if emit == "btilde" and face_coeffs is None:
+                raise ValueError("stretch_consistent with emit='btilde' "
+                                 "needs face_coeffs")
+            from .stretch import stretch_pins_consistent, stretch_pins_grad
+            c_dx, c_dy, c_x, c_y = stretch_consistent
+            np_dt = jnp.zeros((), dtype).dtype
+            self._pred_pins = stretch_pins_consistent(
+                ny, nx, c_dx, c_dy, c_x, c_y, np_dtype=np_dt)
+            self._corr_pins = stretch_pins_grad(ny, nx, c_dx, c_dy,
+                                                np_dtype=np_dt)
+        n_spin_pred = len(self._pred_pins)
+        n_spin_corr = len(self._corr_pins)
         dst_prec = dst_precision or jax.lax.Precision.HIGHEST
 
         def plane_dot_rl(plane, right, left):
@@ -228,9 +265,11 @@ class ProjectionKernels:
                 n_scalars=5 if sharded_y else 4,
                 shell_passthrough=[0], interpret=interpret)
 
-        self.pred_u = make_predictor(0)
-        self.pred_v = make_predictor(1)
-        self.pred_w = make_predictor(2)
+        # Per-component kernels keep uniform compiled constants — in
+        # consistent (stretched) mode only the mega kernels are built.
+        self.pred_u = None if consistent else make_predictor(0)
+        self.pred_v = None if consistent else make_predictor(1)
+        self.pred_w = None if consistent else make_predictor(2)
 
         def div_compute(k, scalars, halos, planes):
             (wm, wc, wp) = halos[0]
@@ -240,12 +279,21 @@ class ProjectionKernels:
             div = d1x(us) + d1y(vs) + (wp - wm) * inv_2dz
             return [mask * scalars[0] * div], None
 
-        self.divergence = make_rolling_stencil(
+        self.divergence = None if consistent else make_rolling_stencil(
             nz, ny, nx, 1, 2, 1, div_compute, dtype,
             n_scalars=2 if sharded_y else 1,
             interpret=interpret)
 
-        def btilde_compute(k, scalars, halos, planes):
+        # In single-chip DST mode the standalone b̃ kernel carries the
+        # same in-kernel forward transforms (and, with ``tdma_fwd``, the
+        # Thomas forward recurrence) as the mega predictor — this is what
+        # keeps ``bc_refresh`` steps on the DST-fused family: predictor
+        # kernels → refresh hook → this kernel → backward substitution →
+        # DST corrector (r4 verdict item 5).
+        bt_dst = self.dst and global_nz is None
+
+        def btilde_compute(k, scalars, halos, planes, pinned=None,
+                           carry=None):
             """Spectral-solve input in one pass: b̃ = M·p − (ρ/dt)∇·u*,
             M the Neumann-mirror face coefficients (see
             `solvers/poisson/spectral.py`) — skips materializing the
@@ -271,11 +319,25 @@ class ProjectionKernels:
                 kf = ((kg == 1).astype(dtype)
                       + (kg == nz_g - 2).astype(dtype))
                 coeff = coeff + inv_dz2 * kf
-            return [mask * (coeff * p - scalars[0] * div)], None
+            out = mask * (coeff * p - scalars[0] * div)
+            if bt_dst:
+                out = plane_dot_rl(out, pinned[0], pinned[1])
+            if self.tdma_fused:
+                t_c, dp_c = carry
+                wf = dtype(tdma_w)
+                rec = 1.0 / (pinned[2] + 2.0 * wf - wf * t_c)
+                t_c = wf * rec
+                dp_c = (out + wf * dp_c) * rec
+                return [dp_c, t_c], None, [t_c, dp_c]
+            return [out], None
 
-        self.btilde_k = make_rolling_stencil(
-            nz, ny, nx, 1, 3, 1, btilde_compute, dtype,
+        self.btilde_k = None if consistent else make_rolling_stencil(
+            nz, ny, nx, 1, 3, 2 if self.tdma_fused else 1,
+            btilde_compute, dtype,
             n_scalars=(1 if global_nz is None else 2) + int(sharded_y),
+            pinned_mats=([m.shape for m in self._pred_mats]
+                         if bt_dst else None),
+            carry_planes=2 if self.tdma_fused else 0,
             interpret=interpret)
 
         def corr_xy(component):
@@ -292,8 +354,8 @@ class ProjectionKernels:
                 n_scalars=2 if sharded_y else 1,
                 shell_passthrough=[0], interpret=interpret)
 
-        self.corr_u = corr_xy(0)
-        self.corr_v = corr_xy(1)
+        self.corr_u = None if consistent else corr_xy(0)
+        self.corr_v = None if consistent else corr_xy(1)
 
         def corr_w_compute(k, scalars, halos, planes):
             pm, pc, pp = halos[0]
@@ -304,7 +366,7 @@ class ProjectionKernels:
                             -CLAMP, CLAMP)
             return [mask * corr + (1.0 - mask) * star], None
 
-        self.corr_w = make_rolling_stencil(
+        self.corr_w = None if consistent else make_rolling_stencil(
             nz, ny, nx, 1, 1, 1, corr_w_compute, dtype,
             n_scalars=2 if sharded_y else 1,
             shell_passthrough=[1], interpret=interpret)
@@ -346,9 +408,39 @@ class ProjectionKernels:
             kg = (scalars[5].astype(jnp.int32) + k - 2 if sharded_z
                   else k)
 
+            if consistent:
+                # exact 3-point nonuniform weights from the pinned planes
+                # (`.stretch.stretch_pins_consistent` layout); z uniform
+                ((wxm, wxp), (wxc, lxc), (lxm, lxp),
+                 (wym, wyp), (wyc, lyc), (lym, lyp),
+                 (sy_pin, sx2_pin)) = pinned[:7]
+
+                def d1x_(c):
+                    return (shift_x(c, -1) * wxm + c * wxc
+                            + shift_x(c, 1) * wxp)
+
+                def d1y_(c):
+                    return (shift_y(c, -1, ny) * wym + c * wyc
+                            + shift_y(c, 1, ny) * wyp)
+
+                def lap_(m, c, p):
+                    out = (shift_x(c, -1) * lxm + c * lxc
+                           + shift_x(c, 1) * lxp
+                           + shift_y(c, -1, ny) * lym + c * lyc
+                           + shift_y(c, 1, ny) * lyp)
+                    if inv_dz2:
+                        out = out + (p - 2.0 * c + m) * inv_dz2
+                    return out
+            else:
+                d1x_, d1y_, lap_ = d1x, d1y, lap
+
             if with_sources:
-                src_u = su_amp * source_plane(0)
-                src_v = sv_amp * source_plane(1)
+                if consistent:
+                    src_u = su_amp * sy_pin
+                    src_v = sv_amp * sx2_pin
+                else:
+                    src_u = su_amp * source_plane(0)
+                    src_v = sv_amp * source_plane(1)
             else:
                 src_u = src_v = 0.0
 
@@ -361,9 +453,9 @@ class ProjectionKernels:
 
             def star(f3, uc_, vc_, wc_, src, kq):
                 fm, fc, fp = f3
-                conv = uc_ * d1x(fc) + vc_ * d1y(fc) + wc_ * ((fp - fm)
-                                                              * inv_2dz)
-                s = fc + dt_ * (-conv + nu_ * lap(fm, fc, fp) + src)
+                conv = uc_ * d1x_(fc) + vc_ * d1y_(fc) + wc_ * ((fp - fm)
+                                                                * inv_2dz)
+                s = fc + dt_ * (-conv + nu_ * lap_(fm, fc, fp) + src)
                 s = jnp.clip(s, -CLAMP, CLAMP)
                 # in-plane shell passthrough + global z-shell select (the
                 # k±1 w-stars touch garbage edge planes at k=1 / nz−2;
@@ -378,12 +470,24 @@ class ProjectionKernels:
             ws_m = star(ww[0:3], uw[1], vw[1], ww[1], bsrc(2, 1), kg - 1)
             ws_p = star(ww[2:5], uw[3], vw[3], ww[3], bsrc(2, 3), kg + 1)
 
-            div = d1x(us) + d1y(vs) + (ws_p - ws_m) * inv_2dz
+            div = d1x_(us) + d1y_(vs) + (ws_p - ws_m) * inv_2dz
             if emit == "btilde":
-                coeff = (inv_dx2 * ((ii == 1).astype(dtype)
-                                    + (ii == nx - 2).astype(dtype))
-                         + inv_dy2 * ((jj == 1).astype(dtype)
-                                      + (jj == ny - 2).astype(dtype)))
+                if consistent:
+                    # nonuniform off-diagonal face weights toward the
+                    # dropped shell neighbor (nonuniform_face_coeffs)
+                    coeff = (dtype(face_coeffs[0])
+                             * (ii == 1).astype(dtype)
+                             + dtype(face_coeffs[1])
+                             * (ii == nx - 2).astype(dtype)
+                             + dtype(face_coeffs[2])
+                             * (jj == 1).astype(dtype)
+                             + dtype(face_coeffs[3])
+                             * (jj == ny - 2).astype(dtype))
+                else:
+                    coeff = (inv_dx2 * ((ii == 1).astype(dtype)
+                                        + (ii == nx - 2).astype(dtype))
+                             + inv_dy2 * ((jj == 1).astype(dtype)
+                                          + (jj == ny - 2).astype(dtype)))
                 if inv_dz2:
                     kf = ((kg == 1).astype(dtype)
                           + (kg == nz_g - 2).astype(dtype))
@@ -392,14 +496,16 @@ class ProjectionKernels:
                 if self.dst:
                     # forward x then y DST of the b̃ plane, in-kernel on
                     # the MXU (overlaps the window streaming for free)
-                    out = plane_dot_rl(out, pinned[0], pinned[1])
+                    out = plane_dot_rl(out, pinned[n_spin_pred],
+                                       pinned[n_spin_pred + 1])
                 if self.tdma_fused:
                     # Thomas forward step on the transformed plane: the
                     # (t, d′) recurrence rides the engine carry; padded
                     # modes have r = 0 (zero F rows) → d′ = 0 there.
                     t_c, dp_c = carry
                     wf = dtype(tdma_w)
-                    rec = 1.0 / (pinned[2] + 2.0 * wf - wf * t_c)
+                    rec = 1.0 / (pinned[n_spin_pred + 2]
+                                 + 2.0 * wf - wf * t_c)
                     t_c = wf * rec
                     dp_c = (out + wf * dp_c) * rec
                     return [us, vs, ws, dp_c, t_c], None, [t_c, dp_c]
@@ -415,6 +521,7 @@ class ProjectionKernels:
                 pred_bt_compute, dtype, n_scalars=6 if sharded_z else 5,
                 shell_passthrough=[0, 1, 2, None, None][:n_pred_out],
                 halo_window=2,
+                n_pinned=n_spin_pred,
                 pinned_mats=([m.shape for m in self._pred_mats]
                              if self.dst else None),
                 carry_planes=2 if self.tdma_fused else 0,
@@ -426,10 +533,20 @@ class ProjectionKernels:
             mask, _, _ = plane_masks(ny, nx, dtype)
             maskb = mask > 0
             s = scalars[0]
+            if consistent:
+                # consistent pressure gradient from the pinned
+                # first-derivative triples (`.stretch.stretch_pins_grad`)
+                (gxm, gxp), (gxc, gyc), (gym, gyp) = pinned[:3]
+                gradx = (shift_x(pc, -1) * gxm + pc * gxc
+                         + shift_x(pc, 1) * gxp)
+                grady = (shift_y(pc, -1, ny) * gym + pc * gyc
+                         + shift_y(pc, 1, ny) * gyp)
+            else:
+                gradx, grady = d1x(pc), d1y(pc)
             u = jnp.where(maskb,
-                          jnp.clip(us - s * d1x(pc), -CLAMP, CLAMP), us)
+                          jnp.clip(us - s * gradx, -CLAMP, CLAMP), us)
             v = jnp.where(maskb,
-                          jnp.clip(vs - s * d1y(pc), -CLAMP, CLAMP), vs)
+                          jnp.clip(vs - s * grady, -CLAMP, CLAMP), vs)
             w = jnp.where(maskb,
                           jnp.clip(ws - s * (pp - pm) * inv_2dz,
                                    -CLAMP, CLAMP), ws)
@@ -454,6 +571,7 @@ class ProjectionKernels:
                                    else [1, 2, 3]),
                 shell_sources=({3: ("p1", "pN2")}
                                if self.dst and not sharded_z else None),
+                n_pinned=n_spin_corr,
                 pinned_mats=([m.shape for m in self._corr_mats]
                              if self.dst else None),
                 halo_transform={0: corr_inverse_dst} if self.dst else None,
@@ -483,10 +601,11 @@ class ProjectionKernels:
         if self.global_nz is not None:
             parts.append(jnp.asarray(z_offset).astype(parts[0].dtype))
         s = jnp.stack(parts)
-        mats = self._pred_mats if self.dst else ()
+        extras = (tuple(self._pred_pins)
+                  + (tuple(self._pred_mats) if self.dst else ()))
         if self.buoyant:
-            return self.pred_bt(s, u, v, w, T, p, *mats)
-        return self.pred_bt(s, u, v, w, p, *mats)
+            return self.pred_bt(s, u, v, w, T, p, *extras)
+        return self.pred_bt(s, u, v, w, p, *extras)
 
     def corrector_diag(self, us, vs, ws, p, dt_over_rho):
         """Mega path: (u, v, w, max|vel|² , max p, max|p|) in ONE sweep.
@@ -503,8 +622,9 @@ class ProjectionKernels:
         the return is just (u, v, w[, p]) — trim [1:-1] for owned
         planes."""
         s = jnp.asarray(dt_over_rho)[None]
-        mats = self._corr_mats if self.dst else ()
-        return self.corr_all(s, p, us, vs, ws, *mats)
+        extras = (tuple(self._corr_pins)
+                  + (tuple(self._corr_mats) if self.dst else ()))
+        return self.corr_all(s, p, us, vs, ws, *extras)
 
     def _with_y(self, parts, y_offset):
         """Append the global-row-offset scalar in y-sharded mode."""
@@ -539,13 +659,21 @@ class ProjectionKernels:
 
         In sharded mode (``global_nz`` set) pass ``z_offset`` — the global
         plane index of the shard's first real plane; in y-sharded mode
-        (``global_ny`` set) also ``y_offset``."""
+        (``global_ny`` set) also ``y_offset``.  In single-chip DST mode
+        the output is the xy-transformed b̃ (z line-solve input); with
+        ``tdma_fwd`` also set, a ``(d′, t)`` pair ready for backward
+        substitution."""
         rod = jnp.asarray(rho_over_dt)
         parts = [rod]
         if self.global_nz is not None:
             parts.append(jnp.asarray(z_offset).astype(rod.dtype))
         scal = self._with_y(parts, y_offset)
-        (out,) = self.btilde_k(scal, ws, us, vs, p)
+        mats = (tuple(self._pred_mats)
+                if self.dst and self.global_nz is None else ())
+        outs = self.btilde_k(scal, ws, us, vs, p, *mats)
+        if self.tdma_fused:
+            return outs
+        (out,) = outs
         return out
 
     def corrector(self, us, vs, ws, p, dt_over_rho, y_offset=None):

@@ -115,6 +115,28 @@ def stretch_pins_consistent(ny, nx, dx_arr, dy_arr, x_coords, y_coords,
                 _src_planes(ny, nx, x_coords, y_coords, np_dtype), np_dtype))
 
 
+def stretch_pins_grad(ny, nx, dx_arr, dy_arr, np_dtype=np.float32):
+    """Pins for the consistent-scheme projection CORRECTOR — the exact
+    3-point nonuniform first-derivative weights only, three (2, ny, nx)
+    pins:
+
+    0: (wxm, wxp)   — x neighbor weights (rows)
+    1: (wxc, wyc)   — x / y center weights
+    2: (wym, wyp)   — y neighbor weights (cols)
+    """
+    wxm, wxc, wxp, _, _, _ = _triples(dx_arr)
+    wym, wyc, wyp, _, _, _ = _triples(dy_arr)
+    return (np.ascontiguousarray(
+                np.stack([_row(wxm, ny, nx, np_dtype),
+                          _row(wxp, ny, nx, np_dtype)]), np_dtype),
+            np.ascontiguousarray(
+                np.stack([_row(wxc, ny, nx, np_dtype),
+                          _col(wyc, ny, nx, np_dtype)]), np_dtype),
+            np.ascontiguousarray(
+                np.stack([_col(wym, ny, nx, np_dtype),
+                          _col(wyp, ny, nx, np_dtype)]), np_dtype))
+
+
 def stretch_inputs_2d(ny, nx, dx_arr, dy_arr, x_coords, y_coords,
                       scheme="parity", np_dtype=np.float32):
     """Stretch inputs for the 2D block-marching kernels: (xrows, yplanes).

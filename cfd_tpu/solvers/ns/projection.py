@@ -165,11 +165,6 @@ def make_projection_step(grid: Grid, params: NSParams, dtype=None,
     # coincide there).
     consistent = (params.nonuniform_scheme == "consistent"
                   and not (grid.is_uniform("x") and grid.is_uniform("y")))
-    if consistent and differentiable:
-        raise CFDError(Status.ERROR_UNSUPPORTED,
-                       "differentiable consistent-scheme projection is "
-                       "not supported yet (use euler/RK or a uniform "
-                       "grid)")
 
     coords = grid.coordinate_arrays(dtype)
     energy_step = make_energy_step(grid, params.alpha,
@@ -238,8 +233,17 @@ def make_projection_step(grid: Grid, params: NSParams, dtype=None,
                 problem, pparams, dtype=dtype,
                 precision=spectral_precision)
         elif method in (Method.CG, Method.BICGSTAB):
-            poisson_solve = (make_cg if method == Method.CG
-                             else make_bicgstab)(problem, pparams)
+            if differentiable:
+                # exact one-extra-solve VJP: the consistent operator is
+                # SPD in the V-weighted inner product, so the transpose
+                # solve is the volume-conjugated forward solve
+                # (`..poisson.adjoint`, nonuniform branch)
+                from ..poisson.adjoint import make_adjoint_poisson
+                poisson_solve = make_adjoint_poisson(problem, pparams,
+                                                     method)
+            else:
+                poisson_solve = (make_cg if method == Method.CG
+                                 else make_bicgstab)(problem, pparams)
         else:
             raise CFDError(
                 Status.ERROR_UNSUPPORTED,
@@ -445,6 +449,74 @@ def make_projection_step(grid: Grid, params: NSParams, dtype=None,
                     interpret=pallas_interpret,
                     **({} if spectral_precision is None
                        else {"precision": spectral_precision}))
+
+    # Fused consistent-scheme (stretched x/y) projection: the mega kernels
+    # swap per-point nonuniform weight pins for the uniform constants and
+    # the generalized eigenbasis for the DST sines — the accuracy-superior
+    # path no longer pays the jnp-speed penalty.  Mega kernels only
+    # (FFT_DIRECT rides the eigenbasis-fused pieces with the in-predictor
+    # Thomas forward sweep; CG/BiCGSTAB get the fused predictor/corrector
+    # around the jnp FV-symmetrized Krylov solve); anything unsupported
+    # falls back to the jnp body below.
+    if (use_pallas and dtype == jnp.float32 and grid.nz > 2
+            and params.source_func is None and consistent
+            and bc_refresh is None):
+        from ...ops.pallas.projection_kernels import (
+            ProjectionKernels, projection_kernels_supported)
+        from ...ops.pallas.stretch import stretch_spacing_ok
+        method = Method(poisson_method)
+        if (projection_kernels_supported(grid.nz, grid.ny, grid.nx)
+                and stretch_spacing_ok(grid.dx, grid.dy)):
+            import jax.lax as _lax
+            from ..poisson.nonuniform import (make_nonuniform_fused_pieces,
+                                              nonuniform_face_coeffs,
+                                              nonuniform_fused_supported)
+            kern_kwargs = dict(
+                with_sources=(params.source_amplitude_u != 0.0
+                              or params.source_amplitude_v != 0.0),
+                beta=params.beta, T_ref=params.T_ref,
+                gravity=params.gravity, interpret=pallas_interpret,
+                stretch_consistent=(grid.dx, grid.dy, grid.x, grid.y),
+                face_coeffs=nonuniform_face_coeffs(problem))
+            pk = None
+            if (method == Method.FFT_DIRECT
+                    and nonuniform_fused_supported(problem)
+                    and spectral_precision
+                    in (None, _lax.Precision.HIGHEST,
+                        _lax.Precision.HIGH)):
+                mats, tfwd, zbwd = make_nonuniform_fused_pieces(
+                    problem, dtype, interpret=pallas_interpret,
+                    fuse_fwd=True)
+                pk_e = ProjectionKernels(
+                    grid.nz, grid.ny, grid.nx, dx, dy, grid.dz0,
+                    grid.xmin, grid.ymin, dtype, emit="btilde",
+                    dst_mats=mats, tdma_fwd=tfwd,
+                    dst_precision=spectral_precision, **kern_kwargs)
+                if pk_e.mega_ok:
+                    pk = pk_e
+                    btilde_pipeline = zbwd
+                    dst_fused = True
+                else:
+                    mats, zsolve = make_nonuniform_fused_pieces(
+                        problem, dtype, interpret=pallas_interpret)
+                    pk_e = ProjectionKernels(
+                        grid.nz, grid.ny, grid.nx, dx, dy, grid.dz0,
+                        grid.xmin, grid.ymin, dtype, emit="btilde",
+                        dst_mats=mats, dst_precision=spectral_precision,
+                        **kern_kwargs)
+                    if pk_e.mega_ok:
+                        pk = pk_e
+                        btilde_pipeline = zsolve
+                        dst_fused = True
+            elif method in (Method.CG, Method.BICGSTAB):
+                pk_e = ProjectionKernels(
+                    grid.nz, grid.ny, grid.nx, dx, dy, grid.dz0,
+                    grid.xmin, grid.ymin, dtype, emit="rhs",
+                    **kern_kwargs)
+                if pk_e.mega_ok:
+                    pk = pk_e
+            if pk is not None:
+                proj_kernels = pk
 
     def fused_step(field: FlowField, dt, iter_idx):
         """Fully fused kernel path — identical math to the jnp body below."""

@@ -67,17 +67,26 @@ STATIONARY_METHODS = frozenset(
 
 
 def _mirror_diag(problem: PoissonProblem) -> np.ndarray:
-    """Diagonal of B: per interior cell, sum of 1/dh² over adjacent faces.
+    """Diagonal of B: per interior cell, sum of the Laplacian off-diagonal
+    weights over adjacent faces (1/dh² uniform; the consistent 3-point
+    face weights on a :class:`nonuniform.NonuniformPoissonProblem`).
 
     Nonzero only on the ring of interior cells touching the boundary shell
     (shell-edge/corner values are never read by interior stencils, so the
     "last face wins" order of the Neumann application is irrelevant here).
     """
+    from .nonuniform import (NonuniformPoissonProblem,
+                             nonuniform_face_coeffs)
+    if isinstance(problem, NonuniformPoissonProblem):
+        cxm, cxp, cym, cyp = nonuniform_face_coeffs(problem)
+    else:
+        cxm = cxp = problem.inv_dx2
+        cym = cyp = problem.inv_dy2
     b = np.zeros(problem.shape)
-    b[:, :, 1] += problem.inv_dx2
-    b[:, :, -2] += problem.inv_dx2
-    b[:, 1, :] += problem.inv_dy2
-    b[:, -2, :] += problem.inv_dy2
+    b[:, :, 1] += cxm
+    b[:, :, -2] += cxp
+    b[:, 1, :] += cym
+    b[:, -2, :] += cyp
     if problem.nz > 1:
         b[1, :, :] += problem.inv_dz2
         b[-2, :, :] += problem.inv_dz2
@@ -109,11 +118,22 @@ def make_adjoint_poisson(problem: PoissonProblem,
     the correction-space family, exactly — ``x0``.
     """
     from .frontend import _MAKERS  # late import: frontend imports us
+    from .nonuniform import NonuniformPoissonProblem
 
     method = Method(method)
     params = params or PoissonParams()
+    nonuniform = isinstance(problem, NonuniformPoissonProblem)
     if method == Method.FFT_DIRECT:
+        if nonuniform:
+            # einsum + lax.scan TDMA: natively reverse-differentiable
+            from .nonuniform import make_nonuniform_direct
+            return make_nonuniform_direct(problem, params)
         return _MAKERS[method](problem, params)  # natively differentiable
+    if nonuniform and method not in (Method.CG, Method.BICGSTAB):
+        from ...core.status import CFDError, Status
+        raise CFDError(Status.ERROR_UNSUPPORTED,
+                       "adjoint solves on a nonuniform (consistent-scheme) "
+                       "problem support FFT_DIRECT/CG/BICGSTAB only")
     # Unwrap the maker's jit: a pjit called from inside a lax.scan body
     # that closes over an outer tracer (traced physics params under
     # ``jax.jit(jax.grad(rollout))``) leaks that tracer into the pjit
@@ -126,6 +146,12 @@ def make_adjoint_poisson(problem: PoissonProblem,
     if correction:
         # numpy on purpose (trace-safety): converted per trace inside bwd.
         bdiag = _mirror_diag(problem)
+    # Nonuniform (consistent-scheme) operator: L = D⁻¹S with S symmetric,
+    # so the plain-inner-product transpose of the solve is the volume
+    # conjugation (L_D⁻¹)ᵀ = V · L_D⁻¹ · V⁻¹ — the same solver runs the
+    # backward pass with its rhs divided by the cell volumes and its
+    # output multiplied back (V cancels identically on uniform grids).
+    vol_np = problem._vol_np if nonuniform else None
     if problem.nz > 1:
         n_interior = (problem.nz - 2) * (problem.ny - 2) * (problem.nx - 2)
     else:
@@ -148,8 +174,14 @@ def make_adjoint_poisson(problem: PoissonProblem,
             # compatible subspace (interior mean zero).
             mean = jnp.sum(ybar) / n_interior
             ybar = problem.zero_boundary(ybar - mean)
-        adj = base(jnp.zeros(shape, dtype), ybar.astype(dtype))
-        lam = problem.zero_boundary(adj.x)
+        if vol_np is not None:
+            v = jnp.asarray(vol_np, dtype)      # (ny, nx), broadcasts z
+            adj = base(jnp.zeros(shape, dtype),
+                       problem.zero_boundary((ybar / v).astype(dtype)))
+            lam = problem.zero_boundary(adj.x * v)
+        else:
+            adj = base(jnp.zeros(shape, dtype), ybar.astype(dtype))
+            lam = problem.zero_boundary(adj.x)
         rhs_bar = lam
         if correction:
             x0_bar = -jnp.asarray(bdiag, dtype) * lam

@@ -161,6 +161,104 @@ def nonuniform_eigenbasis(gaps):
     return lam, F, G
 
 
+def nonuniform_face_coeffs(problem: NonuniformPoissonProblem):
+    """b̃ face-coefficient scalars ``(cxm, cxp, cym, cyp)`` — the
+    nonuniform off-diagonal Laplacian weights toward the dropped shell
+    neighbor at i = 1, i = nx−2, j = 1, j = ny−2 (the x0-mirror shell
+    term of the Krylov limit; uniform case: all four equal 1/h²).  Used
+    by the fused consistent-scheme projection kernels, whose b̃ pass
+    otherwise matches :func:`make_nonuniform_direct`'s convention."""
+    nx, ny = problem.nx, problem.ny
+    return (float(problem._wx[0][1]), float(problem._wx[2][nx - 2]),
+            float(problem._wy[0][1]), float(problem._wy[2][ny - 2]))
+
+
+def nonuniform_fused_supported(problem: NonuniformPoissonProblem) -> bool:
+    """Whether the in-kernel eigenbasis-fused projection pieces apply —
+    the same geometry gate as the uniform DST-fused path (3D, TDMA-z
+    kernel shape, mode dims == grid dims); the dense generalized
+    eigenbasis replaces the sine matrices, nothing else changes shape."""
+    from .spectral import dst_fused_supported
+    return dst_fused_supported(problem)
+
+
+def _nonuniform_fused_mats(problem: NonuniformPoissonProblem, np_dt):
+    """Shared factor builder for the eigenbasis-fused projection kernels:
+    ``(mats, mu, w)`` with ``mats = (FxT, Fy, GxT, Gy)`` host numpy
+    generalized-eigenbasis matrices padded to the grid dims (zero rows
+    for the shell columns, mirror-extended inverse rows so the output
+    carries its own Neumann shells — the exact structural twin of
+    `spectral._dst_fused_mats`, with Q-eigenvectors in place of sines),
+    ``mu`` the (ny, nx) per-mode eigenvalue-sum plane for the z line
+    solve, ``w = 1/dz²``."""
+    mx, my = problem.nx - 2, problem.ny - 2
+    nx, ny = problem.nx, problem.ny
+    lx, Fx, Gx = nonuniform_eigenbasis(problem.x_gaps)
+    ly, Fy, Gy = nonuniform_eigenbasis(problem.y_gaps)
+    w = float(problem.inv_dz2)
+    mu_np = (np.pad(ly, (0, ny - my), mode="edge")[:, None]
+             + np.pad(lx, (0, nx - mx), mode="edge")[None, :])
+
+    Fxp = np.zeros((nx, nx), np_dt)
+    Fxp[:mx, 1:nx - 1] = Fx
+    Fyp = np.zeros((ny, ny), np_dt)
+    Fyp[:my, 1:ny - 1] = Fy
+    Gxp = np.zeros((nx, nx), np_dt)
+    Gxp[:, :mx] = np.concatenate([Gx[:1], Gx, Gx[-1:]], axis=0)
+    Gyp = np.zeros((ny, ny), np_dt)
+    Gyp[:, :my] = np.concatenate([Gy[:1], Gy, Gy[-1:]], axis=0)
+    mats = (np.ascontiguousarray(Fxp.T), Fyp,
+            np.ascontiguousarray(Gxp.T), Gyp)
+    return mats, mu_np, w
+
+
+def make_nonuniform_fused_pieces(problem: NonuniformPoissonProblem,
+                                 dtype=jnp.float32, use_kernel: bool = True,
+                                 interpret: bool = False,
+                                 fuse_fwd: bool = False):
+    """Pieces for the eigenbasis-fused consistent-scheme projection step
+    (`ops/pallas/projection_kernels.ProjectionKernels(dst_mats=...,
+    stretch_consistent=...)`): the stretched-grid twin of
+    `spectral.make_dst_fused_pieces` — the predictor mega kernel applies
+    the forward generalized-eigenbasis transform per b̃ plane in-kernel
+    (F = QᵀD dense MXU dots, exactly where the uniform path runs its
+    sine matrices), the corrector applies the mirror-extended inverse
+    (G = Q) per x̂ plane on window arrival, and only the z line solve —
+    the unchanged uniform-z TDMA over the generalized eigenvalue sums —
+    runs between the two sweeps.
+
+    Returns ``(mats, zsolve)``, or with ``fuse_fwd=True``
+    ``(mats, (mu_plane, w), zbwd)`` — identical contracts to
+    :func:`spectral.make_dst_fused_pieces`; numerically the same factors
+    as :func:`make_nonuniform_direct`'s einsums."""
+    mats, mu_np, w = _nonuniform_fused_mats(problem, np.dtype(dtype))
+    nx, ny, nz = problem.nx, problem.ny, problem.nz
+    np_dt = np.dtype(dtype)
+
+    from ...ops.pallas.tdma import (make_tdma_z, make_tdma_z_bwd,
+                                    tdma_z_bwd_reference, tdma_z_reference)
+
+    if fuse_fwd:
+        zbwd = None
+        if use_kernel and dtype == jnp.float32:
+            zbwd = make_tdma_z_bwd(nz, ny, nx, mu_np, w, jnp.float32,
+                                   interpret=interpret)
+        if zbwd is None:
+            zbwd = tdma_z_bwd_reference
+        return mats, (mu_np.astype(np_dt), w), zbwd
+
+    zfn = None
+    if use_kernel and dtype == jnp.float32:
+        zfn = make_tdma_z(nz, ny, nx, mu_np, w, jnp.float32,
+                          interpret=interpret)
+    if zfn is None:
+        # numpy held, converted per trace (trace safety, docs/design.md)
+        def zfn(a, _mu=mu_np.astype(np_dt)):
+            return tdma_z_reference(a, jnp.asarray(_mu), w)
+
+    return mats, zfn
+
+
 def make_nonuniform_direct(problem: NonuniformPoissonProblem,
                            params: PoissonParams = None,
                            dtype=None, precision=None):

@@ -30,10 +30,11 @@ def test_mega_kernels_built():
     pk = ProjectionKernels(g.nz, g.ny, g.nx, g.dx0, g.dy0, g.dz0,
                            g.xmin, g.ymin, interpret=True)
     assert pk.mega_ok
-    # sharded mode keeps the per-component kernels only
+    # z-sharded mode builds the mega kernels too (r5: the DST-fused
+    # sharded path rides them) alongside the per-component fallbacks
     pk_sh = ProjectionKernels(4, 16, 128, g.dx0, g.dy0, g.dz0,
                               g.xmin, g.ymin, interpret=True, global_nz=16)
-    assert not pk_sh.mega_ok and pk_sh.ok
+    assert pk_sh.mega_ok and pk_sh.ok
 
 
 @pytest.mark.parametrize("method", [Method.FFT_DIRECT, Method.CG])

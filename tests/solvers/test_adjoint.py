@@ -187,3 +187,89 @@ def test_grad_through_rollout_wrt_viscosity():
     eps = 1e-5
     fd = (float(ke_after(0.05 + eps)) - float(ke_after(0.05 - eps))) / (2 * eps)
     assert g == pytest.approx(fd, rel=1e-4)
+
+
+def _stretched_grid(n=17, beta=1.5):
+    return Grid.stretched(n, n, beta=beta, stretch_axes="xy")
+
+
+@pytest.mark.parametrize("method", [Method.CG, Method.BICGSTAB])
+def test_adjoint_matches_fd_nonuniform(method, rng):
+    """Consistent-scheme (stretched-grid) adjoint: L = D⁻¹S is SPD in the
+    V-weighted inner product, so the transpose solve is the
+    volume-conjugated forward solve — gradients w.r.t. BOTH rhs and the
+    x0 boundary-mirror term must match FD (r4 verdict item 6)."""
+    from cfd_tpu.solvers.poisson.nonuniform import NonuniformPoissonProblem
+    prob = NonuniformPoissonProblem.from_grid(_stretched_grid())
+    solve = make_adjoint_poisson(prob, TIGHT, method)
+    w = _rand(rng, prob.shape)
+    x0 = _rand(rng, prob.shape)
+    rhs = prob.zero_boundary(_rand(rng, prob.shape))
+
+    def loss(x0, rhs):
+        return jnp.sum(w * solve(x0, rhs).x)
+
+    # BiCGSTAB's non-monotone iteration path makes its ~1e-8-residual
+    # primal noisy under FD perturbation (the quotient amplifies solve
+    # noise by 1/2ε); a larger step + looser rtol keeps the check about
+    # the adjoint, not the primal (CG's smooth path needs neither).
+    eps, rtol = ((1e-4, 5e-4) if method == Method.BICGSTAB
+                 else (1e-6, 1e-4))
+    dirs = [prob.zero_boundary(_rand(rng, prob.shape)) for _ in range(2)]
+    _check_grads(loss, (x0, rhs), 1, dirs, rng, eps=eps, rtol=rtol)
+    _check_grads(loss, (x0, rhs), 0, [_rand(rng, prob.shape)], rng,
+                 eps=eps, rtol=rtol)
+
+
+def test_nonuniform_direct_natively_differentiable(rng):
+    from cfd_tpu.solvers.poisson.nonuniform import NonuniformPoissonProblem
+    prob = NonuniformPoissonProblem.from_grid(_stretched_grid())
+    solve = make_adjoint_poisson(prob, PoissonParams(), Method.FFT_DIRECT)
+    w = _rand(rng, prob.shape)
+    rhs = prob.zero_boundary(_rand(rng, prob.shape))
+
+    def loss(rhs):
+        return jnp.sum(w * solve(jnp.zeros(prob.shape), rhs).x)
+
+    g = jax.grad(loss)(rhs)
+    d = prob.zero_boundary(_rand(rng, prob.shape))
+    eps = 1e-6
+    fd = (float(loss(rhs + eps * d)) - float(loss(rhs - eps * d))) / (2 * eps)
+    assert float(jnp.vdot(g, d)) == pytest.approx(fd, rel=2e-5, abs=1e-9)
+
+
+def test_adjoint_nonuniform_rejects_stationary():
+    from cfd_tpu.core.status import CFDError
+    from cfd_tpu.solvers.poisson.nonuniform import NonuniformPoissonProblem
+    prob = NonuniformPoissonProblem.from_grid(_stretched_grid())
+    with pytest.raises(CFDError):
+        make_adjoint_poisson(prob, TIGHT, Method.REDBLACK_SOR)
+
+
+@pytest.mark.parametrize("method", [Method.FFT_DIRECT, Method.CG])
+def test_grad_through_consistent_projection_step(method, rng):
+    """End-to-end: differentiate one consistent-scheme projection step on
+    a tanh-stretched grid w.r.t. the initial velocity (the r4 verdict's
+    'the raise becomes a code path')."""
+    grid = _stretched_grid()
+    params = NSParams(source_amplitude_u=0.0, source_amplitude_v=0.0,
+                      nonuniform_scheme="consistent")
+    step = make_projection_step(grid, params, poisson_method=method,
+                                poisson_params=TIGHT, use_pallas=False,
+                                differentiable=True)
+    f0 = FlowField.quiescent(grid.nx, grid.ny)
+    rng_np = np.random.default_rng(3)
+    f0 = f0.replace(u=jnp.asarray(rng_np.normal(0, 0.1, grid.shape)),
+                    v=jnp.asarray(rng_np.normal(0, 0.1, grid.shape)))
+
+    def loss(u0):
+        f2, _ = step(f0.replace(u=u0), 0.005, 0)
+        return 0.5 * jnp.sum(f2.u ** 2 + f2.v ** 2)
+
+    g = jax.grad(loss)(f0.u)
+    assert np.isfinite(np.asarray(g)).all()
+    d = _rand(rng, f0.u.shape)
+    eps = 1e-6
+    fd = (float(loss(f0.u + eps * d))
+          - float(loss(f0.u - eps * d))) / (2 * eps)
+    assert float(jnp.vdot(g, d)) == pytest.approx(fd, rel=1e-4, abs=1e-9)

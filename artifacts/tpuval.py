@@ -36,6 +36,23 @@ def _mk_projection_direct(grid, params, dtype, use_pallas):
                                 poisson_method=Method.FFT_DIRECT)
 
 
+def _lid_refresh(u, v, w, t):
+    import jax.numpy as jnp
+    lid = 0.5 + 0.1 * jnp.sin(3.0 * t)
+    u = u.at[:, 0, :].set(0.0).at[:, -1, :].set(lid)
+    v = v.at[:, 0, :].set(0.0).at[:, -1, :].set(0.0)
+    return u, v, w
+
+
+def _mk_projection_bc_refresh(grid, params, dtype, use_pallas):
+    from cfd_tpu.solvers.ns.projection import make_projection_step
+    from cfd_tpu.solvers.poisson.base import Method
+    return make_projection_step(grid, params, dtype=dtype,
+                                use_pallas=use_pallas,
+                                poisson_method=Method.FFT_DIRECT,
+                                bc_refresh=_lid_refresh)
+
+
 def traj_diff(mk, dt, convection=False, stretched=False, scheme="parity",
               two_d=False):
     """RMS and max |Δu| between fused and jnp 50-step trajectories."""
@@ -175,6 +192,13 @@ CONFIGS = {
     # eigenbasis mats through the mega kernels).
     "projection_consistent": lambda: traj_diff(
         _mk_projection_direct, 1e-4, stretched=True, scheme="consistent"),
+    # r5: bc_refresh riding the fused paths — 3D (predictor kernels →
+    # hook → DST+Thomas-carry b̃ kernel → bwd TDMA → DST corrector) and
+    # 2D (two-pass split marching kernels).
+    "projection_bc_refresh": lambda: traj_diff(
+        _mk_projection_bc_refresh, 1e-4),
+    "projection_2d_bc_refresh": lambda: traj_diff(
+        _mk_projection_bc_refresh, 1e-4, two_d=True),
 }
 
 def main():

@@ -47,7 +47,7 @@ class Projection2DKernels:
                  emit="btilde", with_sources=True, interpret=False,
                  global_ny=None, beta=0.0, T_ref=0.0,
                  gravity=(0.0, 0.0, 0.0), dst_mats=None,
-                 dst_precision=None):
+                 dst_precision=None, split=False):
         """``global_ny``: sharded (y-decomposed) mode — the kernels operate
         on a halo-padded local row block of ``ny`` rows belonging to a
         global ``global_ny``-row domain; each kernel takes the shard's
@@ -70,7 +70,13 @@ class Projection2DKernels:
         the 2D twin of the 3D mega DST fusion (r4).  Requires the x mode
         dim to equal nx (nx % 1024 == 0), single-chip only.
         ``dst_precision`` sets the in-kernel contraction precision
-        (default HIGHEST, matching the eigen pipeline)."""
+        (default HIGHEST, matching the eigen pipeline).
+
+        ``split=True`` additionally builds the two-pass (``bc_refresh``)
+        kernels: ``pred_only`` (predictor sweep, no Poisson input) and
+        ``bt_only`` (b̃/rhs from the refreshed predictor state) — caller
+        BCs re-apply between the sweeps while both stay on the marching
+        engine.  Single-chip only; composes with ``dst_mats``."""
         self.shape = (ny, nx)
         self.global_ny = global_ny
         buoy = beta != 0.0
@@ -269,6 +275,8 @@ class Projection2DKernels:
             interpret=interpret)
 
         self.ok = self.pred_bt is not None and self.corr is not None
+        self.split_ok = (self.ok and self.pred_only is not None
+                         and self.bt_only is not None)
 
     # ---- step pieces -------------------------------------------------------
 
@@ -292,6 +300,23 @@ class Projection2DKernels:
         us, vs, ws, bt = self.pred_bt(s, u[0], v[0], w[0], *extra, p[0],
                                       *mats)
         return us[None], vs[None], ws[None], bt[None]
+
+    def predictor(self, u, v, w, dt, nu, src_u_amp, src_v_amp, T=None):
+        """Two-pass mode: (u*, v*, w*) only — caller BCs (``bc_refresh``)
+        re-apply before :meth:`poisson_input`.  Requires ``split=True``."""
+        s = jnp.stack([jnp.asarray(dt), jnp.asarray(nu),
+                       jnp.asarray(src_u_amp), jnp.asarray(src_v_amp)])
+        extra = (T[0].astype(u.dtype),) if self.buoyant else ()
+        us, vs, ws = self.pred_only(s, u[0], v[0], w[0], *extra)
+        return us[None], vs[None], ws[None]
+
+    def poisson_input(self, us, vs, p, rho_over_dt):
+        """Two-pass mode: b̃-or-rhs from the (refreshed) predictor state —
+        in DST mode the x-transformed b̃, as in the single-sweep kernel."""
+        s = jnp.asarray(rho_over_dt)[None]
+        mats = (self._fx,) if self.dst else ()
+        (bt,) = self.bt_only(s, vs[0], us[0], p[0], *mats)
+        return bt[None]
 
     def corrector(self, us, vs, p, dt_over_rho, y_offset=None):
         """(u, v) corrected; w is identity in 2D (handled by the caller).

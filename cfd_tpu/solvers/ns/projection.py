@@ -112,12 +112,14 @@ def make_projection_step(grid: Grid, params: NSParams, dtype=None,
     application the caller performs between steps makes the predictor's
     shell consistent with its interior and removes the deficit.
     ``t_next = (iter_idx + 1)·dt`` — the time level of the predictor
-    state.  On the fused 3D path the hook runs between the per-component
-    kernels (the mega-fused single-sweep variants are bypassed since they
-    form the Poisson input in the same sweep as the predictor).  The 2D
-    fused kernel is single-sweep only, so a 2D grid with ``bc_refresh``
-    falls back to the jnp body (a logged throughput cliff — pulsatile 2D
-    channels trade the ~2600-MLUPS kernel for the stale-shell fix).
+    state.  ``bc_refresh`` composes with the fused fast paths (r5): in 3D
+    the hook runs between the per-component predictor kernels and the
+    standalone b̃ kernel, which carries the same in-kernel DST transforms
+    (+ Thomas forward carry) as the mega sweep — only the single-sweep
+    mega predictor is bypassed, and the corrector keeps its fused
+    diagnostics; in 2D the two-pass split kernels (predictor sweep →
+    hook → b̃ sweep, `Projection2DKernels(split=True)`) keep the
+    marching-kernel fast path, DST fusion included.
     """
     if differentiable:
         if use_pallas or use_pallas_cg:
@@ -286,21 +288,14 @@ def make_projection_step(grid: Grid, params: NSParams, dtype=None,
     # ny block-divisible; same gating exclusions as 3D).
     proj2d = None
     btilde2d = None
+    split2d = bc_refresh is not None
     if (use_pallas and dtype == jnp.float32 and grid.nz == 1
-            and params.source_func is None and bc_refresh is not None
-            and not consistent):
-        from ...core.logging import warning as log_warning
-        log_warning("projection",
-                    "bc_refresh on a 2D grid disables the fused "
-                    "single-sweep kernel (no two-pass 2D variant exists); "
-                    "the step runs the jnp body")
-    if (use_pallas and dtype == jnp.float32 and grid.nz == 1
-            and params.source_func is None and bc_refresh is None
-            and not consistent):
+            and params.source_func is None and not consistent):
         from ...ops.pallas.projection2d import (Projection2DKernels,
                                                 projection2d_supported)
         if projection2d_supported(grid.ny, grid.nx,
-                                  buoyant=params.buoyancy_enabled):
+                                  buoyant=params.buoyancy_enabled,
+                                  split=split2d):
             import jax.lax as _lax
             from ..poisson.spectral import spectral_supported
             use_bt = (Method(poisson_method) == Method.FFT_DIRECT
@@ -309,14 +304,20 @@ def make_projection_step(grid: Grid, params: NSParams, dtype=None,
                 with_sources=(params.source_amplitude_u != 0.0
                               or params.source_amplitude_v != 0.0),
                 beta=params.beta, T_ref=params.T_ref,
-                gravity=params.gravity, interpret=pallas_interpret)
+                gravity=params.gravity, interpret=pallas_interpret,
+                split=split2d)
+
+            def accept2d(pk):
+                return pk.split_ok if split2d else pk.ok
+
             pk2 = None
             # DST-fused 2D path (r5, mirroring the 3D r4 structure): the
             # predictor emits the x-transformed b̃ in-kernel and the
             # corrector inverse-DSTs the pressure blocks on arrival —
             # only the TDMA-y line solve (+ dense low-mode rescue) runs
             # between the two sweeps; both standalone x-transform stages
-            # disappear from the step.
+            # disappear from the step.  With ``bc_refresh`` the two-pass
+            # split kernels carry the same in-kernel transforms.
             if (use_bt and spectral_precision
                     in (None, _lax.Precision.HIGHEST,
                         _lax.Precision.HIGH)):
@@ -325,7 +326,8 @@ def make_projection_step(grid: Grid, params: NSParams, dtype=None,
                 if (dst2d_fused_supported(problem)
                         and projection2d_supported(
                             grid.ny, grid.nx,
-                            buoyant=params.buoyancy_enabled, dst=True)):
+                            buoyant=params.buoyancy_enabled, dst=True,
+                            split=split2d)):
                     fxT, gxT, ysolve = make_dst2d_fused_pieces(
                         problem, dtype, interpret=pallas_interpret,
                         precision=(spectral_precision
@@ -334,14 +336,14 @@ def make_projection_step(grid: Grid, params: NSParams, dtype=None,
                         grid.ny, grid.nx, dx, dy, grid.xmin, grid.ymin,
                         dtype, emit="btilde", dst_mats=(fxT, gxT),
                         dst_precision=spectral_precision, **kern2_kwargs)
-                    if pk2d.ok:
+                    if accept2d(pk2d):
                         pk2 = pk2d
                         btilde2d = ysolve
             if pk2 is None:
                 pk2 = Projection2DKernels(
                     grid.ny, grid.nx, dx, dy, grid.xmin, grid.ymin, dtype,
                     emit="btilde" if use_bt else "rhs", **kern2_kwargs)
-                if pk2.ok and use_bt:
+                if accept2d(pk2) and use_bt:
                     from ..poisson.spectral import make_fft_btilde_solver
                     # z_mode="auto": at kernel-shaped sizes the TDMA
                     # y-stage (VMEM-resident Thomas solve) replaces the
@@ -352,7 +354,7 @@ def make_projection_step(grid: Grid, params: NSParams, dtype=None,
                         interpret=pallas_interpret,
                         **({} if spectral_precision is None
                            else {"precision": spectral_precision}))
-            if pk2.ok:
+            if accept2d(pk2):
                 proj2d = pk2
 
     # Fully fused predictor/divergence/corrector (float32 3D, no custom
@@ -383,7 +385,18 @@ def make_projection_step(grid: Grid, params: NSParams, dtype=None,
             # z-TDMA between the two sweeps (no standalone transform
             # stages, no full-field HBM round-trips).  HIGHEST-precision
             # contractions, matching the eigen/tdma pipelines.
-            if use_bt3 and bc_refresh is None:
+            # With ``bc_refresh`` the mega predictor is bypassed but the
+            # DST fusion survives: the standalone b̃ kernel carries the
+            # same in-kernel transforms (+ Thomas forward carry), so the
+            # refreshed path still runs predictor kernels → hook → b̃
+            # kernel → backward substitution → DST corrector.
+            def accept_dst(pk):
+                if bc_refresh is None:
+                    return pk.ok and pk.mega_ok
+                return (pk.ok and pk.corr_all is not None
+                        and pk.btilde_k is not None)
+
+            if use_bt3:
                 import jax.lax as _lax
                 from ..poisson.spectral import (dst_fused_supported,
                                                 make_dst_fused_pieces)
@@ -409,7 +422,7 @@ def make_projection_step(grid: Grid, params: NSParams, dtype=None,
                         grid.xmin, grid.ymin, dtype, emit="btilde",
                         dst_mats=mats, tdma_fwd=tfwd,
                         dst_precision=spectral_precision, **kern_kwargs)
-                    if pk_dst.ok and pk_dst.mega_ok:
+                    if accept_dst(pk_dst):
                         pk = pk_dst
                         btilde_pipeline = zbwd
                         dst_fused = True
@@ -422,7 +435,7 @@ def make_projection_step(grid: Grid, params: NSParams, dtype=None,
                             dst_mats=mats,
                             dst_precision=spectral_precision,
                             **kern_kwargs)
-                        if pk_dst.ok and pk_dst.mega_ok:
+                        if accept_dst(pk_dst):
                             pk = pk_dst
                             btilde_pipeline = zsolve
                             dst_fused = True
@@ -543,12 +556,17 @@ def make_projection_step(grid: Grid, params: NSParams, dtype=None,
                 us, vs, ws = bc_refresh(us, vs, ws, (iter_idx + 1) * dt)
             pin = None
 
+        kernel_diag = proj_kernels.corr_all is not None
         if dst_fused:
             # pin is the xy-transformed b̃ (or its pre-swept (d′, t)
             # pair); only the z line solve (or just its backward
             # substitution) runs between the two mega sweeps, and the
             # corrector inverse-transforms x̂ in its streaming window,
-            # returning the physical pressure as a fourth output.
+            # returning the physical pressure as a fourth output.  On the
+            # bc_refresh (non-mega) path the standalone b̃ kernel emits
+            # the same transformed pin after the hook runs.
+            if pin is None:
+                pin = proj_kernels.btilde(us, vs, ws, field.p, rho0 / dt)
             xhat = (btilde_pipeline(*pin) if isinstance(pin, tuple)
                     else btilde_pipeline(pin))
             residual = jnp.zeros((), dtype)
@@ -571,7 +589,7 @@ def make_projection_step(grid: Grid, params: NSParams, dtype=None,
                 residual = pres.final_residual
                 poisson_ok = pres.status == 0
 
-            if mega:
+            if kernel_diag:
                 u, v, w, m2i, pmaxi, pabsi = proj_kernels.corrector_diag(
                     us, vs, ws, p_new, dt / rho0)
             else:
@@ -587,7 +605,7 @@ def make_projection_step(grid: Grid, params: NSParams, dtype=None,
             new_field = new_field.replace(
                 T=apply_thermal_bcs(new_field.T, params.thermal_bc))
 
-        if mega:
+        if kernel_diag:
             # Fused diagnostics: kernel max-reductions cover the interior
             # planes; fold in the two z-shell planes with cheap face maxima
             # (exact parity with field_status_and_diagnostics).
@@ -621,10 +639,20 @@ def make_projection_step(grid: Grid, params: NSParams, dtype=None,
         rho0 = field.rho[0, 0, 0]
         rho0 = jnp.where(rho0 < 1e-10, 1.0, rho0)
 
-        us, vs, ws, pin = proj2d.predictor_and_poisson_input(
-            field.u, field.v, field.w, field.p, dt, params.mu,
-            params.source_amplitude_u * decay,
-            params.source_amplitude_v * decay, rho0 / dt, T=field.T)
+        if bc_refresh is None:
+            us, vs, ws, pin = proj2d.predictor_and_poisson_input(
+                field.u, field.v, field.w, field.p, dt, params.mu,
+                params.source_amplitude_u * decay,
+                params.source_amplitude_v * decay, rho0 / dt, T=field.T)
+        else:
+            # Two-pass split kernels: predictor sweep → caller BC hook →
+            # b̃ sweep (the stale-shell fix at marching-kernel speed).
+            us, vs, ws = proj2d.predictor(
+                field.u, field.v, field.w, dt, params.mu,
+                params.source_amplitude_u * decay,
+                params.source_amplitude_v * decay, T=field.T)
+            us, vs, ws = bc_refresh(us, vs, ws, (iter_idx + 1) * dt)
+            pin = proj2d.poisson_input(us, vs, field.p, rho0 / dt)
 
         if btilde2d is not None:
             residual = jnp.zeros((), dtype)

@@ -179,6 +179,14 @@ def _configs():
     rows["proj_2d_y"] = (
         lambda: pair(g2, "projection", ("y",), dt=1e-3,
                      poisson_method=Method.FFT_DIRECT))
+    # r5: consistent-scheme (stretched x/y) projection through the
+    # z-sharded eigenbasis-fused mega kernels vs the single-chip
+    # eigenbasis-fused step (the sharded TDMA stage is un-fused, so
+    # expect ~1e-6-class f32 path differences, not bit equality).
+    rows["proj_z_consistent"] = (
+        lambda: pair(g3s, "projection", ("z",), dt=1e-3,
+                     params=NSParams(nonuniform_scheme="consistent"),
+                     poisson_method=Method.FFT_DIRECT))
     return rows
 
 

@@ -698,6 +698,123 @@ def ghia_gate(n: int = 128, steps: int = 20000, dt: float = 5e-4,
     return float(rms_u), float(rms_v)
 
 
+def dvd_gate(n: int = 128, dt: float = 5e-4, max_steps: int = 80000,
+             chunk: int = 4000):
+    """de Vahl Davis Ra=1e4 differentially heated cavity on-chip (f32)
+    through the FUSED 2D marching kernels with in-kernel Boussinesq +
+    energy — (u_max*, v_max*, Nu_avg, mlups) vs the published benchmark
+    (16.178, 19.617, 2.238; `test_natural_convection.c:14-22`).
+
+    Mirrors what the Ghia Re=1000 row does for the isothermal path: the
+    thermal/buoyant configuration is graded on the same fused code path
+    the throughput rows measure (round-4 verdict item 8).  The 81² f64
+    CPU tier of the same physics lives in
+    tests/validation/test_natural_convection.py; this row is the
+    128² f32 on-chip twin, marched to a kinetic-energy steady state."""
+    import sys
+    import time
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from jax import lax
+
+    from cfd_tpu import FlowField, Grid
+    from cfd_tpu.boundary import (BCType, DirichletValues, ThermalBCConfig,
+                                  apply_dirichlet_scalar)
+    from cfd_tpu.ops.pallas.projection2d import projection2d_supported
+    from cfd_tpu.solvers.ns import NSParams
+    from cfd_tpu.solvers.ns.projection import make_projection_step
+    from cfd_tpu.solvers.poisson.base import Method
+
+    assert projection2d_supported(n, n), \
+        "gate grid no longer dispatches the fused 2D kernels"
+    Ra, PR, L = 1e4, 0.71, 1.0
+    T_HOT, T_COLD, T_REF = 310.0, 290.0, 300.0
+    BETA, G = 0.003333, 9.81
+    nu_alpha = G * BETA * (T_HOT - T_COLD) * L ** 3 / Ra
+    alpha = float(np.sqrt(nu_alpha / PR))
+    nu = PR * alpha
+    dx = L / (n - 1)
+    assert dt < dx * dx / (4 * alpha), "dt exceeds thermal stability"
+
+    grid = Grid.uniform(n, n)
+    params = NSParams(
+        dt=dt, mu=nu, alpha=alpha, beta=BETA, T_ref=T_REF,
+        gravity=(0.0, -G, 0.0), max_iter=1,
+        source_amplitude_u=0.0, source_amplitude_v=0.0,
+        thermal_bc=ThermalBCConfig(
+            left=BCType.DIRICHLET, right=BCType.DIRICHLET,
+            top=BCType.NEUMANN, bottom=BCType.NEUMANN,
+            dirichlet_values=DirichletValues(left=T_HOT, right=T_COLD)))
+    step = make_projection_step(grid, params, dtype=jnp.float32,
+                                poisson_method=Method.FFT_DIRECT)
+    noslip = DirichletValues()
+
+    def one(i, carry):
+        field, worst = carry
+        field = field.replace(
+            u=apply_dirichlet_scalar(field.u, noslip),
+            v=apply_dirichlet_scalar(field.v, noslip))
+        field, res = step(field, dt, i)
+        return field, jnp.maximum(worst, jnp.abs(res.status))
+
+    @jax.jit
+    def run(field, start, n_steps):
+        field, worst = lax.fori_loop(start, start + n_steps, one,
+                                     (field, jnp.int32(0)))
+        ke = 0.5 * jnp.sum(field.u ** 2 + field.v ** 2)
+        return field, worst, ke
+
+    X = np.broadcast_to(np.asarray(grid.x)[None, None, :], grid.shape)
+    field0 = FlowField.quiescent(n, n, pressure=0.0,
+                                 dtype=jnp.float32).replace(
+        T=jnp.asarray(T_HOT - (T_HOT - T_COLD) * (X / L), jnp.float32))
+
+    # Marginal MLUPS via the Δ method (CLAUDE.md tunnel-timing rule):
+    # same jit, two budgets, difference cancels the fixed call overhead.
+    def timed(f, s, k):
+        t0 = time.perf_counter()
+        f2, worst, ke = run(f, jnp.int32(s), jnp.int32(k))
+        float(ke)
+        return time.perf_counter() - t0, f2, worst, ke
+
+    timed(field0, 0, 1)   # compile outside the timed pair
+    t_half, _, _, _ = timed(field0, 0, chunk // 2)
+    t_full, field, worst, ke = timed(field0, 0, chunk)
+    mlups = n * n * (chunk - chunk // 2) / (t_full - t_half) / 1e6
+    assert int(worst) == 0, "DVD run failed on-chip (early steps)"
+
+    # March to KE steady state (matches the pytest tier's criterion at
+    # the same per-step tolerance, scaled to this chunk size).
+    prev_ke = float(ke)
+    steps_done = chunk
+    while steps_done < max_steps:
+        _, field, worst, ke = timed(field, steps_done, chunk)
+        assert int(worst) == 0, "DVD run failed on-chip"
+        steps_done += chunk
+        ke = float(ke)
+        if abs(ke - prev_ke) / (prev_ke + 1e-10) < 1e-6 * chunk:
+            break
+        prev_ke = ke
+
+    vel_scale = L / alpha
+    ic = n // 2
+    u = np.asarray(field.u)[0]
+    v = np.asarray(field.v)[0]
+    T = np.asarray(field.T)[0]
+    # Even grid: the x=0.5 line is midway between columns ic-1 and ic.
+    umax = float(np.abs(0.5 * (u[:, ic - 1] + u[:, ic])).max() * vel_scale)
+    vmax = float(np.abs(0.5 * (v[ic - 1, :] + v[ic, :])).max() * vel_scale)
+    Ts = (T - T_COLD) / (T_HOT - T_COLD)
+    dTdx = (-3 * Ts[:, 0] + 4 * Ts[:, 1] - Ts[:, 2]) / (2 * dx)
+    nu_local = -dTdx * L
+    w = np.ones(n)
+    w[0] = w[-1] = 0.5
+    nu_avg = float((w * nu_local).sum() * dx / L)
+    return umax, vmax, nu_avg, steps_done, float(mlups)
+
+
 def main():
     from jax import lax
 
@@ -805,6 +922,21 @@ def main():
     out["ghia_re1000_mlups"] = round(mlups_1k, 1)
     out["ghia_re1000_config"] = \
         "Re=1000 512x512 f32 FUSED marching kernels, t=60 (<=1% gate)"
+
+    # Thermal/buoyant twin of the north-star gate: de Vahl Davis Ra=1e4
+    # through the fused 2D kernels w/ in-kernel Boussinesq+energy
+    # (round-4 verdict item 8; `test_natural_convection.c:14-22`).
+    umax_dvd, vmax_dvd, nu_dvd, dvd_steps, dvd_mlups = dvd_gate()
+    assert abs(umax_dvd - 16.178) / 16.178 < 0.04, umax_dvd
+    assert abs(vmax_dvd - 19.617) / 19.617 < 0.04, vmax_dvd
+    assert abs(nu_dvd - 2.238) / 2.238 < 0.04, nu_dvd
+    out["dvd_ra1e4_umax"] = round(umax_dvd, 3)
+    out["dvd_ra1e4_vmax"] = round(vmax_dvd, 3)
+    out["dvd_ra1e4_nu_avg"] = round(nu_dvd, 4)
+    out["dvd_ra1e4_mlups"] = round(dvd_mlups, 1)
+    out["dvd_ra1e4_config"] = (
+        f"Ra=1e4 128x128 f32 FUSED thermal kernels, KE-steady at "
+        f"{dvd_steps} steps (<=4% gate)")
 
     print(json.dumps(out))
 

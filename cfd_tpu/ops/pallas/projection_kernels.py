@@ -117,9 +117,11 @@ class ProjectionKernels:
         with ``emit='btilde'``).  ``dst_mats`` then carries the
         generalized eigenbasis factors
         (`nonuniform.make_nonuniform_fused_pieces`) instead of sines —
-        the kernels don't care which.  Single-chip, mega kernels only
-        (``ok`` stays False: the per-component kernels keep uniform
-        constants); z stays uniform (framework-wide rule)."""
+        the kernels don't care which.  Mega kernels only (``ok`` stays
+        False: the per-component kernels keep uniform constants);
+        composes with ``global_nz`` (z-sharded — the x/y weight pins are
+        z-invariant, so every shard pins the same planes) but not
+        ``global_ny``; z stays uniform (framework-wide rule)."""
         self.shape = (nz, ny, nx)
         self.global_nz = global_nz
         self.global_ny = global_ny
@@ -158,8 +160,14 @@ class ProjectionKernels:
         self._pred_pins = ()
         self._corr_pins = ()
         if consistent:
-            if global_nz is not None or global_ny is not None:
-                raise ValueError("stretch_consistent is single-chip only")
+            # z-sharded composition is sound: the consistent weights are
+            # x/y per-point planes, identical on every z plane, so the
+            # same pins serve every shard; only y sharding would need
+            # row-sliced pins (as the euler/RK kernels do) and stays
+            # unsupported here.
+            if global_ny is not None:
+                raise ValueError("stretch_consistent does not support "
+                                 "y-sharded (global_ny) mode")
             if emit == "btilde" and face_coeffs is None:
                 raise ValueError("stretch_consistent with emit='btilde' "
                                  "needs face_coeffs")

@@ -269,6 +269,19 @@ def fused_sharded_unsupported_reason(grid: Grid, params: NSParams,
         return f"fused kernels are float32-only (got {dtype})"
     if params.source_func is not None:
         return "custom source callables use the jnp path"
+    consistent = (params.nonuniform_scheme == "consistent"
+                  and not (grid.is_uniform("x") and grid.is_uniform("y")))
+    if consistent:
+        # consistent-scheme: eigenbasis-fused mega kernels on a z-only
+        # mesh (r5) — the 2D marching kernels and the y-sharded row
+        # slicing evaluate the uniform operator and stay jnp here
+        if grid.nz <= 2:
+            return ("no fused sharded 2D consistent-scheme projection "
+                    "(the 2D marching kernels are uniform-only)")
+        sizes = _mesh_zy_sizes(mesh)
+        if sizes is not None and sizes[1] > 1:
+            return ("consistent-scheme fused sharded projection needs a "
+                    "z-only mesh")
     if grid.nz <= 2:
         # 2D path: y-decomposition feeding the block-marching kernels.
         from ..ops.pallas.projection2d import projection2d_supported
@@ -355,18 +368,66 @@ def make_fused_sharded_projection_step(grid: Grid, params: NSParams,
     nzl = nz // n_shards
 
     from ..ops.pallas.projection_kernels import ProjectionKernels
-    pk = ProjectionKernels(nzl + 2, ny, nx, grid.dx0, grid.dy0, grid.dz0,
-                           grid.xmin, grid.ymin, dtype,
-                           beta=params.beta, T_ref=params.T_ref,
-                           gravity=params.gravity,
-                           interpret=interpret, global_nz=nz)
-    if not (pk.ok and pk.btilde_k is not None):
-        raise ValueError("fused sharded projection: kernel build failed")
+    consistent = (params.nonuniform_scheme == "consistent"
+                  and not (grid.is_uniform("x") and grid.is_uniform("y")))
+    pk = None
+    if not consistent:
+        pk = ProjectionKernels(nzl + 2, ny, nx, grid.dx0, grid.dy0,
+                               grid.dz0, grid.xmin, grid.ymin, dtype,
+                               beta=params.beta, T_ref=params.T_ref,
+                               gravity=params.gravity,
+                               interpret=interpret, global_nz=nz)
+        if not (pk.ok and pk.btilde_k is not None):
+            raise ValueError("fused sharded projection: kernel build "
+                             "failed")
 
-    problem = PoissonProblem(nx, ny, nz, grid.dx0, grid.dy0, grid.dz0)
+    if consistent:
+        from ..solvers.poisson.nonuniform import NonuniformPoissonProblem
+        problem = NonuniformPoissonProblem.from_grid(grid)
+    else:
+        problem = PoissonProblem(nx, ny, nz, grid.dx0, grid.dy0, grid.dz0)
     pencil = cg_local = None
     pk_dst = zsolve_local = None
-    if poisson_method == Method.FFT_DIRECT:
+    if consistent:
+        # Consistent-scheme (stretched x/y) z-sharded projection (r5):
+        # the eigenbasis-fused mega kernels run per shard exactly like
+        # the uniform DST family — the generalized-eigenbasis xy
+        # transforms are plane-local under z decomposition and the
+        # consistent weight pins are z-invariant — with the z line solve
+        # over the generalized eigenvalue sums as the only cross-shard
+        # stage.  FFT_DIRECT only: the fused CG/BiCGSTAB kernels
+        # evaluate the uniform operator (the jnp GSPMD fallback carries
+        # the FV-symmetrized Krylov solves).
+        from ..ops.pallas.stretch import stretch_spacing_ok
+        from ..solvers.poisson.nonuniform import (
+            make_nonuniform_fused_sharded_pieces, nonuniform_face_coeffs,
+            nonuniform_fused_sharded_supported)
+        if poisson_method != Method.FFT_DIRECT:
+            raise ValueError(
+                "consistent-scheme fused sharded projection supports the "
+                f"FFT_DIRECT pressure solve only (got {poisson_method})")
+        if not (nonuniform_fused_sharded_supported(problem, n_shards)
+                and stretch_spacing_ok(grid.dx, grid.dy)):
+            raise ValueError(
+                "consistent-scheme fused sharded projection: eigenbasis-"
+                f"fused shapes unsupported for ({nz}, {ny}, {nx}) over "
+                f"{n_shards} shards")
+        mats, zs = make_nonuniform_fused_sharded_pieces(
+            problem, n_shards, axis_name="z", dtype=dtype,
+            interpret=interpret)
+        pk_try = ProjectionKernels(
+            nzl + 2, ny, nx, grid.dx0, grid.dy0, grid.dz0,
+            grid.xmin, grid.ymin, dtype, emit="btilde",
+            beta=params.beta, T_ref=params.T_ref,
+            gravity=params.gravity, interpret=interpret,
+            global_nz=nz, dst_mats=mats,
+            stretch_consistent=(grid.dx, grid.dy, grid.x, grid.y),
+            face_coeffs=nonuniform_face_coeffs(problem))
+        if not pk_try.mega_ok:
+            raise ValueError("consistent-scheme fused sharded projection:"
+                             " mega kernel build failed")
+        pk_dst, zsolve_local = pk_try, zs
+    elif poisson_method == Method.FFT_DIRECT:
         # DST-fused mega variant (r5): the xy transforms are plane-local
         # under z decomposition, so the single-chip mega kernels run per
         # shard (in-kernel forward DST in the ±2-window predictor,
@@ -408,7 +469,8 @@ def make_fused_sharded_projection_step(grid: Grid, params: NSParams,
     elif pk_dst is None:
         pencil = make_btilde_pipeline_sharded(problem, "z", n_shards, dtype)
     energy_step = make_energy_step(grid, params.alpha,
-                                   params.heat_source_func)
+                                   params.heat_source_func,
+                                   scheme=params.nonuniform_scheme)
 
     fwd = [(i, i + 1) for i in range(n_shards - 1)]
     bwd = [(i + 1, i) for i in range(n_shards - 1)]

@@ -259,6 +259,42 @@ def make_nonuniform_fused_pieces(problem: NonuniformPoissonProblem,
     return mats, zfn
 
 
+def nonuniform_fused_sharded_supported(problem: NonuniformPoissonProblem,
+                                       n_shards: int) -> bool:
+    """Whether the z-sharded eigenbasis-fused projection applies — the
+    same geometry gate as the uniform DST-fused sharded path (the dense
+    generalized eigenbasis has the same shapes as the sine matrices)."""
+    from .spectral import dst_fused_sharded_supported
+    return dst_fused_sharded_supported(problem, n_shards)
+
+
+def make_nonuniform_fused_sharded_pieces(problem: NonuniformPoissonProblem,
+                                         n_shards: int,
+                                         axis_name: str = "z",
+                                         dtype=jnp.float32,
+                                         use_kernel: bool = True,
+                                         interpret: bool = False):
+    """z-sharded twin of :func:`make_nonuniform_fused_pieces` for use
+    inside ``shard_map`` — the consistent-scheme analog of
+    `spectral.make_dst_fused_sharded_pieces`: the generalized-eigenbasis
+    xy transforms stay in the per-shard mega kernels (plane-local under z
+    decomposition), and the returned ``zsolve_local`` runs the z line
+    solve as two y-pencil ``all_to_all``s around a runtime-μ TDMA over
+    the generalized eigenvalue sums (z stays uniform framework-wide, so
+    the Thomas coefficients are the uniform ``w = 1/dz²``)."""
+    P = int(n_shards)
+    if not nonuniform_fused_sharded_supported(problem, P):
+        raise ValueError("eigenbasis-fused sharded pieces unsupported for "
+                         "this (problem, n_shards)")
+    np_dt = np.dtype(dtype)
+    mats, mu_np, w = _nonuniform_fused_mats(problem, np_dt)
+    from .spectral import _make_sharded_zsolve
+    zsolve_local = _make_sharded_zsolve(
+        mu_np.astype(np_dt), w, problem.nz, problem.ny, problem.nx, P,
+        axis_name, dtype, use_kernel, interpret)
+    return mats, zsolve_local
+
+
 def make_nonuniform_direct(problem: NonuniformPoissonProblem,
                            params: PoissonParams = None,
                            dtype=None, precision=None):

@@ -447,12 +447,25 @@ def make_dst_fused_sharded_pieces(problem: PoissonProblem, n_shards: int,
                          "(problem, n_shards)")
     np_dt = np.dtype(dtype)
     mats, mu_np, w = _dst_fused_mats(problem, np_dt)
-    nx, ny, nz = problem.nx, problem.ny, problem.nz
-    nyl = ny // P
-    mu_host = mu_np.astype(np_dt)   # numpy held, converted per trace
+    zsolve_local = _make_sharded_zsolve(
+        mu_np.astype(np_dt), w, problem.nz, problem.ny, problem.nx, P,
+        axis_name, dtype, use_kernel, interpret)
+    return mats, zsolve_local
 
+
+def _make_sharded_zsolve(mu_host, w, nz, ny, nx, P, axis_name,
+                         dtype=jnp.float32, use_kernel: bool = True,
+                         interpret: bool = False):
+    """Shared z-line-solve stage of the sharded transform-fused
+    projections: two y-pencil ``all_to_all``s around a runtime-μ TDMA on
+    (nz, ny/P, nx) slabs.  ``mu_host`` is the full (ny, nx) per-mode
+    eigenvalue plane held as host numpy (trace safety); each shard
+    dynamic-slices its own y rows at call time.  Used by both the uniform
+    DST pieces and the generalized-eigenbasis (consistent-scheme) twin —
+    the solve never cares which basis produced the modes."""
     from ...ops.pallas.tdma import make_tdma_z, tdma_z_reference
 
+    nyl = ny // P
     zfn = None
     if use_kernel and dtype == jnp.float32:
         zfn = make_tdma_z(nz, nyl, nx, None, w, jnp.float32,
@@ -474,7 +487,7 @@ def make_dst_fused_sharded_pieces(problem: PoissonProblem, n_shards: int,
                 else lax.all_to_all(x, axis_name, split_axis=0,
                                     concat_axis=1, tiled=True))
 
-    return mats, zsolve_local
+    return zsolve_local
 
 
 def _make_btilde_pipeline_tdma(problem: PoissonProblem, precision,

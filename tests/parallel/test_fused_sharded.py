@@ -1390,3 +1390,128 @@ def test_dst_fused_sharded_convection_multi_step(dst_grid, zmesh):
                                    atol=3e-5, err_msg=name)
     np.testing.assert_allclose(np.asarray(fs.p), np.asarray(fr.p),
                                atol=2e-4)
+
+
+# ---------------------------------------------------------------------------
+# Consistent-scheme (stretched x/y) z-sharded projection (r5): the
+# eigenbasis-fused mega kernels per shard — nonuniform weight pins are
+# z-invariant, the generalized-eigenbasis xy transforms are plane-local —
+# with the z line solve over generalized eigenvalue sums as the only
+# cross-shard stage (`nonuniform.make_nonuniform_fused_sharded_pieces`).
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def cons_grid():
+    # nz % 8 with >= 2 planes/shard; ny % 8 == 0 with ny/8 slab rows for
+    # the y-pencil TDMA; nx % 128 == 0 for the marching kernels
+    return Grid.stretched(128, 64, 16, zmin=0.0, zmax=1.0, beta=1.5,
+                          stretch_axes="xy")
+
+
+def _cons_params(**kw):
+    return NSParams(nonuniform_scheme="consistent", **kw)
+
+
+def test_consistent_sharded_selected(cons_grid, zmesh, monkeypatch):
+    """The eigenbasis-fused branch is picked for consistent-scheme
+    stretched grids on a z mesh (and the parity scheme keeps the uniform
+    DST family)."""
+    import cfd_tpu.solvers.poisson.nonuniform as nonuniform_mod
+
+    calls = []
+    orig = nonuniform_mod.make_nonuniform_fused_sharded_pieces
+
+    def spy(*a, **k):
+        calls.append(a)
+        return orig(*a, **k)
+
+    monkeypatch.setattr(nonuniform_mod,
+                        "make_nonuniform_fused_sharded_pieces", spy)
+    make_fused_sharded_projection_step(cons_grid, _cons_params(), zmesh)
+    assert len(calls) == 1
+
+
+def test_consistent_sharded_matches_jnp(cons_grid, zmesh):
+    """One step of the consistent-scheme sharded mega path vs the
+    single-device jnp consistent step (exact 3-point operators +
+    generalized-eigenbasis direct solve)."""
+    params = _cons_params()
+    f = _random_field(cons_grid, seed=41)
+
+    ref_step = jax.jit(make_projection_step(
+        cons_grid, params, dtype=jnp.float32, use_pallas=False,
+        poisson_method=Method.FFT_DIRECT))
+    f_ref, res_ref = ref_step(f, 0.001, 0)
+
+    step, place = make_sharded_step(cons_grid, params, zmesh,
+                                    "projection", use_pallas=True,
+                                    dtype=jnp.float32)
+    f_out, res = step(place(f), 0.001, 0)
+    assert int(res.status) == int(res_ref.status) == 0
+    assert len(f_out.u.sharding.device_set) == 8
+    for name in ("u", "v", "w"):
+        np.testing.assert_allclose(np.asarray(getattr(f_out, name)),
+                                   np.asarray(getattr(f_ref, name)),
+                                   atol=5e-5, err_msg=name)
+    np.testing.assert_allclose(np.asarray(f_out.p), np.asarray(f_ref.p),
+                               atol=5e-4)
+
+
+@pytest.mark.heavy
+def test_consistent_sharded_buoyant_multi_step(cons_grid, zmesh):
+    """Three buoyant consistent-scheme steps (energy + Boussinesq on the
+    stretched grid — the consistent thermal stencils ride the same
+    scheme) track the jnp integrator."""
+    from cfd_tpu.boundary.types import (BCType, DirichletValues,
+                                        ThermalBCConfig)
+
+    thermal = ThermalBCConfig(
+        left=BCType.DIRICHLET, right=BCType.DIRICHLET,
+        bottom=BCType.NEUMANN, top=BCType.NEUMANN,
+        dirichlet_values=DirichletValues(left=305.0, right=295.0))
+    params = _cons_params(
+        source_amplitude_u=0.0, source_amplitude_v=0.0,
+        alpha=1e-3, beta=0.05, T_ref=300.0,
+        gravity=(0.0, -9.81, 0.05), thermal_bc=thermal)
+    rng = np.random.default_rng(47)
+    f = _random_field(cons_grid, seed=43)
+    f = f.replace(T=jnp.asarray(
+        300.0 + rng.normal(0, 1.0, cons_grid.shape), jnp.float32))
+
+    ref_step = jax.jit(make_projection_step(
+        cons_grid, params, dtype=jnp.float32, use_pallas=False,
+        poisson_method=Method.FFT_DIRECT))
+    step, place = make_sharded_step(cons_grid, params, zmesh,
+                                    "projection", use_pallas=True,
+                                    dtype=jnp.float32)
+    fr, fs = f, place(f)
+    for i in range(3):
+        fr, _ = ref_step(fr, 0.001, i)
+        fs, res = step(fs, 0.001, i)
+    assert int(res.status) == 0
+    for name in ("u", "v", "w", "T"):
+        np.testing.assert_allclose(np.asarray(getattr(fs, name)),
+                                   np.asarray(getattr(fr, name)),
+                                   atol=3e-4, err_msg=name)
+    np.testing.assert_allclose(np.asarray(fs.p), np.asarray(fr.p),
+                               atol=3e-3)
+
+
+def test_consistent_sharded_unsupported_reasons(zmesh):
+    """Krylov methods and non-z meshes decline cleanly (jnp GSPMD
+    fallback carries the FV-symmetrized solves)."""
+    g = Grid.stretched(128, 64, 16, zmin=0.0, zmax=1.0, beta=1.5,
+                       stretch_axes="xy")
+    with pytest.raises(ValueError, match="FFT_DIRECT"):
+        make_fused_sharded_projection_step(
+            g, _cons_params(), zmesh, poisson_method=Method.CG)
+    zy = _zy_mesh(2, 4)
+    reason = fused_sharded_unsupported_reason(
+        g, _cons_params(), zy, jnp.float32)
+    assert reason is not None and "z-only" in reason
+    g2d = Grid.stretched(128, 64, 1, beta=1.5, stretch_axes="xy")
+    ymesh = make_mesh(axes=("y",))
+    reason = fused_sharded_unsupported_reason(
+        g2d, _cons_params(), ymesh, jnp.float32)
+    assert reason is not None and "2D consistent" in reason

@@ -124,6 +124,27 @@ def proj_dst_fused_diff():
     return {"rms_u": rms}
 
 
+def proj_dst_high_diff():
+    """``spectral_precision=HIGH`` through the DST-fused mega family.
+
+    Mosaic only lowers DEFAULT/HIGHEST dot precisions, so the in-kernel
+    HIGH transforms run as a manual bf16_3x split
+    (`ops/pallas/rolling.hp_dot_general`) — a distinct compiled family
+    that needs its own on-chip row.  Records one-step HIGH-vs-HIGHEST
+    deltas relative to the pressure scale (expected 1e-5-class: the
+    dropped lo·lo term is O(2^-16))."""
+    g = Grid.uniform(N, N, N, zmin=0.0, zmax=1.0)
+    f = bench._tg_field(g.shape)
+    hi = jax.jit(bench._make_step(g))
+    lo = jax.jit(bench._make_step(g, spectral_precision=lax.Precision.HIGH))
+    fh, rh = hi(f, 1e-3, 0)
+    fl, rl = lo(f, 1e-3, 0)
+    assert int(rh.status) == 0 and int(rl.status) == 0
+    pscale = float(jnp.max(jnp.abs(fh.p)))
+    return {"rel_dp": float(jnp.max(jnp.abs(fl.p - fh.p))) / pscale,
+            "max_du": float(jnp.max(jnp.abs(fl.u - fh.u)))}
+
+
 def tdma2d_diff():
     """Compiled (Mosaic) 2D TDMA-y pipeline vs the eigen pipeline on the
     real chip, at the sizes the auto gate enables it for (round-3 advice:
@@ -187,6 +208,9 @@ CONFIGS = {
     # ("projection" now forces the emit-b̃ + full-TDMA fallback so both
     # production families carry an on-chip row).
     "projection_dst_fused": proj_dst_fused_diff,
+    # r5: HIGH precision as manual bf16_3x in-kernel dots (Mosaic lowers
+    # only DEFAULT/HIGHEST — lax HIGH crashes the real-chip compile).
+    "projection_dst_fused_high": proj_dst_high_diff,
     # r5: the eigenbasis-fused consistent-scheme projection on a
     # tanh-stretched x/y grid (nonuniform weight pins + generalized
     # eigenbasis mats through the mega kernels).

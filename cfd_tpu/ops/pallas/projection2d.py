@@ -93,8 +93,13 @@ class Projection2DKernels:
         dst_prec = dst_precision or jax.lax.Precision.HIGHEST
 
         def block_dot(block, mat):
-            """block · mat — one x DST stage on the MXU."""
-            return jax.lax.dot_general(
+            """block · mat — one x DST stage on the MXU.
+
+            Routed through :func:`rolling.hp_dot_general` so HIGH lowers
+            as a manual bf16_3x (Mosaic only lowers DEFAULT/HIGHEST).
+            """
+            from .rolling import hp_dot_general
+            return hp_dot_general(
                 block, mat, (((1,), (0,)), ((), ())),
                 precision=dst_prec, preferred_element_type=dtype)
         gn = ny if global_ny is None else global_ny

@@ -183,11 +183,16 @@ class ProjectionKernels:
         dst_prec = dst_precision or jax.lax.Precision.HIGHEST
 
         def plane_dot_rl(plane, right, left):
-            """left · (plane · right) — one xy DST stage pair on the MXU."""
-            t = jax.lax.dot_general(
+            """left · (plane · right) — one xy DST stage pair on the MXU.
+
+            Routed through :func:`rolling.hp_dot_general` so HIGH lowers
+            as a manual bf16_3x (Mosaic only lowers DEFAULT/HIGHEST).
+            """
+            from .rolling import hp_dot_general
+            t = hp_dot_general(
                 plane, right, (((1,), (0,)), ((), ())),
                 precision=dst_prec, preferred_element_type=dtype)
-            return jax.lax.dot_general(
+            return hp_dot_general(
                 left, t, (((1,), (0,)), ((), ())),
                 precision=dst_prec, preferred_element_type=dtype)
         inv_2dx = 1.0 / (2.0 * dx)

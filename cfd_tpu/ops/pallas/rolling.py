@@ -39,6 +39,37 @@ from jax.experimental.pallas import tpu as pltpu
 _VMEM_BUDGET = 110 * 1024 * 1024
 
 
+def hp_dot_general(a, b, dimension_numbers, precision,
+                   preferred_element_type=jnp.float32):
+    """``lax.dot_general`` with a Mosaic-lowerable ``Precision.HIGH``.
+
+    Mosaic's dot lowering supports only DEFAULT and HIGHEST
+    (jax 0.9 ``pallas/mosaic/lowering.py``: "Unsupported dot precision:
+    HIGH" on the real chip — interpret mode never sees it).  HIGH
+    (bf16_3x) is built manually: split each f32 operand into a bf16
+    high part plus a bf16 residual and accumulate the three dominant
+    cross products on the MXU in f32.  The dropped lo·lo term is
+    O(2^-16) relative — exactly the bf16_3x semantics XLA gives
+    ``Precision.HIGH`` on TPU, at 3 MXU passes instead of HIGHEST's 6.
+    """
+    if precision != jax.lax.Precision.HIGH:
+        return jax.lax.dot_general(
+            a, b, dimension_numbers, precision=precision,
+            preferred_element_type=preferred_element_type)
+    f32 = jnp.float32
+    ah = a.astype(jnp.bfloat16)
+    al = (a.astype(f32) - ah.astype(f32)).astype(jnp.bfloat16)
+    bh = b.astype(jnp.bfloat16)
+    bl = (b.astype(f32) - bh.astype(f32)).astype(jnp.bfloat16)
+
+    def dot(x, y):
+        return jax.lax.dot_general(
+            x, y, dimension_numbers,
+            preferred_element_type=preferred_element_type)
+
+    return dot(ah, bh) + dot(ah, bl) + dot(al, bh)
+
+
 def rolling_supported(nz: int, ny: int, nx: int, n_halo: int, n_plane: int,
                       n_out: int, halo_window: int = 1) -> bool:
     if nz < 3 or nx % 128 != 0 or ny % 8 != 0:

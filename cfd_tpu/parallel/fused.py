@@ -326,7 +326,8 @@ def make_fused_sharded_projection_step(grid: Grid, params: NSParams,
                                        mesh: Mesh, dtype=jnp.float32,
                                        poisson_params=None,
                                        poisson_method=None,
-                                       interpret: bool = None):
+                                       interpret: bool = None,
+                                       spectral_precision=None):
     """Build (field, dt, iter) → (field, StepResult), z-sharded over mesh.
 
     ``poisson_method`` (default FFT_DIRECT) picks the distributed pressure
@@ -335,6 +336,13 @@ def make_fused_sharded_projection_step(grid: Grid, params: NSParams,
     dots), honoring ``poisson_params``, for cases that must iterate.
     ``interpret`` defaults to True off-TPU so the same program runs on
     virtual CPU meshes (tests, driver dryrun).
+    ``spectral_precision`` (default HIGHEST) sets the in-kernel xy
+    transform precision on the DST-fused mega variant, mirroring the
+    single-chip ``make_projection_step`` knob — HIGH runs the 3-pass
+    bf16 split (`ops/pallas/rolling.hp_dot_general`) per shard for the
+    ~1.4× step speedup at ~2e-5 relative pressure error.  Only the
+    per-shard xy transforms are affected (the cross-shard z line solve
+    stays f32); the non-DST-fused fallbacks ignore it (exact HIGHEST).
     """
     from ..solvers.poisson.base import Method, PoissonParams
 
@@ -421,6 +429,7 @@ def make_fused_sharded_projection_step(grid: Grid, params: NSParams,
             beta=params.beta, T_ref=params.T_ref,
             gravity=params.gravity, interpret=interpret,
             global_nz=nz, dst_mats=mats,
+            dst_precision=spectral_precision,
             stretch_consistent=(grid.dx, grid.dy, grid.x, grid.y),
             face_coeffs=nonuniform_face_coeffs(problem))
         if not pk_try.mega_ok:
@@ -446,7 +455,8 @@ def make_fused_sharded_projection_step(grid: Grid, params: NSParams,
                 grid.xmin, grid.ymin, dtype, emit="btilde",
                 beta=params.beta, T_ref=params.T_ref,
                 gravity=params.gravity, interpret=interpret,
-                global_nz=nz, dst_mats=mats)
+                global_nz=nz, dst_mats=mats,
+                dst_precision=spectral_precision)
             if pk_try.mega_ok:
                 pk_dst, zsolve_local = pk_try, zs
     if poisson_method == Method.CG:

@@ -177,7 +177,8 @@ def make_sharded_raw_step(grid: Grid, params: NSParams, mesh: Mesh,
                         grid, params, mesh, dtype=dtype,
                         poisson_params=kw.get("poisson_params"),
                         poisson_method=pm,
-                        interpret=kw.get("pallas_interpret")))
+                        interpret=kw.get("pallas_interpret"),
+                        spectral_precision=kw.get("spectral_precision")))
                 except ValueError as e:
                     reason = str(e)
             fallback(reason)

@@ -78,9 +78,9 @@ def test_consistent_kernels_mega_only():
         stretch_consistent=(g.dx, g.dy, g.x, g.y),
         face_coeffs=nonuniform_face_coeffs(prob))
     assert pk.mega_ok and not pk.ok  # per-component kernels not built
-    with pytest.raises(ValueError):
+    with pytest.raises(ValueError):  # y-sharded pins stay unsupported
         ProjectionKernels(g.nz, g.ny, g.nx, g.dx0, g.dy0, g.dz0,
-                          g.xmin, g.ymin, interpret=True, global_nz=32,
+                          g.xmin, g.ymin, interpret=True, global_ny=32,
                           stretch_consistent=(g.dx, g.dy, g.x, g.y),
                           face_coeffs=(1.0, 1.0, 1.0, 1.0))
     with pytest.raises(ValueError):  # btilde needs the face coefficients

@@ -10,6 +10,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
+from jax import lax
 
 from cfd_tpu import FlowField, Grid
 from cfd_tpu.parallel import make_mesh, make_sharded_step
@@ -1353,6 +1354,42 @@ def test_dst_fused_sharded_matches_jnp(dst_grid, zmesh):
                                    atol=5e-6, err_msg=name)
     np.testing.assert_allclose(np.asarray(f_out.p), np.asarray(f_ref.p),
                                atol=5e-5)
+
+
+def test_dst_fused_sharded_high_precision(dst_grid, zmesh):
+    """``spectral_precision=HIGH`` rides the sharded DST-fused path (r5):
+    the per-shard in-kernel xy transforms run the 3-pass bf16 split
+    (`rolling.hp_dot_general`), mirroring the single-chip knob.  The
+    dropped lo·lo term is O(2^-16) relative — assert the bf16_3x-scale
+    agreement with the exact (HIGHEST) jnp reference, and that the knob
+    actually changes the answer (i.e. it reached the kernels)."""
+    params = NSParams()
+    f = _random_field(dst_grid, seed=21)
+
+    ref_step = jax.jit(make_projection_step(
+        dst_grid, params, dtype=jnp.float32,
+        poisson_method=Method.FFT_DIRECT))
+    f_ref, res_ref = ref_step(f, 0.001, 0)
+
+    step, place = make_sharded_step(dst_grid, params, zmesh, "projection",
+                                    use_pallas=True, strict=True,
+                                    dtype=jnp.float32,
+                                    spectral_precision=lax.Precision.HIGH)
+    f_out, res = step(place(f), 0.001, 0)
+    assert int(res.status) == int(res_ref.status) == 0
+    pscale = float(jnp.max(jnp.abs(f_ref.p)))
+    dp = float(jnp.max(jnp.abs(f_out.p - f_ref.p)))
+    assert dp / pscale < 2e-4  # bf16_3x class (measured ~2e-5 at 256³)
+    for name in ("u", "v", "w"):
+        np.testing.assert_allclose(np.asarray(getattr(f_out, name)),
+                                   np.asarray(getattr(f_ref, name)),
+                                   atol=2e-4, err_msg=name)
+    # HIGHEST run differs → the precision knob reached the in-kernel dots
+    step_hi, _ = make_sharded_step(dst_grid, params, zmesh, "projection",
+                                   use_pallas=True, strict=True,
+                                   dtype=jnp.float32)
+    f_hi, _ = step_hi(place(f), 0.001, 0)
+    assert float(jnp.max(jnp.abs(f_hi.p - f_out.p))) > 0.0
 
 
 @pytest.mark.heavy

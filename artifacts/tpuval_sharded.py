@@ -77,14 +77,15 @@ def _run_steps(step, f, dt):
 
 
 def pair(grid, method, mesh_axes, params=None, dt=1e-4, tol=1e-5,
-         poisson_method=None, pparams=None, want_status=False):
+         poisson_method=None, pparams=None, want_status=False,
+         extra_kw=None):
     """3 sharded steps vs 3 single-chip fused steps; max |Δ| over
     (u, v, w, T) and over p."""
     params = params or NSParams()
     mk = _MAKERS[method]
-    kw = {}
+    kw = dict(extra_kw or {})
     if poisson_method is not None:
-        kw = dict(poisson_method=poisson_method, poisson_params=pparams)
+        kw.update(poisson_method=poisson_method, poisson_params=pparams)
     ref_step = jax.jit(mk(grid, params, dtype=jnp.float32,
                           use_pallas=True, **kw))
     f0 = _random_field(grid)
@@ -187,6 +188,20 @@ def _configs():
         lambda: pair(g3s, "projection", ("z",), dt=1e-3,
                      params=NSParams(nonuniform_scheme="consistent"),
                      poisson_method=Method.FFT_DIRECT))
+    # r5: the y-sharded DST-fused 2D family (global-row marching kernels
+    # WITH in-kernel x DSTs — a new Mosaic compile combo) and the
+    # sharded spectral_precision=HIGH plumbing (per-shard bf16_3x
+    # in-kernel transforms).  Both vs the same-precision single-chip
+    # fused step, so only sharding-path rounding remains.
+    g2dst = Grid.uniform(1024, 64)
+    rows["proj_2d_y_dst"] = (
+        lambda: pair(g2dst, "projection", ("y",), dt=1e-3,
+                     poisson_method=Method.FFT_DIRECT))
+    rows["proj_z_dst_high"] = (
+        lambda: pair(g3, "projection", ("z",), dt=1e-3, tol=1e-4,
+                     poisson_method=Method.FFT_DIRECT,
+                     extra_kw={"spectral_precision":
+                               jax.lax.Precision.HIGH}))
     return rows
 
 

@@ -68,7 +68,11 @@ class Projection2DKernels:
         emits the physical pressure as a third output.  Only the TDMA-y
         stage (+ dense low-mode rescue) runs between the two sweeps —
         the 2D twin of the 3D mega DST fusion (r4).  Requires the x mode
-        dim to equal nx (nx % 1024 == 0), single-chip only.
+        dim to equal nx (nx % 1024 == 0).  Composes with ``global_ny``
+        (r5): the x transforms are row-local, so the sharded wrapper
+        exchanges 4-row halos in transform space and the per-shard y
+        solve (`spectral.make_dst2d_fused_sharded_pieces`) is the only
+        cross-shard stage.
         ``dst_precision`` sets the in-kernel contraction precision
         (default HIGHEST, matching the eigen pipeline).
 
@@ -83,8 +87,6 @@ class Projection2DKernels:
         self.buoyant = buoy
         self.dst = dst_mats is not None
         if self.dst:
-            if global_ny is not None:
-                raise ValueError("dst_mats is single-chip 2D mode only")
             if emit != "btilde":
                 raise ValueError("dst_mats requires emit='btilde'")
             fxt, gxt = dst_mats

@@ -356,7 +356,8 @@ def make_fused_sharded_projection_step(grid: Grid, params: NSParams,
         interpret = mesh.devices.flat[0].platform != "tpu"
     if grid.nz <= 2:
         return _make_fused_sharded_projection2d_step(
-            grid, params, mesh, dtype, poisson_method, interpret)
+            grid, params, mesh, dtype, poisson_method, interpret,
+            spectral_precision)
     poisson_method = (Method.FFT_DIRECT if poisson_method is None
                       else Method(poisson_method))
     if poisson_method not in (Method.FFT_DIRECT, Method.CG,
@@ -833,7 +834,8 @@ def _make_fused_sharded_projection_zy_step(grid: Grid, params: NSParams,
 
 def _make_fused_sharded_projection2d_step(grid: Grid, params: NSParams,
                                           mesh: Mesh, dtype,
-                                          poisson_method, interpret):
+                                          poisson_method, interpret,
+                                          spectral_precision=None):
     """2D fused shard_map projection: y-decomposition feeding the
     block-marching kernels (`ops/pallas/projection2d.py` in global-row
     mode) + the 1D-pencil distributed DST
@@ -860,18 +862,44 @@ def _make_fused_sharded_projection2d_step(grid: Grid, params: NSParams,
     n_shards = _mesh_y_size(mesh)
     nyl = ny // n_shards
 
-    pk = Projection2DKernels(
-        nyl + 8, nx, grid.dx0, grid.dy0, grid.xmin, grid.ymin, dtype,
-        emit="btilde",
+    kern_kwargs = dict(
         with_sources=(params.source_amplitude_u != 0.0
                       or params.source_amplitude_v != 0.0),
         beta=params.beta, T_ref=params.T_ref, gravity=params.gravity,
         interpret=interpret, global_ny=ny)
-    if not pk.ok:
-        raise ValueError("fused sharded 2D projection: kernel build failed")
-
     problem = PoissonProblem(nx, ny, 1, grid.dx0, grid.dy0, 0.0)
-    pencil = make_btilde_pipeline_sharded_2d(problem, "y", n_shards, dtype)
+
+    # DST-fused variant (r5, mirroring the 3D z-sharded structure): the
+    # x DSTs are row-local under y decomposition, so they stay inside
+    # the per-shard marching kernels (forward in the predictor, inverse
+    # on DMA arrival in the corrector); the 4-row halo rings exchange
+    # TRANSFORM-space pressure (the x transform commutes with the
+    # row-wise halo copy) and the per-slab y-eigen solve around two
+    # x-mode-pencil all_to_alls is the only cross-shard stage.
+    pk = ysolve = None
+    from ..solvers.poisson.spectral import (
+        dst2d_fused_sharded_supported, make_dst2d_fused_sharded_pieces)
+    if dst2d_fused_sharded_supported(problem, n_shards):
+        fxT, gxT, ysv = make_dst2d_fused_sharded_pieces(
+            problem, n_shards, "y", dtype, interpret=interpret,
+            precision=(spectral_precision or jax.lax.Precision.HIGHEST))
+        pk_try = Projection2DKernels(
+            nyl + 8, nx, grid.dx0, grid.dy0, grid.xmin, grid.ymin,
+            dtype, emit="btilde", dst_mats=(fxT, gxT),
+            dst_precision=spectral_precision, **kern_kwargs)
+        if pk_try.ok:
+            pk, ysolve = pk_try, ysv
+    if pk is None:
+        pk = Projection2DKernels(
+            nyl + 8, nx, grid.dx0, grid.dy0, grid.xmin, grid.ymin, dtype,
+            emit="btilde", **kern_kwargs)
+        if not pk.ok:
+            raise ValueError("fused sharded 2D projection: kernel build "
+                             "failed")
+
+    pencil = (ysolve if ysolve is not None
+              else make_btilde_pipeline_sharded_2d(problem, "y", n_shards,
+                                                   dtype))
     energy_step = make_energy_step(grid, params.alpha,
                                    params.heat_source_func)
 
@@ -901,8 +929,17 @@ def _make_fused_sharded_projection2d_step(grid: Grid, params: NSParams,
 
         p_new = pencil(bt)
 
-        un, vn = pk.corrector(hpad4(us), hpad4(vs), hpad4(p_new),
-                              dt / rho0, y_offset=y_off)
+        if pk.dst:
+            # p_new is the y-solve output x̂ (transform space): the halo
+            # ring exchanges x̂ rows (the row-wise x transform commutes
+            # with the copy) and the corrector inverse-transforms blocks
+            # on arrival, emitting physical p as a third output.
+            un, vn, pn = pk.corrector(hpad4(us), hpad4(vs), hpad4(p_new),
+                                      dt / rho0, y_offset=y_off)
+            p_new = pn[:, 4:-4]
+        else:
+            un, vn = pk.corrector(hpad4(us), hpad4(vs), hpad4(p_new),
+                                  dt / rho0, y_offset=y_off)
         un = un[:, 4:-4]
         vn = vn[:, 4:-4]
         # w-correction is identically zero in 2D (inv_dz2 = 0).

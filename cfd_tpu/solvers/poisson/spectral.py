@@ -306,6 +306,95 @@ def make_dst2d_fused_pieces(problem: PoissonProblem, dtype=jnp.float32,
     return FxT, GxT, ysolve
 
 
+def dst2d_fused_sharded_supported(problem: PoissonProblem,
+                                  n_shards: int) -> bool:
+    """Whether the y-sharded DST-fused 2D projection applies: the
+    single-chip dst2d shapes (x mode dim == nx, i.e. nx % 1024 == 0),
+    ny divisible by the shard count into marching-size row blocks
+    (>= 24 rows/shard, multiple of 8), and nx divisible into
+    MXU-aligned mode slabs (nx/P % 128) for the x-mode-pencil
+    ``all_to_all``s around the per-slab y solve."""
+    P = int(n_shards)
+    if not dst2d_fused_supported(problem):
+        return False
+    if problem.ny % P or (problem.ny // P) % 8 or problem.ny // P < 24:
+        return False
+    return problem.nx % P == 0 and (problem.nx // P) % 128 == 0
+
+
+def make_dst2d_fused_sharded_pieces(problem: PoissonProblem,
+                                    n_shards: int, axis_name: str = "y",
+                                    dtype=jnp.float32,
+                                    use_kernel: bool = True,
+                                    interpret: bool = False,
+                                    precision=lax.Precision.HIGHEST):
+    """y-sharded twin of :func:`make_dst2d_fused_pieces` for use *inside*
+    ``shard_map``: the x DSTs stay in the per-shard marching kernels
+    (row-local under y decomposition), and the returned
+    ``ysolve_local(bt_local) → x̂_local`` runs the only cross-shard stage
+    — the y line solve — as two x-mode-pencil ``all_to_all``s around a
+    dense y-eigenbasis solve on (ny, nx/P) slabs.
+
+    Unlike the single-chip y-stage (whole-array VMEM TDMA + dense
+    low-mode rescue — whose kernel needs mode width % 1024, which the
+    1/P slabs break), the slab stage is the plain eigen contraction:
+    at 1/P width the two (my × ny) matmuls cost 1/P of the full-grid
+    y-DST pair — cheap next to the in-kernel x transforms — and carry
+    eigen-class accuracy with no conditioning caveats.  ``P == 1``
+    returns the single-chip pieces unchanged (TDMA-y + rescue).
+
+    ``bt_local``: the shard's (1, ny/P, nx) x-transformed b̃ rows with
+    zero global y-shell rows; ``x̂_local`` comes back in the same layout
+    with the mirror-extended global y-shells in place (the corrector
+    marching kernel inverse-transforms per block on DMA arrival).
+    """
+    P = int(n_shards)
+    if not dst2d_fused_sharded_supported(problem, P):
+        raise ValueError("dst2d-fused sharded pieces unsupported for "
+                         "this (problem, n_shards)")
+    if P == 1:
+        return make_dst2d_fused_pieces(problem, dtype,
+                                       use_kernel=use_kernel,
+                                       interpret=interpret,
+                                       precision=precision)
+    mx, my = problem.nx - 2, problem.ny - 2
+    nx, ny = problem.nx, problem.ny
+    Mx = nx                                # dst2d gate: mode dim == nx
+    np_dt = np.dtype(dtype)
+    nxl = nx // P
+
+    lx = _dirichlet_eigenvalues(mx, problem.inv_dx2)
+    lxp = np.pad(lx, (0, Mx - mx), mode="edge")
+    ly = _dirichlet_eigenvalues(my, problem.inv_dy2)
+    scale = 2.0 / (mx + 1)                 # only the x pair normalizes
+
+    Fxp = np.zeros((Mx, nx), np_dt)
+    Fxp[:mx, 1:nx - 1] = _sine_matrix(mx)
+    Gxp = np.zeros((nx, Mx), np_dt)
+    Gxp[:, :mx] = _mirror_extended_inverse(mx, scale)
+    FxT = np.ascontiguousarray(Fxp.T)
+    GxT = np.ascontiguousarray(Gxp.T)
+    Fyp = np.zeros((my, ny), np_dt)
+    Fyp[:, 1:ny - 1] = _sine_matrix(my)
+    Gyp = np.asarray(_mirror_extended_inverse(my, 2.0 / (my + 1)), np_dt)
+
+    def ysolve_local(bt_local):
+        idx = lax.axis_index(axis_name)
+        a = lax.all_to_all(bt_local, axis_name, split_axis=2,
+                           concat_axis=1, tiled=True)[0]   # (ny, nx/P)
+        dt = a.dtype
+        s = jnp.matmul(jnp.asarray(Fyp, dt), a, precision=precision)
+        lx_loc = lax.dynamic_slice(jnp.asarray(lxp, dt),
+                                   ((idx * nxl).astype(jnp.int32),),
+                                   (nxl,))
+        lam = jnp.asarray(ly, dt)[:, None] + lx_loc[None, :]
+        x = jnp.matmul(jnp.asarray(Gyp, dt), s / lam, precision=precision)
+        return lax.all_to_all(x[None], axis_name, split_axis=1,
+                              concat_axis=2, tiled=True)
+
+    return FxT, GxT, ysolve_local
+
+
 def dst_fused_supported(problem: PoissonProblem) -> bool:
     """Whether the in-kernel DST-fused projection pieces apply: 3D,
     TDMA-z kernel shape, and mode dims equal to grid dims (true exactly

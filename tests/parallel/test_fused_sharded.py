@@ -506,6 +506,64 @@ def test_fused_sharded_2d_multi_step_with_sources():
                                atol=2e-4)
 
 
+def test_fused_sharded_2d_dst_fused_matches_jnp():
+    """y-sharded DST-fused 2D projection (r5): in-kernel x DSTs in the
+    global-row marching kernels, transform-space halo rings, and the
+    per-slab y-eigen solve around two x-mode-pencil all_to_alls as the
+    only cross-shard stage — matches the single-device jnp step.  Also
+    pins gate selection and the spectral_precision=HIGH knob."""
+    import cfd_tpu.solvers.poisson.spectral as spectral_mod
+    from cfd_tpu.solvers.poisson.base import PoissonProblem
+
+    g = Grid.uniform(1024, 192)            # nx%1024, ny/8 shards = 24 rows
+    prob = PoissonProblem(g.nx, g.ny, 1, g.dx0, g.dy0, 0.0)
+    assert spectral_mod.dst2d_fused_sharded_supported(prob, 8)
+    # nx=128 keeps the pencil fallback (x mode dim != nx)
+    small = PoissonProblem(128, 192, 1, prob.dx, prob.dy, 0.0)
+    assert not spectral_mod.dst2d_fused_sharded_supported(small, 8)
+
+    params = NSParams()
+    rng = np.random.default_rng(43)
+    f = FlowField.initialize(g, dtype=jnp.float32)
+    f = f.replace(
+        u=jnp.asarray(rng.normal(0, 0.1, g.shape), jnp.float32),
+        v=jnp.asarray(rng.normal(0, 0.1, g.shape), jnp.float32),
+        p=jnp.asarray(rng.normal(0, 0.1, g.shape), jnp.float32))
+
+    ref_step = jax.jit(make_projection_step(
+        g, params, dtype=jnp.float32, poisson_method=Method.FFT_DIRECT))
+    fr, rr = ref_step(f, 0.001, 0)
+
+    ymesh = make_mesh(axes=("y",))
+    step, place = make_sharded_step(g, params, ymesh, "projection",
+                                    use_pallas=True, strict=True,
+                                    dtype=jnp.float32)
+    fs, rf = step(place(f), 0.001, 0)
+    assert int(rr.status) == int(rf.status) == 0
+    assert len(fs.u.sharding.device_set) == 8
+    for name in ("u", "v", "w"):
+        np.testing.assert_allclose(np.asarray(getattr(fs, name)),
+                                   np.asarray(getattr(fr, name)),
+                                   atol=5e-6, err_msg=name)
+    np.testing.assert_allclose(np.asarray(fs.p), np.asarray(fr.p),
+                               atol=5e-5)
+
+    # HIGH: per-shard in-kernel bf16_3x transforms — bf16_3x-class
+    # agreement, and a different answer than HIGHEST (knob reached them)
+    steph, _ = make_sharded_step(g, params, ymesh, "projection",
+                                 use_pallas=True, strict=True,
+                                 dtype=jnp.float32,
+                                 spectral_precision=lax.Precision.HIGH)
+    fh, rh = steph(place(f), 0.001, 0)
+    assert int(rh.status) == 0
+    pscale = float(jnp.max(jnp.abs(fr.p)))
+    # bf16_3x-class: looser than 3D's ~2e-5 — the 2D solve's lowest
+    # eigenvalues amplify the transform's bf16 rounding by 1/λmin more
+    # at this grid's aspect ratio (measured 8e-4 here)
+    assert float(jnp.max(jnp.abs(fh.p - fr.p))) / pscale < 3e-3
+    assert float(jnp.max(jnp.abs(fh.p - fs.p))) > 0.0
+
+
 def test_fused_sharded_2d_unsupported_reasons():
     from cfd_tpu.parallel.fused import fused_sharded_unsupported_reason
 

@@ -370,7 +370,7 @@ def make_fused_sharded_projection_step(grid: Grid, params: NSParams,
     if py > 1:
         return _make_fused_sharded_projection_zy_step(
             grid, params, mesh, dtype, interpret, pz, py,
-            poisson_method, poisson_params)
+            poisson_method, poisson_params, spectral_precision)
 
     nz, ny, nx = grid.nz, grid.ny, grid.nx
     n_shards = pz
@@ -478,7 +478,9 @@ def make_fused_sharded_projection_step(grid: Grid, params: NSParams,
             raise ValueError("fused sharded projection: BiCGSTAB kernel "
                              "build failed")
     elif pk_dst is None:
-        pencil = make_btilde_pipeline_sharded(problem, "z", n_shards, dtype)
+        pencil = make_btilde_pipeline_sharded(
+            problem, "z", n_shards, dtype,
+            precision=(spectral_precision or jax.lax.Precision.HIGHEST))
     energy_step = make_energy_step(grid, params.alpha,
                                    params.heat_source_func,
                                    scheme=params.nonuniform_scheme)
@@ -647,7 +649,8 @@ def _make_fused_sharded_projection_zy_step(grid: Grid, params: NSParams,
                                            interpret: bool,
                                            pz: int, py: int,
                                            poisson_method=None,
-                                           poisson_params=None):
+                                           poisson_params=None,
+                                           spectral_precision=None):
     """3D fused projection over a 2D (z, y) device mesh — the pod-scale
     decomposition (z-only runs out of planes past nz/2 chips; SURVEY §2.9
     names the fresh multi-axis design as the TPU answer to the reference's
@@ -700,7 +703,9 @@ def _make_fused_sharded_projection_zy_step(grid: Grid, params: NSParams,
     else:
         from ..solvers.poisson.spectral import \
             make_btilde_pipeline_sharded_zy
-        pencil = make_btilde_pipeline_sharded_zy(problem, pz, py, dtype)
+        pencil = make_btilde_pipeline_sharded_zy(
+            problem, pz, py, dtype,
+            precision=(spectral_precision or jax.lax.Precision.HIGHEST))
     energy_step = make_energy_step(grid, params.alpha,
                                    params.heat_source_func)
 

@@ -69,6 +69,12 @@ class NSSolver:
                                 | Capability.PARALLEL)
     poisson_method: PoissonMethod = PoissonMethod.CG
     poisson_params: Optional[PoissonParams] = None
+    #: projection-only performance knob (framework extension): in-kernel
+    #: spectral transform precision for the DST-fused fast paths.  None =
+    #: exact (HIGHEST); ``jax.lax.Precision.HIGH`` = bf16_3x transforms,
+    #: ~1.4× faster steps at ~2e-5-class relative pressure error
+    #: (docs/performance.md).  Honored single-chip and on meshes.
+    spectral_precision: Optional[object] = None
     #: multi-chip placement: when set (a `jax.sharding.Mesh`), `init` builds
     #: the step/solve closures through `parallel.make_sharded_raw_step`, so
     #: both single steps and the whole guarded solve loop run as one GSPMD
@@ -93,14 +99,16 @@ class NSSolver:
             kw = {}
             if self.method == "projection":
                 kw = dict(poisson_method=self.poisson_method,
-                          poisson_params=self.poisson_params)
+                          poisson_params=self.poisson_params,
+                          spectral_precision=self.spectral_precision)
             raw_step, out_field, self._place_fn = make_sharded_raw_step(
                 grid, params, self.mesh, self.method, **kw)
             out_shardings = (out_field, None)
         elif self.method == "projection":
             raw_step = make_projection_step(
                 grid, params, poisson_method=self.poisson_method,
-                poisson_params=self.poisson_params)
+                poisson_params=self.poisson_params,
+                spectral_precision=self.spectral_precision)
         else:
             raw_step = _STEP_BUILDERS[self.method](grid, params)
         self._step_fn = jax.jit(raw_step, out_shardings=out_shardings)

@@ -114,3 +114,37 @@ def test_step_before_init_raises():
     f = FlowField.initialize(Grid.uniform(8, 8))
     with pytest.raises(Exception):
         s.step(f, 0.001)
+
+
+def test_nssolver_spectral_precision_knob(monkeypatch):
+    """The registry projection solver plumbs ``spectral_precision``
+    (framework extension: the DST-fused fast mode reachable through the
+    facade layer) into the step builder.  CPU XLA ignores dot precision,
+    so this pins the plumbing with a spy rather than numerics (the
+    numeric deltas are pinned on-chip: TPUVAL_r05
+    projection_dst_fused_high)."""
+    import jax
+
+    import cfd_tpu.solvers.ns.solver as solver_mod
+    from cfd_tpu.solvers.ns import NSParams
+
+    seen = []
+    orig = solver_mod.make_projection_step
+
+    def spy(*a, **k):
+        seen.append(k.get("spectral_precision"))
+        return orig(*a, **k)
+
+    monkeypatch.setattr(solver_mod, "make_projection_step", spy)
+
+    g = Grid.uniform(64, 16)
+    reg = create_registry()
+    s = reg.create("projection")
+    s.spectral_precision = jax.lax.Precision.HIGH
+    assert s.init(g, NSParams()) == Status.SUCCESS
+    assert seen == [jax.lax.Precision.HIGH]
+
+    f = FlowField.initialize(g)
+    f2, st = s.step(f, 0.001)
+    assert st.status == Status.SUCCESS
+    assert np.all(np.isfinite(np.asarray(f2.p)))

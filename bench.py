@@ -373,17 +373,21 @@ def run_mg2d_vmem(n: int = 129, tol: float = 1e-6) -> dict:
             tot, _ = lax.scan(body, jnp.float32(0.0), eps_arr)
             return tot
 
+        # The VMEM solve is ~0.05 ms — 40 solves of margin (~2 ms) sits
+        # inside the tunnel's per-call jitter and once measured NEGATIVE.
+        # 200 solves of margin + 5 repeats keeps the slope well above the
+        # noise floor; clamp defensively so the speedup stays meaningful.
         meas = {}
-        for S in (4, 44):
+        for S in (4, 204):
             eps = jnp.linspace(0.0, 1e-4, S).astype(jnp.float32)
             float(many(eps))  # compile + warmup
             best = float("inf")
-            for _ in range(3):
+            for _ in range(5):
                 t0 = time.perf_counter()
                 float(many(eps))
                 best = min(best, time.perf_counter() - t0)
             meas[S] = best
-        out[name] = round((meas[44] - meas[4]) / 40.0 * 1e3, 3)
+        out[name] = round(max((meas[204] - meas[4]) / 200.0, 1e-6) * 1e3, 3)
     r = jax.jit(make_multigrid_vmem(prob, pp))(x0, rhs)
     out["iters"] = int(r.iterations)
     out["speedup"] = round(out["jnp_ms"] / max(out["vmem_ms"], 1e-9), 1)

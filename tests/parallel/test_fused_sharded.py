@@ -623,6 +623,50 @@ def test_fused_sharded_2d_convection_matches_jnp():
                                atol=5e-5)
 
 
+@pytest.mark.heavy
+def test_fused_sharded_2d_dst_convection_matches_jnp():
+    """Buoyancy + energy through the y-sharded DST-fused 2D path (r5):
+    the buoyant predictor (T as a 4th halo input) emits the x-transformed
+    b̃ in-kernel; transform-space halos and the slab y-eigen solve carry
+    the rest.  Two steps so p cycles through the transform path."""
+    from cfd_tpu.boundary.types import (BCType, DirichletValues,
+                                        ThermalBCConfig)
+
+    thermal = ThermalBCConfig(
+        left=BCType.DIRICHLET, right=BCType.DIRICHLET,
+        bottom=BCType.NEUMANN, top=BCType.NEUMANN,
+        dirichlet_values=DirichletValues(left=305.0, right=295.0))
+    g = Grid.uniform(1024, 192)            # DST-fused sharded shape
+    # alpha*dt/dx^2 must stay << 1/4 at dx ~ 1e-3 (explicit diffusion
+    # limit) or T amplifies rounding differences into test noise
+    params = NSParams(source_amplitude_u=0.0, source_amplitude_v=0.0,
+                      alpha=1e-5, beta=0.05, T_ref=300.0,
+                      gravity=(0.0, -9.81, 0.0), thermal_bc=thermal)
+    rng = np.random.default_rng(47)
+    f = FlowField.initialize(g, dtype=jnp.float32)
+    f = f.replace(u=jnp.asarray(rng.normal(0, 0.1, g.shape), jnp.float32),
+                  T=jnp.asarray(300.0 + rng.normal(0, 1.0, g.shape),
+                                jnp.float32))
+
+    ref_step = jax.jit(make_projection_step(
+        g, params, dtype=jnp.float32, poisson_method=Method.FFT_DIRECT))
+    ymesh = make_mesh(axes=("y",))
+    step, place = make_sharded_step(g, params, ymesh, "projection",
+                                    use_pallas=True, strict=True,
+                                    dtype=jnp.float32)
+    fr, fs = f, place(f)
+    for i in range(2):
+        fr, rr = ref_step(fr, 1e-4, i)
+        fs, rf = step(fs, 1e-4, i)
+    assert int(rr.status) == int(rf.status) == 0
+    for name in ("u", "v", "T"):
+        np.testing.assert_allclose(np.asarray(getattr(fs, name)),
+                                   np.asarray(getattr(fr, name)),
+                                   atol=1e-4, err_msg=name)
+    np.testing.assert_allclose(np.asarray(fs.p), np.asarray(fr.p),
+                               atol=1e-3)
+
+
 def test_fused_sharded_euler_stretched_matches_jnp():
     """Stretched x/y grid through the fused sharded Euler path: the per-
     point coefficient pins are shard-invariant under z-decomposition, so

@@ -145,6 +145,40 @@ def proj_dst_high_diff():
             "max_du": float(jnp.max(jnp.abs(fl.u - fh.u)))}
 
 
+def proj_dst_high_drift():
+    """50-step HIGH-vs-HIGHEST trajectory drift at 128³ (Taylor-Green):
+    does the bf16_3x transform error accumulate?  The projection is
+    dissipative and each step's pressure solve is independent, so the
+    per-step ~2e-5 relative perturbation should stay bounded rather than
+    compound — this row records the measured end-of-trajectory deltas
+    that docs/performance.md's HIGH recommendation rests on."""
+    g = Grid.uniform(N, N, N, zmin=0.0, zmax=1.0)
+
+    def run(prec):
+        kw = {} if prec is None else {"spectral_precision": prec}
+        step = jax.jit(bench._make_step(g, **kw))
+
+        @jax.jit
+        def many(f):
+            def body(f, _):
+                f2, _res = step(f, 1e-3, 0)
+                return f2, 0
+            out, _ = jax.lax.scan(body, f, None, length=STEPS)
+            return out
+
+        return many(bench._tg_field(g.shape))
+
+    fh = run(None)
+    fl = run(lax.Precision.HIGH)
+    du = fl.u - fh.u
+    uscale = float(jnp.max(jnp.abs(fh.u)))
+    pscale = float(jnp.max(jnp.abs(fh.p)))
+    return {"steps": STEPS,
+            "rel_du": float(jnp.max(jnp.abs(du))) / uscale,
+            "rms_du": float(jnp.sqrt(jnp.mean(du * du))),
+            "rel_dp": float(jnp.max(jnp.abs(fl.p - fh.p))) / pscale}
+
+
 def tdma2d_diff():
     """Compiled (Mosaic) 2D TDMA-y pipeline vs the eigen pipeline on the
     real chip, at the sizes the auto gate enables it for (round-3 advice:
@@ -211,6 +245,9 @@ CONFIGS = {
     # r5: HIGH precision as manual bf16_3x in-kernel dots (Mosaic lowers
     # only DEFAULT/HIGHEST — lax HIGH crashes the real-chip compile).
     "projection_dst_fused_high": proj_dst_high_diff,
+    # r5: 50-step HIGH-vs-HIGHEST trajectory drift (bounded, not
+    # compounding — the evidence behind recommending HIGH for production)
+    "projection_dst_fused_high_drift": proj_dst_high_drift,
     # r5: the eigenbasis-fused consistent-scheme projection on a
     # tanh-stretched x/y grid (nonuniform weight pins + generalized
     # eigenbasis mats through the mega kernels).

@@ -138,6 +138,52 @@ def mg_parity(mesh_axes):
     return {"iterations": iters, "max_diff": diff, "ok": ok}
 
 
+def zy_dst_mega():
+    """The (z, y)-mesh DST-fused mega family (r5 session 3): global-row
+    ±2-window mega kernels with in-kernel x-only DSTs (iota row offsets,
+    single-mat forward dots, arrival-hook inverse x transforms) — a new
+    Mosaic compile combo.  ``make_sharded_step`` routes Py == 1 meshes to
+    the z-only path, so the zy builder is invoked directly on a (1, 1)
+    mesh, which still compiles the exact multi-chip kernels (halo
+    exchanges degenerate to pads/identity a2a)."""
+    import cfd_tpu.solvers.poisson.spectral as sp
+    from cfd_tpu.parallel.fused import \
+        _make_fused_sharded_projection_zy_step
+
+    g = Grid.uniform(128, 8, 16, zmin=0.0, zmax=1.0)
+    params = NSParams()
+    ref_step = jax.jit(make_projection_step(
+        g, params, dtype=jnp.float32, use_pallas=True,
+        poisson_method=Method.FFT_DIRECT))
+    f0 = _random_field(g)
+    f_ref, _ = _run_steps(ref_step, f0, 1e-3)
+
+    mesh = make_mesh(jax.devices()[:1], axes=("z", "y"))
+    calls = []
+    orig = sp.make_dst_fused_sharded_zy_pieces
+
+    def spy(*a, **k):
+        calls.append(1)
+        return orig(*a, **k)
+
+    sp.make_dst_fused_sharded_zy_pieces = spy
+    try:
+        step = _make_fused_sharded_projection_zy_step(
+            g, params, mesh, jnp.float32, False, 1, 1,
+            poisson_method=Method.FFT_DIRECT)
+    finally:
+        sp.make_dst_fused_sharded_zy_pieces = orig
+    assert calls, "zy DST-fused mega branch did not engage"
+    f_sh, res = _run_steps(jax.jit(step), f0, 1e-3)
+    assert int(res.status) == 0
+
+    dv = max(float(jnp.max(jnp.abs(getattr(f_sh, n) - getattr(f_ref, n))))
+             for n in ("u", "v", "w", "T"))
+    dp = float(jnp.max(jnp.abs(f_sh.p - f_ref.p)))
+    return {"max_diff_vel_T": dv, "max_diff_p": dp,
+            "ok": dv <= 1e-5 and dp <= 1e-4, "tol": 1e-5}
+
+
 def _grids():
     g3 = Grid.uniform(128, 8, 16, zmin=0.0, zmax=1.0)
     g3s = Grid.stretched(128, 8, 16, zmin=0.0, zmax=1.0, beta=1.5,
@@ -202,6 +248,9 @@ def _configs():
                      poisson_method=Method.FFT_DIRECT,
                      extra_kw={"spectral_precision":
                                jax.lax.Precision.HIGH}))
+    # r5 session 3: the (z, y)-mesh DST-fused mega kernels (see
+    # zy_dst_mega's docstring for why the builder is invoked directly)
+    rows["proj_zy_dst_mega"] = zy_dst_mega
     return rows
 
 

@@ -91,6 +91,16 @@ class ProjectionKernels:
         sequential in global z.  Sharded mega kernels carry no in-kernel
         reductions (the wrapper's GSPMD diagnostics cover the field).
 
+        ``dst_mats`` also composes with ``global_ny`` (the (z, y) 2D
+        device mesh): only the x DST is row-local under y decomposition,
+        so the mats become the x-only ``(FxT, GxT)`` pair
+        (`spectral.make_dst_fused_sharded_zy_pieces`) — the predictor
+        emits the x-transformed b̃ and the corrector inverse-x-DSTs x̂
+        planes on arrival, with the y/z spectral stages (four
+        all_to_alls) as the wrapper's only cross-shard solve stage.
+        Blocks carry the global-row 4-halo-row structure of the
+        per-component kernels plus the mega ±2-plane z halos.
+
         ``tdma_fwd``: a ``(mu, w)`` pair (host numpy (ny, nx) eigenvalue
         plane, scalar 1/dz²) — fuses the Thomas FORWARD sweep of the
         z line solve into the predictor sweep as well: the transformed b̃
@@ -131,16 +141,30 @@ class ProjectionKernels:
         self.buoyant = buoy
         self.dst = dst_mats is not None
         if self.dst:
-            if global_ny is not None:
-                raise ValueError("dst_mats does not support y-sharded "
-                                 "(global_ny) mode")
             if emit != "btilde":
                 raise ValueError("dst_mats requires emit='btilde'")
-            fxt, fyl, gxt, gyl = dst_mats
             # host numpy on purpose (trace safety, docs/design.md); the
             # engine's run() converts per call.
-            self._pred_mats = (fxt, fyl)
-            self._corr_mats = (gxt, gyl)
+            if sharded_y:
+                # (z, y) 2D-mesh mode: only the x DST is row-local under
+                # y decomposition, so the kernels carry x-only factors —
+                # (FxT, GxT) from `spectral.make_dst_fused_sharded_zy_
+                # pieces`; the y/z spectral stages run between the sweeps
+                # (four all_to_alls in `parallel.fused`).
+                if global_nz is None:
+                    raise ValueError("y-sharded dst_mats requires "
+                                     "global_nz (the zy mega kernels "
+                                     "ride the 2D-mesh wrapper)")
+                if len(dst_mats) != 2:
+                    raise ValueError("y-sharded dst_mats must be the "
+                                     "(FxT, GxT) x-only pair")
+                fxt, gxt = dst_mats
+                self._pred_mats = (fxt,)
+                self._corr_mats = (gxt,)
+            else:
+                fxt, fyl, gxt, gyl = dst_mats
+                self._pred_mats = (fxt, fyl)
+                self._corr_mats = (gxt, gyl)
         self.tdma_fused = tdma_fwd is not None
         tdma_w = 0.0
         if self.tdma_fused:
@@ -195,6 +219,18 @@ class ProjectionKernels:
             return hp_dot_general(
                 left, t, (((1,), (0,)), ((), ())),
                 precision=dst_prec, preferred_element_type=dtype)
+
+        def plane_dot_mats(plane, m0, *rest):
+            """One transform application from the pinned mats: the full
+            xy pair single-chip / z-sharded, or the x-only dot in
+            y-sharded ((z, y)-mesh) mode — rows are sharded there, so the
+            y stages run between the sweeps at the wrapper level."""
+            if sharded_y:
+                from .rolling import hp_dot_general
+                return hp_dot_general(
+                    plane, m0, (((1,), (0,)), ((), ())),
+                    precision=dst_prec, preferred_element_type=dtype)
+            return plane_dot_rl(plane, m0, rest[0])
         inv_2dx = 1.0 / (2.0 * dx)
         inv_2dy = 1.0 / (2.0 * dy)
         inv_dx2 = 1.0 / (dx * dx)
@@ -415,8 +451,18 @@ class ProjectionKernels:
             uw, vw, ww = halos[:3]  # 5-plane windows (k−2 … k+2)
             Tw = halos[3] if buoy else None
             (pc,) = planes
-            mask, jj, ii = plane_masks(ny, nx, dtype)
-            maskb = mask > 0
+            if sharded_y:
+                # global-row mode ((z, y) mesh): masks / sources / face
+                # coefficients at global row indices, like the
+                # per-component kernels above
+                y_off = scalars[6 if sharded_z else 5]
+                jj, ii = rows_cols(y_off)
+                maskb = ((jj > 0) & (jj < gny - 1) & (ii > 0)
+                         & (ii < nx - 1))
+            else:
+                y_off = None
+                mask, jj, ii = plane_masks(ny, nx, dtype)
+                maskb = mask > 0
             # global plane index of local plane k (2-halo block)
             kg = (scalars[5].astype(jnp.int32) + k - 2 if sharded_z
                   else k)
@@ -452,7 +498,7 @@ class ProjectionKernels:
                     src_u = su_amp * sy_pin
                     src_v = sv_amp * sx2_pin
                 else:
-                    src_u = su_amp * source_plane(0)
+                    src_u = su_amp * source_plane(0, y_off)
                     src_v = sv_amp * source_plane(1)
             else:
                 src_u = src_v = 0.0
@@ -500,17 +546,19 @@ class ProjectionKernels:
                     coeff = (inv_dx2 * ((ii == 1).astype(dtype)
                                         + (ii == nx - 2).astype(dtype))
                              + inv_dy2 * ((jj == 1).astype(dtype)
-                                          + (jj == ny - 2).astype(dtype)))
+                                          + (jj == gny - 2).astype(dtype)))
                 if inv_dz2:
                     kf = ((kg == 1).astype(dtype)
                           + (kg == nz_g - 2).astype(dtype))
                     coeff = coeff + inv_dz2 * kf
                 out = jnp.where(maskb, coeff * pc - rod * div, 0.0)
                 if self.dst:
-                    # forward x then y DST of the b̃ plane, in-kernel on
-                    # the MXU (overlaps the window streaming for free)
-                    out = plane_dot_rl(out, pinned[n_spin_pred],
-                                       pinned[n_spin_pred + 1])
+                    # forward DST of the b̃ plane, in-kernel on the MXU
+                    # (overlaps the window streaming for free): the xy
+                    # pair single-chip / z-sharded, x-only on (z, y)
+                    # meshes (rows sharded — the y stage runs outside)
+                    out = plane_dot_mats(
+                        out, *pinned[n_spin_pred:n_spin_pred + 2])
                 if self.tdma_fused:
                     # Thomas forward step on the transformed plane: the
                     # (t, d′) recurrence rides the engine carry; padded
@@ -527,11 +575,17 @@ class ProjectionKernels:
             return [us, vs, ws, out], None
 
         self.pred_bt = None
-        if global_ny is None:
+        # The mega kernels ride single-chip + z-sharded always, and the
+        # (z, y) 2D mesh in DST mode (global-row structure + in-kernel
+        # x-only transforms; the per-component kernels keep the non-DST
+        # zy path).
+        build_mega = global_ny is None or self.dst
+        if build_mega:
             n_pred_out = 5 if self.tdma_fused else 4
             self.pred_bt = make_rolling_stencil(
                 nz_pred, ny, nx, 4 if buoy else 3, 1, n_pred_out,
-                pred_bt_compute, dtype, n_scalars=6 if sharded_z else 5,
+                pred_bt_compute, dtype,
+                n_scalars=5 + int(sharded_z) + int(sharded_y),
                 shell_passthrough=[0, 1, 2, None, None][:n_pred_out],
                 halo_window=2,
                 n_pinned=n_spin_pred,
@@ -543,8 +597,13 @@ class ProjectionKernels:
         def corr_all_compute(k, scalars, halos, planes, pinned=None):
             (pm, pc, pp) = halos[0]
             us, vs, ws = planes
-            mask, _, _ = plane_masks(ny, nx, dtype)
-            maskb = mask > 0
+            if sharded_y:
+                jj, ii = rows_cols(scalars[1])
+                maskb = ((jj > 0) & (jj < gny - 1) & (ii > 0)
+                         & (ii < nx - 1))
+            else:
+                mask, _, _ = plane_masks(ny, nx, dtype)
+                maskb = mask > 0
             s = scalars[0]
             if consistent:
                 # consistent pressure gradient from the pinned
@@ -564,22 +623,27 @@ class ProjectionKernels:
                           jnp.clip(ws - s * (pp - pm) * inv_2dz,
                                    -CLAMP, CLAMP), ws)
             outs = [u, v, w] + ([pc] if self.dst else [])
-            if sharded_z:
+            if sharded_z or sharded_y:
                 return outs, None
             m2 = jnp.max(u * u + v * v + w * w)
             return outs, (m2, jnp.max(pc), jnp.max(jnp.abs(pc)))
 
         def corr_inverse_dst(plane, mats):
-            """Arrival hook: x̂ plane (z-TDMA output, transform space) →
-            physical p plane via the mirror-extended inverse pair."""
-            return plane_dot_rl(plane, mats[0], mats[1])
+            """Arrival hook: x̂ plane (z-line-solve output, transform
+            space) → physical p plane via the mirror-extended inverse —
+            the xy pair single-chip / z-sharded, x-only on (z, y) meshes
+            (y already inverse-transformed by the wrapper's cross-shard
+            stage; the halo rows arrive in x-transform space and convert
+            here too)."""
+            return plane_dot_mats(plane, *mats)
 
         self.corr_all = None
-        if global_ny is None:
+        if build_mega:
             self.corr_all = make_rolling_stencil(
                 nz, ny, nx, 1, 3, 4 if self.dst else 3, corr_all_compute,
-                dtype, n_scalars=1,
-                reductions=None if sharded_z else ("max", "max", "max"),
+                dtype, n_scalars=1 + int(sharded_y),
+                reductions=(None if sharded_z or sharded_y
+                            else ("max", "max", "max")),
                 shell_passthrough=([1, 2, 3, None] if self.dst
                                    else [1, 2, 3]),
                 shell_sources=({3: ("p1", "pN2")}
@@ -597,7 +661,7 @@ class ProjectionKernels:
 
     def predictor_poisson_input(self, u, v, w, p, dt, nu,
                                 src_u_amp, src_v_amp, rho_over_dt, T=None,
-                                z_offset=None):
+                                z_offset=None, y_offset=None):
         """Mega path: (u*, v*, w*, b̃-or-rhs) in ONE sweep.  With buoyancy
         compiled in, pass the step-start temperature ``T``.  In DST mode
         the fourth output is the xy-transformed b̃ (z-TDMA input); with
@@ -607,20 +671,25 @@ class ProjectionKernels:
         In z-sharded mode (``global_nz``) the field arguments are 2-halo
         local blocks (nzl+4 planes) and ``z_offset`` is the global plane
         index of the shard's first OWNED plane; output planes 2..nzl+1
-        are valid (callers trim [2:-2])."""
+        are valid (callers trim [2:-2]).  On a (z, y) 2D mesh
+        (``global_ny`` also set) the blocks additionally carry 4 halo
+        rows per y side and ``y_offset`` is the global row index of
+        padded local row 0 (callers trim [2:-2, 4:-4]); the fourth output
+        is the **x-only**-transformed b̃ for the wrapper's cross-shard
+        y/z solve."""
         parts = [jnp.asarray(dt), jnp.asarray(nu),
                  jnp.asarray(src_u_amp), jnp.asarray(src_v_amp),
                  jnp.asarray(rho_over_dt)]
         if self.global_nz is not None:
             parts.append(jnp.asarray(z_offset).astype(parts[0].dtype))
-        s = jnp.stack(parts)
+        s = self._with_y(parts, y_offset)
         extras = (tuple(self._pred_pins)
                   + (tuple(self._pred_mats) if self.dst else ()))
         if self.buoyant:
             return self.pred_bt(s, u, v, w, T, p, *extras)
         return self.pred_bt(s, u, v, w, p, *extras)
 
-    def corrector_diag(self, us, vs, ws, p, dt_over_rho):
+    def corrector_diag(self, us, vs, ws, p, dt_over_rho, y_offset=None):
         """Mega path: (u, v, w, max|vel|² , max p, max|p|) in ONE sweep.
 
         The reductions cover the computed interior planes; callers fold in
@@ -633,8 +702,11 @@ class ProjectionKernels:
         In z-sharded mode the arguments are 1-halo local blocks (x̂ halos
         exchanged in transform space), no reductions are accumulated, and
         the return is just (u, v, w[, p]) — trim [1:-1] for owned
-        planes."""
-        s = jnp.asarray(dt_over_rho)[None]
+        planes.  On a (z, y) 2D mesh the blocks also carry 4 y-halo rows
+        (x̂ rows exchanged in x-transform space; the arrival hook
+        inverse-x-DSTs whole padded planes once) and ``y_offset`` is
+        required — trim [1:-1, 4:-4]."""
+        s = self._with_y([jnp.asarray(dt_over_rho)], y_offset)
         extras = (tuple(self._corr_pins)
                   + (tuple(self._corr_mats) if self.dst else ()))
         return self.corr_all(s, p, us, vs, ws, *extras)

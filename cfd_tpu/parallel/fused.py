@@ -662,10 +662,18 @@ def _make_fused_sharded_projection_zy_step(grid: Grid, params: NSParams,
     (4 keeps the 8-row sublane alignment); y-padding runs first so the z
     ring carries the corner rows too.  In-plane shells fall out of the
     kernels' global-row masks; global z-shells are restored per edge
-    z-shard (the reference's save/restore idiom).  The pressure solve is
-    the two-axis pencil DST (four ``all_to_all``s,
-    `..solvers.poisson.spectral.make_btilde_pipeline_sharded_zy`) or the
-    (z, y)-ring fused CG per ``poisson_method``.
+    z-shard (the reference's save/restore idiom).
+
+    At qualifying shapes (`spectral.dst_fused_sharded_zy_supported`) the
+    FFT_DIRECT solve runs the **DST-fused mega variant** (r5): the x DSTs
+    — row-local under y decomposition — ride the ±2-window global-row
+    mega kernels in-kernel (forward in the predictor, inverse on
+    corrector window arrival, halo rings exchanged in x-transform
+    space), and the only cross-shard stage is the four-``all_to_all``
+    y/z spectral solve (`spectral.make_dst_fused_sharded_zy_pieces`).
+    Otherwise the per-component kernels + two-axis pencil DST
+    (`..solvers.poisson.spectral.make_btilde_pipeline_sharded_zy`) or
+    the (z, y)-ring fused CG/BiCGSTAB run per ``poisson_method``.
     """
     from ..solvers.poisson.base import Method, PoissonParams
 
@@ -673,15 +681,49 @@ def _make_fused_sharded_projection_zy_step(grid: Grid, params: NSParams,
     nzl, nyl = nz // pz, ny // py
 
     from ..ops.pallas.projection_kernels import ProjectionKernels
-    pk = ProjectionKernels(nzl + 2, nyl + 8, nx, grid.dx0, grid.dy0,
-                           grid.dz0, grid.xmin, grid.ymin, dtype,
-                           beta=params.beta, T_ref=params.T_ref,
-                           gravity=params.gravity,
-                           interpret=interpret, global_nz=nz, global_ny=ny)
-    if not (pk.ok and pk.btilde_k is not None):
-        raise ValueError("fused sharded zy projection: kernel build failed")
-
     problem = PoissonProblem(nx, ny, nz, grid.dx0, grid.dy0, grid.dz0)
+
+    # DST-fused mega variant on the 2D mesh (r5): the x DSTs are
+    # row-local under y decomposition, so they ride the global-row mega
+    # kernels in-kernel (forward in the ±2-window predictor, inverse on
+    # corrector window arrival); the y/z spectral solve (four
+    # all_to_alls around the dense y-eigen stage) is the only
+    # cross-shard stage.  Falls back to the per-component kernels +
+    # two-axis pencil DST when the shapes don't qualify.
+    is_fft = (poisson_method is None
+              or Method(poisson_method) == Method.FFT_DIRECT)
+    pk_dst = yz_local = None
+    if is_fft:
+        from ..solvers.poisson.spectral import (
+            dst_fused_sharded_zy_supported,
+            make_dst_fused_sharded_zy_pieces)
+        if dst_fused_sharded_zy_supported(problem, pz, py):
+            mats_x, yz = make_dst_fused_sharded_zy_pieces(
+                problem, pz, py, dtype=dtype,
+                precision=(spectral_precision
+                           or jax.lax.Precision.HIGHEST))
+            pk_try = ProjectionKernels(
+                nzl + 2, nyl + 8, nx, grid.dx0, grid.dy0, grid.dz0,
+                grid.xmin, grid.ymin, dtype, emit="btilde",
+                beta=params.beta, T_ref=params.T_ref,
+                gravity=params.gravity, interpret=interpret,
+                global_nz=nz, global_ny=ny, dst_mats=mats_x,
+                dst_precision=spectral_precision)
+            if pk_try.mega_ok:
+                pk_dst, yz_local = pk_try, yz
+
+    pk = None
+    if pk_dst is None:
+        pk = ProjectionKernels(nzl + 2, nyl + 8, nx, grid.dx0, grid.dy0,
+                               grid.dz0, grid.xmin, grid.ymin, dtype,
+                               beta=params.beta, T_ref=params.T_ref,
+                               gravity=params.gravity,
+                               interpret=interpret, global_nz=nz,
+                               global_ny=ny)
+        if not (pk.ok and pk.btilde_k is not None):
+            raise ValueError("fused sharded zy projection: kernel build "
+                             "failed")
+
     pencil = cg_local = None
     if poisson_method is not None and Method(poisson_method) == Method.CG:
         from .fused_cg import make_cg_fused_sharded_local
@@ -700,7 +742,7 @@ def _make_fused_sharded_projection_zy_step(grid: Grid, params: NSParams,
         if cg_local is None:
             raise ValueError("fused sharded zy projection: BiCGSTAB "
                              "kernel build failed")
-    else:
+    elif pk_dst is None:
         from ..solvers.poisson.spectral import \
             make_btilde_pipeline_sharded_zy
         pencil = make_btilde_pipeline_sharded_zy(
@@ -733,9 +775,24 @@ def _make_fused_sharded_projection_zy_step(grid: Grid, params: NSParams,
         hi = lax.ppermute(xp[:1], "z", bwd_z)
         return jnp.concatenate([lo, xp, hi], axis=0)
 
-    def zpad(xp):
+    def hpad2(xp):
+        """±2-plane z halo pad on an already y-padded block (the mega
+        predictor's 5-plane windows); the exchanged planes carry their
+        y-halo rows, so corners arrive from the diagonal shard."""
+        if pz == 1:
+            return jnp.pad(xp, ((2, 2), (0, 0), (0, 0)))
+        lo = lax.ppermute(xp[-2:], "z", fwd_z)
+        hi = lax.ppermute(xp[:2], "z", bwd_z)
+        return jnp.concatenate([lo, xp, hi], axis=0)
+
+    def zpad(xp, n=1):
         """Zero-pad plane-only inputs (their pad planes are never read)."""
-        return jnp.pad(xp, ((1, 1), (0, 0), (0, 0)))
+        return jnp.pad(xp, ((n, n), (0, 0), (0, 0)))
+
+    def y0pad(x):
+        """Zero y-halo rows for inputs consumed pointwise at owned rows
+        only (no ring traffic needed — shape alignment only)."""
+        return jnp.pad(x, ((0, 0), (4, 4), (0, 0)))
 
     def unpad(o):
         return o[1:-1, 4:-4]
@@ -745,6 +802,49 @@ def _make_fused_sharded_projection_zy_step(grid: Grid, params: NSParams,
         out = out.at[0].set(jnp.where(first, shell_src[0], out[0]))
         out = out.at[-1].set(jnp.where(last, shell_src[-1], out[-1]))
         return out
+
+    def local_step_dst(u, v, w, p, T, dt, rho0, su_amp, sv_amp):
+        """DST-fused mega variant on the (z, y) mesh: two marching
+        kernels (in-kernel x transforms, global-row structure) around the
+        four-all_to_all y/z spectral solve."""
+        zi = lax.axis_index("z")
+        first = zi == 0
+        last = zi == pz - 1
+        yi = lax.axis_index("y")
+        z_off = (zi * nzl).astype(dtype)
+        y_off = (yi * nyl - 4).astype(dtype)
+
+        eT = ({"T": hpad2(ypad(T.astype(dtype)))}
+              if pk_dst.buoyant else {})
+        outs = pk_dst.predictor_poisson_input(
+            hpad2(ypad(u)), hpad2(ypad(v)), hpad2(ypad(w)),
+            zpad(y0pad(p), 2), dt, jnp.asarray(params.mu, dtype),
+            su_amp, sv_amp, rho0 / dt, z_offset=z_off, y_offset=y_off,
+            **eT)
+        us, vs, ws, bt = [o[2:-2, 4:-4] for o in outs]
+        us = fix_shell(us, u, first, last)
+        vs = fix_shell(vs, v, first, last)
+        ws = fix_shell(ws, w, first, last)
+        # zero the global z-shell b̃ planes — x-transform-space zeroing
+        # is exact (the x DST is linear and row-local)
+        zero = jnp.zeros_like(bt[0])
+        bt = fix_shell(bt, jnp.stack([zero, zero]), first, last)
+
+        xhat = yz_local(bt)
+        # x̂ halos (1 z plane, 4 y rows) exchanged in x-TRANSFORM space —
+        # the corrector's arrival hook inverse-x-DSTs each padded plane
+        # exactly once.  The y/z solve already placed the global mirror
+        # shells on the edge shards' owned rows/planes, so p needs no
+        # wrapper fix; the star inputs are consumed pointwise at owned
+        # rows, so their y halos stay zero.
+        outs = pk_dst.corrector_diag(
+            zpad(y0pad(us)), zpad(y0pad(vs)), zpad(y0pad(ws)),
+            hpad(ypad(xhat)), dt / rho0, y_offset=y_off)
+        un, vn, wn, p_new = [o[1:-1, 4:-4] for o in outs]
+        un = fix_shell(un, us, first, last)
+        vn = fix_shell(vn, vs, first, last)
+        wn = fix_shell(wn, ws, first, last)
+        return un, vn, wn, p_new, jnp.zeros((), dtype), jnp.bool_(True)
 
     def local_step(u, v, w, p, T, dt, rho0, su_amp, sv_amp):
         zi = lax.axis_index("z")
@@ -799,7 +899,7 @@ def _make_fused_sharded_projection_zy_step(grid: Grid, params: NSParams,
 
     spec = P("z", "y", None)
     smapped = jax.shard_map(
-        local_step, mesh=mesh,
+        local_step_dst if pk_dst is not None else local_step, mesh=mesh,
         in_specs=(spec, spec, spec, spec, spec, P(), P(), P(), P()),
         out_specs=(spec, spec, spec, spec, P(), P()),
         check_vma=False)

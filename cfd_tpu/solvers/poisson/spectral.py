@@ -542,6 +542,129 @@ def make_dst_fused_sharded_pieces(problem: PoissonProblem, n_shards: int,
     return mats, zsolve_local
 
 
+def dst_fused_sharded_zy_supported(problem: PoissonProblem,
+                                   n_z: int, n_y: int) -> bool:
+    """Whether the (z, y)-mesh DST-fused projection applies: 3D with mode
+    dims equal to grid dims (nx % 128 == 0, ny % 8 == 0 — the in-kernel
+    x transforms then keep the plane shape), nz/ny divisible by the mesh
+    axes, local rows a multiple of 8 (the 4-row halo pad keeps the
+    sublane alignment), and nx divisible by Pz (the x-mode ``all_to_all``
+    split of the cross-shard y/z solve)."""
+    Pz, Py = int(n_z), int(n_y)
+    if not (problem.is_3d and problem.nz >= 3 and problem.dz > 0.0):
+        return False
+    if (_ceil_to(problem.nx - 2, 128) != problem.nx
+            or _ceil_to(problem.ny - 2, 8) != problem.ny):
+        return False
+    if problem.nz % Pz != 0 or problem.ny % Py != 0:
+        return False
+    if (problem.ny // Py) % 8 != 0:
+        return False
+    return problem.nx % Pz == 0
+
+
+def make_dst_fused_sharded_zy_pieces(problem: PoissonProblem,
+                                     n_z: int, n_y: int,
+                                     axis_z: str = "z", axis_y: str = "y",
+                                     dtype=jnp.float32,
+                                     precision=lax.Precision.HIGHEST):
+    """(z, y)-mesh twin of :func:`make_dst_fused_sharded_pieces` for use
+    *inside* ``shard_map`` on a 2D device mesh.
+
+    Under y decomposition only the **x** DST is row-local, so only the x
+    transforms ride the mega kernels; returns ``(mats_x, yzsolve_local)``:
+
+    * ``mats_x = (FxT, GxT)`` — host numpy matrices for the in-kernel
+      forward/inverse x transforms (the full xy normalization folds into
+      ``GxT``, numerically the same factors as
+      :func:`make_dst_fused_pieces`'s);
+    * ``yzsolve_local(bt_local) → x̂_local`` — the cross-shard stage on
+      (nz/Pz, ny/Py, nx) **x-transform-space** blocks: four
+      ``all_to_all``s re-pencil between a dense z-spectral stage and the
+      y-spectral solve (DSTy, ÷λ, DSTy⁻¹), mirroring
+      :func:`make_btilde_pipeline_sharded_zy` minus its x stages.  The
+      output keeps x-transform space (the corrector mega kernel
+      inverse-x-DSTs each plane on window arrival) and carries the global
+      z and y mirror shells on the edge shards' owned rows/planes.
+
+    The spectral-z axis zero-pads to a multiple of ``Py`` exactly as in
+    the full zy pencil pipeline; the x-mode axis is already nx wide (two
+    zero pad columns from the kernel-side ``Fx``) and splits over ``Pz``
+    (gated by :func:`dst_fused_sharded_zy_supported`).
+    """
+    Pz, Py = int(n_z), int(n_y)
+    if not dst_fused_sharded_zy_supported(problem, Pz, Py):
+        raise ValueError("dst-fused zy pieces unsupported for this "
+                         "(problem, Pz, Py)")
+    np_dt = np.dtype(dtype)
+    mats, _mu, _w = _dst_fused_mats(problem, np_dt)
+    mats_x = (mats[0], mats[2])   # (FxT, GxT); xy scale folded into GxT
+
+    nx, ny, nz = problem.nx, problem.ny, problem.nz
+    mx, my, mz = nx - 2, ny - 2, nz - 2
+    mzp = ((mz + Py - 1) // Py) * Py
+    cx = nx // Pz
+    cz = mzp // Py
+
+    # padded eigenvalues are 1 so 0/1 stays 0 on the zero pad modes
+    lx = np.ones(nx)
+    lx[:mx] = _dirichlet_eigenvalues(mx, problem.inv_dx2)
+    ly = _dirichlet_eigenvalues(my, problem.inv_dy2)
+    lz = np.ones(mzp)
+    lz[:mz] = _dirichlet_eigenvalues(mz, problem.inv_dz2)
+
+    def pad_cols(S):
+        return np.pad(S, ((0, 0), (1, 1)))
+
+    # host numpy on purpose (trace safety, docs/design.md); converted per
+    # call.  The z normalization 2/(mz+1) folds into Gz (x/y's live in
+    # the kernel-side GxT).
+    Fy_h = pad_cols(_sine_matrix(my)).astype(np_dt)            # (my, ny)
+    Gy_h = _mirror_extended_inverse(my, 1.0).astype(np_dt)     # (ny, my)
+    Fz_h = np.pad(pad_cols(_sine_matrix(mz)),
+                  ((0, mzp - mz), (0, 0))).astype(np_dt)       # (mzp, nz)
+    Gz_h = np.pad(_mirror_extended_inverse(mz, 2.0 / (mz + 1)),
+                  ((0, 0), (0, mzp - mz))).astype(np_dt)       # (nz, mzp)
+    vx_h = lx.astype(np_dt)
+    vy_h = ly.astype(np_dt)
+    vz_h = lz.astype(np_dt)
+
+    def a2a(a, name, split, concat):
+        n = Pz if name == axis_z else Py
+        if n == 1:
+            return a
+        return lax.all_to_all(a, name, split_axis=split,
+                              concat_axis=concat, tiled=True)
+
+    def yzsolve_local(bt_local):
+        prec = precision
+        dt = bt_local.dtype
+        zi = lax.axis_index(axis_z)
+        yi = lax.axis_index(axis_y)
+        a = a2a(bt_local, axis_z, 2, 0)              # (nz, nyl, cx)
+        a = jnp.einsum("cz,zyx->cyx", jnp.asarray(Fz_h, dt), a,
+                       precision=prec)               # (mzp, nyl, cx)
+        a = a2a(a, axis_y, 0, 1)                     # (cz, ny, cx)
+        a = jnp.einsum("by,zyx->zbx", jnp.asarray(Fy_h, dt), a,
+                       precision=prec)               # (cz, my, cx)
+        vz_loc = lax.dynamic_slice(jnp.asarray(vz_h, dt),
+                                   ((yi * cz).astype(jnp.int32),), (cz,))
+        vx_loc = lax.dynamic_slice(jnp.asarray(vx_h, dt),
+                                   ((zi * cx).astype(jnp.int32),), (cx,))
+        lam = (vz_loc[:, None, None]
+               + jnp.asarray(vy_h, dt)[None, :, None]
+               + vx_loc[None, None, :])
+        a = a / lam
+        a = jnp.einsum("by,zyx->zbx", jnp.asarray(Gy_h, dt), a,
+                       precision=prec)               # (cz, ny, cx)
+        a = a2a(a, axis_y, 1, 0)                     # (mzp, nyl, cx)
+        a = jnp.einsum("cz,zyx->cyx", jnp.asarray(Gz_h, dt), a,
+                       precision=prec)               # (nz, nyl, cx)
+        return a2a(a, axis_z, 0, 2)                  # (nzl, nyl, nx)
+
+    return mats_x, yzsolve_local
+
+
 def _make_sharded_zsolve(mu_host, w, nz, ny, nx, P, axis_name,
                          dtype=jnp.float32, use_kernel: bool = True,
                          interpret: bool = False):

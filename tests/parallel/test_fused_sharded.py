@@ -892,6 +892,106 @@ def test_fused_sharded_zy_cg_builds():
     assert step is not None
 
 
+def test_fused_sharded_zy_dst_selected(monkeypatch):
+    """The (z, y)-mesh DST-fused mega branch is picked at qualifying
+    shapes (r5: in-kernel x transforms + four-all_to_all y/z solve), and
+    the gate rejects shapes the x-mode all_to_all can't split."""
+    import cfd_tpu.solvers.poisson.spectral as spectral_mod
+    from cfd_tpu.solvers.poisson.base import PoissonProblem
+
+    g = _zy_grid()
+    prob = PoissonProblem(g.nx, g.ny, g.nz, g.dx0, g.dy0, g.dz0)
+    assert spectral_mod.dst_fused_sharded_zy_supported(prob, 2, 4)
+    # nx=128 % 3 != 0: the x-mode all_to_all over Pz=3 can't split
+    assert not spectral_mod.dst_fused_sharded_zy_supported(
+        PoissonProblem(128, 32, 6, prob.dx, prob.dy, prob.dz), 3, 2)
+    # nyl=4 < 8: the 4-row halo pad would break sublane alignment
+    assert not spectral_mod.dst_fused_sharded_zy_supported(
+        PoissonProblem(128, 16, 8, prob.dx, prob.dy, prob.dz), 2, 4)
+
+    calls = []
+    orig = spectral_mod.make_dst_fused_sharded_zy_pieces
+
+    def spy(*a, **k):
+        calls.append(a)
+        return orig(*a, **k)
+
+    monkeypatch.setattr(spectral_mod, "make_dst_fused_sharded_zy_pieces",
+                        spy)
+    make_fused_sharded_projection_step(g, NSParams(), _zy_mesh(2, 4),
+                                       interpret=True)
+    assert len(calls) == 1
+
+
+def test_fused_sharded_zy_yzsolve_exact():
+    """The x-prefused y/z solve stage (`make_dst_fused_sharded_zy_pieces`)
+    composed with its own (FxT, GxT) x transforms equals the single-device
+    pipeline in f64, across mesh aspect ratios incl. a degenerate z axis."""
+    from jax import lax
+    from jax.sharding import PartitionSpec as P
+    from cfd_tpu.solvers.poisson.base import PoissonProblem
+    from cfd_tpu.solvers.poisson.spectral import (
+        _make_btilde_pipeline, make_dst_fused_sharded_zy_pieces)
+
+    nz, ny, nx = 8, 32, 128
+    prob = PoissonProblem(nx=nx, ny=ny, nz=nz, dx=0.05, dy=0.1, dz=0.1)
+    rng = np.random.default_rng(3)
+    b = np.zeros((nz, ny, nx))
+    b[1:-1, 1:-1, 1:-1] = rng.normal(size=(nz - 2, ny - 2, nx - 2))
+    b = jnp.asarray(b, jnp.float64)
+    ref = _make_btilde_pipeline(prob, lax.Precision.HIGHEST)(b)
+
+    for pz, py in ((2, 4), (4, 2), (2, 2), (1, 2)):
+        mats_x, yz = make_dst_fused_sharded_zy_pieces(
+            prob, pz, py, dtype=jnp.float64)
+        FxT, GxT = mats_x
+
+        def full(bl):
+            bt_x = jnp.einsum("zyx,xa->zya", bl,
+                              jnp.asarray(FxT, bl.dtype),
+                              precision=lax.Precision.HIGHEST)
+            xh = yz(bt_x)
+            return jnp.einsum("zyx,xa->zya", xh,
+                              jnp.asarray(GxT, xh.dtype),
+                              precision=lax.Precision.HIGHEST)
+
+        f = jax.jit(jax.shard_map(full, mesh=_zy_mesh(pz, py),
+                                  in_specs=P("z", "y", None),
+                                  out_specs=P("z", "y", None),
+                                  check_vma=False))
+        np.testing.assert_allclose(np.asarray(f(b)), np.asarray(ref),
+                                   atol=1e-11,
+                                   err_msg=f"mesh ({pz},{py})")
+
+
+def test_fused_sharded_zy_dst_high_precision():
+    """``spectral_precision=HIGH`` rides the zy-mesh DST-fused path: the
+    in-kernel x transforms run the 3-pass bf16 split and the knob
+    actually changes the answer (i.e. it reached the kernels)."""
+    g = _zy_grid()
+    params = NSParams()
+    f = _random_field(g, seed=41)
+    mesh = _zy_mesh(2, 4)
+
+    ref_step = jax.jit(make_projection_step(
+        g, params, dtype=jnp.float32, poisson_method=Method.FFT_DIRECT))
+    f_ref, _ = ref_step(f, 0.001, 0)
+
+    step, place = make_sharded_step(g, params, mesh, "projection",
+                                    use_pallas=True, strict=True,
+                                    dtype=jnp.float32,
+                                    spectral_precision=lax.Precision.HIGH)
+    f_out, res = step(place(f), 0.001, 0)
+    assert int(res.status) == 0
+    pscale = float(jnp.max(jnp.abs(f_ref.p)))
+    assert float(jnp.max(jnp.abs(f_out.p - f_ref.p))) / pscale < 2e-4
+    step_hi, _ = make_sharded_step(g, params, mesh, "projection",
+                                   use_pallas=True, strict=True,
+                                   dtype=jnp.float32)
+    f_hi, _ = step_hi(place(f), 0.001, 0)
+    assert float(jnp.max(jnp.abs(f_hi.p - f_out.p))) > 0.0
+
+
 @pytest.mark.heavy
 def test_fused_sharded_zy_convection_multi_step():
     """Energy + Boussinesq + sinusoidal sources through the zy-mesh fused

@@ -102,8 +102,8 @@ def test_matches_single_device(grid, axes, shape):
 def test_multi_step_with_energy(grid):
     """Three steps with energy+Boussinesq: the MG pressure solve composes
     with the GSPMD thermal post-step."""
-    params = NSParams(energy_enabled=True, buoyancy_enabled=True,
-                      alpha=1e-3, beta=0.5, T_ref=0.5)
+    # energy/buoyancy enablement is derived (alpha > 0, beta != 0)
+    params = NSParams(alpha=1e-3, beta=0.5, T_ref=0.5)
     pp = PoissonParams(tolerance=1e-6)
     rng = np.random.default_rng(7)
     f = _random_field(grid, seed=7).replace(

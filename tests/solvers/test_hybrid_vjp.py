@@ -118,10 +118,14 @@ def test_hybrid_projection_value_and_grad():
 
     gh = jax.jit(jax.grad(_loss_of(hybrid)))(f.u, jnp.float32(dt))
     gr = jax.jit(jax.grad(_loss_of(ref)))(f.u, jnp.float32(dt))
-    # Adjoint is the jnp linearization in both; tolerances cover the
-    # f32 solve noise in the recomputed primal.
+    # Adjoint is the jnp linearization in both, so the only difference
+    # is the fused forward VALUE entering the loss cotangent: since r4
+    # the fused projection is the DST-fused mega family (~1e-6-class vs
+    # jnp), which lands here as a measured 1.5e-7 gradient perturbation
+    # at |∇| ≈ 0.4 (the inexact-primal/exact-adjoint trade the hybrid
+    # docstring advertises).
     np.testing.assert_allclose(np.asarray(gh), np.asarray(gr),
-                               rtol=1e-5, atol=1e-7)
+                               rtol=1e-5, atol=5e-7)
 
 
 def test_differentiable_without_pallas_pins_jnp():

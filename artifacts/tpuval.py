@@ -179,6 +179,41 @@ def proj_dst_high_drift():
             "rel_dp": float(jnp.max(jnp.abs(fl.p - fh.p))) / pscale}
 
 
+def proj_bwdfused_vs_three_pass():
+    """Reverse-march corrector (Thomas backward substitution riding the
+    corrector sweep as an engine carry — the whole spectral step is TWO
+    marching kernels) vs the three-pass family (standalone bwd TDMA
+    between the sweeps).  Expected bit-identical (measured r5: 0.0 at
+    128³; the recurrence, transform dots, and correction are
+    op-order-identical — only the scheduling changed)."""
+    import cfd_tpu.ops.pallas.projection_kernels as pk_mod
+
+    g = Grid.uniform(N, N, N, zmin=0.0, zmax=1.0)
+    f = bench._tg_field(g.shape)
+    orig = pk_mod.ProjectionKernels.__init__
+
+    def no_bwd(self, *a, **k):
+        orig(self, *a, **k)
+        self.corr_bwd = None
+
+    out = {}
+    for tag, kw in (("", {}),
+                    ("high_", {"spectral_precision": lax.Precision.HIGH})):
+        pk_mod.ProjectionKernels.__init__ = no_bwd
+        try:
+            old = jax.jit(bench._make_step(g, **kw))
+            fo, _ = old(f, 1e-3, 0)
+            fo.p.block_until_ready()
+        finally:
+            pk_mod.ProjectionKernels.__init__ = orig
+        new = jax.jit(bench._make_step(g, **kw))
+        fn, rn = new(f, 1e-3, 0)
+        assert int(rn.status) == 0
+        out[f"{tag}max_du"] = float(jnp.max(jnp.abs(fn.u - fo.u)))
+        out[f"{tag}max_dp"] = float(jnp.max(jnp.abs(fn.p - fo.p)))
+    return out
+
+
 def tdma2d_diff():
     """Compiled (Mosaic) 2D TDMA-y pipeline vs the eigen pipeline on the
     real chip, at the sizes the auto gate enables it for (round-3 advice:
@@ -242,6 +277,9 @@ CONFIGS = {
     # ("projection" now forces the emit-b̃ + full-TDMA fallback so both
     # production families carry an on-chip row).
     "projection_dst_fused": proj_dst_fused_diff,
+    # r5: the reverse-march corrector (two-kernel spectral step) vs the
+    # three-pass family — bit-identity is the claim, so it gets a row.
+    "projection_dst_bwdfused": proj_bwdfused_vs_three_pass,
     # r5: HIGH precision as manual bf16_3x in-kernel dots (Mosaic lowers
     # only DEFAULT/HIGHEST — lax HIGH crashes the real-chip compile).
     "projection_dst_fused_high": proj_dst_high_diff,

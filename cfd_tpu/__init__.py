@@ -13,7 +13,7 @@ from .config import default_dtype, set_default_dtype
 from .core import FlowField, Grid, CFDError, Status
 from .core.runtime import finalize, init, is_initialized
 
-__version__ = "0.6.0"
+__version__ = "0.7.0"
 
 
 def __getattr__(name):

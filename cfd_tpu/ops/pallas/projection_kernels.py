@@ -654,6 +654,72 @@ class ProjectionKernels:
                 halo_transform={0: corr_inverse_dst} if self.dst else None,
                 interpret=interpret)
 
+        # ---- reverse-march corrector (single-chip DST + Thomas family):
+        # the Thomas BACKWARD substitution rides a reverse z-march as an
+        # engine carry — the corrector consumes the predictor's (d′, t)
+        # outputs directly and the standalone backward-substitution
+        # kernel's 3 HBM passes disappear.  Each x̂ plane is computed by
+        # the same zero-initialized x = d′ + t·x recurrence as
+        # `tdma._build_bwd` (bit-identical op order) and inverse-DSTed
+        # exactly once; the peeled first/last steps carry the mirror
+        # z-shell semantics (p[0] = p[1], p[nz−1] = p[nz−2]).
+        self.corr_bwd = None
+        if self.tdma_fused and nz >= 4:
+            def invdst(x, mats):
+                return plane_dot_rl(x, mats[0], mats[1])
+
+            def corr_bwd_compute(k, scalars, halos, planes, pinned=None,
+                                 carry=None, stage=None):
+                (d_m, d_c, _d_p) = halos[0]   # d′ window (k−1, k, k+1)
+                (t_m, t_c, _t_p) = halos[1]   # t window
+                us, vs, ws = planes
+                mats = pinned[n_spin_corr:n_spin_corr + 2]
+                mask, _, _ = plane_masks(ny, nx, dtype)
+                maskb = mask > 0
+                s = scalars[0]
+                xh_c, p_k, p_kp1 = carry
+                if stage == "first":
+                    # x̂[nz−2] = d′ + t·0 (zero-initialized carry, same
+                    # op order as the standalone backward kernel)
+                    xh_c = d_c + t_c * xh_c
+                    p_k = invdst(xh_c, mats)
+                    p_kp1 = p_k               # mirror p[nz−1] = p[nz−2]
+                if stage == "last":
+                    p_km1 = p_k               # mirror p[0] = p[1]
+                    xh_m = xh_c
+                else:
+                    xh_m = d_m + t_m * xh_c   # x̂[k−1]
+                    p_km1 = invdst(xh_m, mats)
+                if consistent:
+                    (gxm, gxp), (gxc, gyc), (gym, gyp) = pinned[:3]
+                    gradx = (shift_x(p_k, -1) * gxm + p_k * gxc
+                             + shift_x(p_k, 1) * gxp)
+                    grady = (shift_y(p_k, -1, ny) * gym + p_k * gyc
+                             + shift_y(p_k, 1, ny) * gyp)
+                else:
+                    gradx, grady = d1x(p_k), d1y(p_k)
+                u = jnp.where(maskb,
+                              jnp.clip(us - s * gradx, -CLAMP, CLAMP), us)
+                v = jnp.where(maskb,
+                              jnp.clip(vs - s * grady, -CLAMP, CLAMP), vs)
+                w = jnp.where(maskb,
+                              jnp.clip(ws - s * (p_kp1 - p_km1) * inv_2dz,
+                                       -CLAMP, CLAMP), ws)
+                m2 = jnp.max(u * u + v * v + w * w)
+                return ([u, v, w, p_k],
+                        (m2, jnp.max(p_k), jnp.max(jnp.abs(p_k))),
+                        [xh_m, p_km1, p_k])
+
+            self.corr_bwd = make_rolling_stencil(
+                nz, ny, nx, 2, 3, 4, corr_bwd_compute, dtype,
+                n_scalars=1, reductions=("max", "max", "max"),
+                shell_passthrough=[2, 3, 4, None],
+                shell_sources={3: ("p1", "pN2")},
+                n_pinned=n_spin_corr,
+                pinned_mats=[m.shape for m in self._corr_mats],
+                carry_planes=3, reverse=True, peel_ends=True,
+                interpret=interpret)
+
         self.mega_ok = (self.pred_bt is not None
                         and self.corr_all is not None)
 
@@ -710,6 +776,19 @@ class ProjectionKernels:
         extras = (tuple(self._corr_pins)
                   + (tuple(self._corr_mats) if self.dst else ()))
         return self.corr_all(s, p, us, vs, ws, *extras)
+
+    def corrector_bwd_diag(self, us, vs, ws, dp, t, dt_over_rho):
+        """Reverse-march mega corrector (single-chip DST + Thomas
+        family): consumes the predictor's (d′, t) outputs directly — the
+        Thomas backward substitution rides the reverse z-march as an
+        engine carry and each x̂ plane is inverse-DSTed exactly once
+        in-sweep, so the standalone backward-substitution kernel (and
+        its 3 HBM passes) disappears: the whole spectral projection step
+        is TWO marching kernels.  Returns
+        (u, v, w, p, max|vel|², max p, max|p|)."""
+        s = jnp.asarray(dt_over_rho)[None]
+        extras = tuple(self._corr_pins) + tuple(self._corr_mats)
+        return self.corr_bwd(s, dp, t, us, vs, ws, *extras)
 
     def _with_y(self, parts, y_offset):
         """Append the global-row-offset scalar in y-sharded mode."""

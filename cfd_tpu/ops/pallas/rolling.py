@@ -96,6 +96,8 @@ def make_rolling_stencil(nz: int, ny: int, nx: int,
                          halo_transform: Optional[dict] = None,
                          halo_window: int = 1,
                          carry_planes: int = 0,
+                         reverse: bool = False,
+                         peel_ends: bool = False,
                          interpret: bool = False):
     """Build the rolling kernel.
 
@@ -146,6 +148,17 @@ def make_rolling_stencil(nz: int, ny: int, nx: int,
     ref read/write on Mosaic (measured, tdma.py) — this is how the DST
     predictor runs the Thomas forward recurrence across planes in the same
     sweep that produces them.
+    ``reverse=True`` marches planes nz−2 → 1 instead of 1 → nz−2: all
+    slot/semaphore bookkeeping stays in march order, only the HBM
+    addresses (and the ``k`` handed to compute) map through
+    ``nz−1−order``.  Carries then flow from high k to low k — how the
+    DST corrector runs the Thomas BACKWARD substitution in the same
+    sweep that consumes its output.
+    ``peel_ends=True`` (requires nz ≥ 4) traces the first and last march
+    steps outside the fori loop and passes compute a static
+    ``stage="first"/"last"`` keyword (``None`` inside the loop), so
+    boundary-only work (an extra transform at the start, a mirror
+    substitution at the end) costs nothing per interior plane.
 
     ``with_reduction=True`` is the legacy spelling of
     ``reductions=("sum",)`` with the partial returned as a bare scalar.
@@ -167,6 +180,8 @@ def make_rolling_stencil(nz: int, ny: int, nx: int,
     mats = tuple(tuple(s) for s in (pinned_mats or ()))
     n_mats = len(mats)
     halo_transform = dict(halo_transform or {})
+    if peel_ends and nz < 4:
+        raise ValueError("peel_ends needs nz >= 4 (distinct end steps)")
     plane_bytes = ny * nx * 4
     mat_planes = -(-sum(r * c * 4 for r, c in mats) // plane_bytes)
     if not rolling_supported(nz, ny, nx, n_halo, n_plane,
@@ -227,13 +242,21 @@ def make_rolling_stencil(nz: int, ny: int, nx: int,
             return jax.lax.rem(jnp.asarray(k, jnp.int32) + jnp.int32(R),
                                jnp.int32(R))
 
+        def phys(k):
+            """March-order index → physical plane index.  All slot and
+            semaphore bookkeeping stays in march order; only HBM
+            addresses (and compute's k) map through this."""
+            return (nz - 1) - k if reverse else k
+
         def in_dma(k, slot):
-            """DMAs for plane k of every streamed input. Halo inputs land
-            in ring slot k%R; plane inputs in stage slot k%3."""
+            """DMAs for plane of march order k of every streamed input.
+            Halo inputs land in ring slot k%R; plane inputs in stage
+            slot k%S."""
             dmas = []
+            kp = phys(k)
             for a in range(n_halo):
                 dmas.append(pltpu.make_async_copy(
-                    in_hbm[a].at[pl.ds(k * ny, ny), :],
+                    in_hbm[a].at[pl.ds(kp * ny, ny), :],
                     rings[a].at[ring_slot(k)], in_sems.at[slot, a]))
             for b in range(n_plane):
                 # (W+2)-slot staging: the prefetch for plane k+W+1 must not
@@ -241,13 +264,14 @@ def make_rolling_stencil(nz: int, ny: int, nx: int,
                 # reads, nor in slots of fetched-not-yet-read planes.
                 s2 = jax.lax.rem(jnp.asarray(k, jnp.int32), jnp.int32(S))
                 dmas.append(pltpu.make_async_copy(
-                    in_hbm[n_halo + b].at[pl.ds(k * ny, ny), :],
+                    in_hbm[n_halo + b].at[pl.ds(kp * ny, ny), :],
                     stages[b].at[s2], in_sems.at[slot, n_halo + b]))
             return dmas
 
         def out_dma(k, o, slot):
             return pltpu.make_async_copy(
-                obufs[o].at[slot], out_hbm[o].at[pl.ds(k * ny, ny), :],
+                obufs[o].at[slot],
+                out_hbm[o].at[pl.ds(phys(k) * ny, ny), :],
                 out_sems.at[slot, o])
 
         def start_all(dmas):
@@ -297,16 +321,16 @@ def make_rolling_stencil(nz: int, ny: int, nx: int,
             if halo_transform:
                 transform_arrival(k)
 
-        def body(c, acc_carry):
+        def body(c, acc_carry, stage=None):
             acc, carry = acc_carry
             c = jnp.asarray(c, jnp.int32)
-            # prefetch plane c+W+1 (its arrival is awaited at c+1)
+            # prefetch plane of order c+W+1 (its arrival is awaited at c+1)
             @pl.when(c + W + 1 <= nz - 1)
             def _():
                 start_all(in_dma(c + W + 1,
                                  jax.lax.rem(c + W + 1, jnp.int32(2))))
 
-            # plane c+W arrival (started at c−1 / prologue)
+            # order c+W arrival (started at c−1 / prologue)
             @pl.when((c + W <= nz - 1) & (c > 1))
             def _():
                 wait_all(in_dma(c + W, jax.lax.rem(c + W, jnp.int32(2))))
@@ -314,23 +338,27 @@ def make_rolling_stencil(nz: int, ny: int, nx: int,
                     transform_arrival(c + W)
 
             halo_windows = []
+            # in reverse, order c+d holds plane phys(c)−d: flip the
+            # window so compute always sees (k−W, …, k, …, k+W)
+            d_order = range(W, -W - 1, -1) if reverse else range(-W, W + 1)
             for a in range(n_halo):
                 halo_windows.append(tuple(rings[a][ring_slot(c + d)]
-                                          for d in range(-W, W + 1)))
+                                          for d in d_order))
             planes = [stages[b][jax.lax.rem(c, jnp.int32(S))]
                       for b in range(n_plane)]
 
-            args = [c, scalars, halo_windows, planes]
+            args = [phys(c), scalars, halo_windows, planes]
             if n_pinned or n_mats:
                 args.append([(pbufs[q][0:ny, :], pbufs[q][ny:2 * ny, :])
                              for q in range(n_pinned)] + mat_arrays())
+            kw = {"stage": stage} if peel_ends else {}
             if carry_planes:
                 if len(args) == 4:
                     args.append(None)
-                outs, partials, carry = compute(*args, list(carry))
+                outs, partials, carry = compute(*args, list(carry), **kw)
                 carry = tuple(carry)
             else:
-                outs, partials = compute(*args)
+                outs, partials = compute(*args, **kw)
 
             s_out = jax.lax.rem(c, jnp.int32(2))
             for o in range(n_out):
@@ -339,12 +367,16 @@ def make_rolling_stencil(nz: int, ny: int, nx: int,
                     out_dma(c - 2, o, s_out).wait()
                 obufs[o][pl.ds(s_out, 1)] = outs[o][None]
                 out_dma(c, o, s_out).start()
+            # snapshot conditions key on the PHYSICAL plane computed:
+            # plane 1 is the first march step forward, the last reversed
+            c_p1 = nz - 2 if reverse else 1
+            c_pN2 = 1 if reverse else nz - 2
             for si, o in enumerate(sp_list):
-                @pl.when(c == 1)
+                @pl.when(c == c_p1)
                 def _(si=si, o=o):
                     sbufs[si][pl.ds(0, 1)] = outs[o][None]
 
-                @pl.when(c == nz - 2)
+                @pl.when(c == c_pN2)
                 def _(si=si, o=o):
                     sbufs[si][pl.ds(1, 1)] = outs[o][None]
             if n_red:
@@ -355,11 +387,24 @@ def make_rolling_stencil(nz: int, ny: int, nx: int,
 
         carry0 = tuple(jnp.zeros((ny, nx), dtype)
                        for _ in range(carry_planes))
-        acc, _ = jax.lax.fori_loop(1, nz - 1, body,
-                                   (_red_init(), carry0))
+        if peel_ends:
+            # first/last march steps traced statically so compute can do
+            # boundary-only work (extra transform / mirror substitution)
+            # without paying for it on interior planes
+            st = body(jnp.int32(1), (_red_init(), carry0), stage="first")
+            st = jax.lax.fori_loop(2, nz - 2,
+                                   lambda c, a: body(c, a, None), st)
+            acc, _ = body(jnp.int32(nz - 2), st, stage="last")
+        else:
+            acc, _ = jax.lax.fori_loop(1, nz - 1,
+                                       lambda c, a: body(c, a, None),
+                                       (_red_init(), carry0))
 
         # Epilogue: drain output DMAs, then fill the z-shell planes —
         # zeros by default, or a passthrough copy of an input's shells.
+        # Shell writes target PHYSICAL planes 0 / nz−1: out_dma maps
+        # order → phys, and phys is an involution, so passing phys(k)
+        # lands at physical k in both march directions.
         for o in range(n_out):
             out_dma(nz - 2, o, (nz - 2) % 2).wait()
             if nz >= 4:
@@ -377,18 +422,18 @@ def make_rolling_stencil(nz: int, ny: int, nx: int,
                     return jnp.full((1, ny, nx), dtype(spec), dtype)
 
                 obufs[o][pl.ds(0, 1)] = shell_plane(lo)
-                out_dma(0, o, 0).start()
-                out_dma(0, o, 0).wait()
+                out_dma(phys(0), o, 0).start()
+                out_dma(phys(0), o, 0).wait()
                 obufs[o][pl.ds(1, 1)] = shell_plane(hi)
-                out_dma(nz - 1, o, 1).start()
-                out_dma(nz - 1, o, 1).wait()
+                out_dma(phys(nz - 1), o, 1).start()
+                out_dma(phys(nz - 1), o, 1).wait()
             elif src_idx is None:
                 obufs[o][pl.ds(0, 1)] = jnp.zeros((1, ny, nx), dtype)
-                out_dma(0, o, 0).start()
-                out_dma(0, o, 0).wait()
+                out_dma(phys(0), o, 0).start()
+                out_dma(phys(0), o, 0).wait()
                 obufs[o][pl.ds(1, 1)] = jnp.zeros((1, ny, nx), dtype)
-                out_dma(nz - 1, o, 1).start()
-                out_dma(nz - 1, o, 1).wait()
+                out_dma(phys(nz - 1), o, 1).start()
+                out_dma(phys(nz - 1), o, 1).wait()
             else:
                 for k, slot in ((0, 0), (nz - 1, 1)):
                     fetch = pltpu.make_async_copy(
@@ -396,8 +441,8 @@ def make_rolling_stencil(nz: int, ny: int, nx: int,
                         obufs[o].at[slot], out_sems.at[slot, o])
                     fetch.start()
                     fetch.wait()
-                    out_dma(k, o, slot).start()
-                    out_dma(k, o, slot).wait()
+                    out_dma(phys(k), o, slot).start()
+                    out_dma(phys(k), o, slot).wait()
         for i in range(n_red):
             red_ref[0, i] = acc[i]
 

@@ -567,12 +567,23 @@ def make_projection_step(grid: Grid, params: NSParams, dtype=None,
             # the same transformed pin after the hook runs.
             if pin is None:
                 pin = proj_kernels.btilde(us, vs, ws, field.p, rho0 / dt)
-            xhat = (btilde_pipeline(*pin) if isinstance(pin, tuple)
-                    else btilde_pipeline(pin))
             residual = jnp.zeros((), dtype)
             poisson_ok = jnp.bool_(True)   # direct solve
-            u, v, w, p_new, m2i, pmaxi, pabsi = \
-                proj_kernels.corrector_diag(us, vs, ws, xhat, dt / rho0)
+            if (isinstance(pin, tuple)
+                    and proj_kernels.corr_bwd is not None):
+                # Reverse-march corrector: the Thomas backward
+                # substitution rides the corrector sweep itself — the
+                # whole spectral step is two marching kernels, nothing
+                # in between.
+                u, v, w, p_new, m2i, pmaxi, pabsi = \
+                    proj_kernels.corrector_bwd_diag(us, vs, ws, *pin,
+                                                    dt / rho0)
+            else:
+                xhat = (btilde_pipeline(*pin) if isinstance(pin, tuple)
+                        else btilde_pipeline(pin))
+                u, v, w, p_new, m2i, pmaxi, pabsi = \
+                    proj_kernels.corrector_diag(us, vs, ws, xhat,
+                                                dt / rho0)
         else:
             if btilde_pipeline is not None:
                 if pin is None:

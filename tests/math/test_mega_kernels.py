@@ -170,3 +170,63 @@ def test_mega_buoyant_matches_jnp():
         np.testing.assert_allclose(np.asarray(getattr(ff, name)),
                                    np.asarray(getattr(fr, name)),
                                    atol=2e-5, err_msg=name)
+
+
+@pytest.mark.parametrize("stretched", [False, True],
+                         ids=["uniform", "consistent_stretched"])
+def test_reverse_march_corrector_matches_three_pass(monkeypatch, stretched):
+    """The reverse-march corrector (Thomas backward substitution riding
+    the corrector sweep as an engine carry — the whole spectral step is
+    TWO marching kernels) must be bit-identical to the three-pass family
+    (predictor → standalone backward TDMA → corrector), diagnostics
+    included, and must actually engage.  On-chip the two are bit-identical
+    too (TPUVAL r5 `projection_dst_bwdfused`)."""
+    from cfd_tpu.ops.pallas import projection_kernels as pk_mod
+
+    if stretched:
+        g = Grid.stretched(128, 16, 8, zmin=0.0, zmax=1.0, beta=1.5,
+                           stretch_axes="xy")
+        params = NSParams(source_amplitude_u=0.05, source_amplitude_v=0.02,
+                          nonuniform_scheme="consistent")
+    else:
+        g = Grid.uniform(128, 16, 12, zmin=0.0, zmax=1.0)
+        params = NSParams(source_amplitude_u=0.5, source_amplitude_v=0.25)
+    f = _random_field(g, seed=31)
+
+    # old family: corr_bwd forced off → standalone bwd TDMA between sweeps
+    orig_init = pk_mod.ProjectionKernels.__init__
+
+    def no_bwd_init(self, *a, **k):
+        orig_init(self, *a, **k)
+        self.corr_bwd = None
+
+    monkeypatch.setattr(pk_mod.ProjectionKernels, "__init__", no_bwd_init)
+    old = jax.jit(make_projection_step(g, params, dtype=jnp.float32,
+                                       poisson_method=Method.FFT_DIRECT,
+                                       use_pallas=True,
+                                       pallas_interpret=True))
+    monkeypatch.setattr(pk_mod.ProjectionKernels, "__init__", orig_init)
+
+    engaged = []
+    orig_bwd = pk_mod.ProjectionKernels.corrector_bwd_diag
+
+    def spy(self, *a, **k):
+        engaged.append(True)
+        return orig_bwd(self, *a, **k)
+
+    monkeypatch.setattr(pk_mod.ProjectionKernels, "corrector_bwd_diag", spy)
+    new = jax.jit(make_projection_step(g, params, dtype=jnp.float32,
+                                       poisson_method=Method.FFT_DIRECT,
+                                       use_pallas=True,
+                                       pallas_interpret=True))
+
+    fo, ro = old(f, 0.001, 0)
+    fn, rn = new(f, 0.001, 0)
+    assert engaged, "reverse-march corrector did not engage"
+    assert int(rn.status) == int(ro.status) == 0
+    for name in ("u", "v", "w", "p"):
+        np.testing.assert_array_equal(np.asarray(getattr(fn, name)),
+                                      np.asarray(getattr(fo, name)),
+                                      err_msg=name)
+    for attr in ("max_velocity", "max_pressure"):
+        assert float(getattr(rn, attr)) == float(getattr(ro, attr)), attr

@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from .rolling import make_rolling_stencil, plane_masks, rolling_supported, \
     shift_x, shift_y
@@ -46,7 +47,8 @@ class ProjectionKernels:
                  emit="btilde", with_sources=True,
                  beta=0.0, T_ref=0.0, gravity=(0.0, 0.0, 0.0),
                  global_ny=None, dst_mats=None, dst_precision=None,
-                 tdma_fwd=None, stretch_consistent=None, face_coeffs=None):
+                 tdma_fwd=None, tdma_bwd="stored",
+                 stretch_consistent=None, face_coeffs=None):
         """``global_nz``: sharded (z-decomposed) mode — the kernels operate
         on a halo-padded local block of ``nz`` planes belonging to a global
         ``global_nz``-plane domain; the btilde kernel then takes the shard's
@@ -179,6 +181,21 @@ class ProjectionKernels:
                 raise ValueError("tdma_fwd mu plane must be (ny, nx)")
             self._pred_mats = self._pred_mats + (mu_plane,)
             tdma_w = float(tdma_w)
+        if tdma_bwd not in ("stored", "analytic"):
+            raise ValueError(f"unknown tdma_bwd {tdma_bwd!r}")
+        # ``tdma_bwd="analytic"``: the reverse-march corrector rebuilds
+        # the Thomas t coefficients from their closed form
+        # (t_k = sinh(kφ)/sinh((k+1)φ), one in-kernel exp per plane —
+        # `tdma._bwd_coeff_planes`) instead of streaming them, so the
+        # predictor drops its t output entirely: one 0.5 GB/step HBM
+        # write and one read disappear at 512³.  Costs the analytic
+        # variant's ~4e-6 relative t error (e^{−2kφ}−1 cancellation in
+        # f32, tdma.py module docs) — below the HIGH transform budget
+        # (~2e-5), which is why the projection factory selects it for
+        # ``spectral_precision=HIGH`` and keeps "stored" (bit-identical)
+        # for HIGHEST.  Demoted to "stored" when the reverse-march
+        # corrector itself can't build (the three-pass fallback needs t).
+        self.bwd_analytic = self.tdma_fused and tdma_bwd == "analytic"
         consistent = stretch_consistent is not None
         self.consistent = consistent
         self._pred_pins = ()
@@ -333,6 +350,111 @@ class ProjectionKernels:
             n_scalars=2 if sharded_y else 1,
             interpret=interpret)
 
+        # ---- reverse-march corrector (single-chip DST + Thomas family):
+        # the Thomas BACKWARD substitution rides a reverse z-march as an
+        # engine carry — the corrector consumes the predictor's (d′[, t])
+        # outputs directly and the standalone backward-substitution
+        # kernel's 3 HBM passes disappear.  Each x̂ plane is computed by
+        # the same zero-initialized x = d′ + t·x recurrence as
+        # `tdma._build_bwd` (bit-identical op order in "stored" mode) and
+        # inverse-DSTed exactly once; the peeled first/last steps carry
+        # the mirror z-shell semantics (p[0] = p[1], p[nz−1] = p[nz−2]).
+        # In analytic mode t is rebuilt in-kernel from the closed form
+        # (same formula and f64 host coefficient planes as
+        # `tdma._build_bwd`'s analytic variant) and the t stream
+        # disappears from the step entirely.  Built BEFORE btilde_k and
+        # pred_bt: they emit t only when this kernel doesn't replace it.
+        self.corr_bwd = None
+        self._corr_aux = ()
+        if self.tdma_fused and nz >= 4:
+            if self.bwd_analytic:
+                from .tdma import _bwd_coeff_planes
+                np_dt = np.dtype(jnp.zeros((), dtype).dtype)
+                # f64 chain from the f32 mu plane (mu's own rounding is
+                # ~1e-7 relative — negligible vs the 4e-6 exp error)
+                self._corr_aux = (_bwd_coeff_planes(
+                    np.asarray(mu_plane, np.float64), tdma_w, np_dt),)
+
+            def invdst(x, mats):
+                return plane_dot_rl(x, mats[0], mats[1])
+
+            def corr_bwd_compute(k, scalars, halos, planes, pinned=None,
+                                 carry=None, stage=None):
+                (d_m, d_c, _d_p) = halos[0]   # d′ window (k−1, k, k+1)
+                if self.bwd_analytic:
+                    einv, p2 = pinned[n_spin_corr]
+                    mats = pinned[n_spin_corr + 1:n_spin_corr + 3]
+                else:
+                    (t_m, t_c, _t_p) = halos[1]   # t window
+                    mats = pinned[n_spin_corr:n_spin_corr + 2]
+                us, vs, ws = planes
+                mask, _, _ = plane_masks(ny, nx, dtype)
+                maskb = mask > 0
+                s = scalars[0]
+                xh_c, p_k, p_kp1 = carry
+                if stage == "first":
+                    if self.bwd_analytic:
+                        # x̂[nz−2] = d′ (zero-initialized carry; t·0
+                        # vanishes, so no t needed at the top plane)
+                        xh_c = d_c
+                    else:
+                        # x̂[nz−2] = d′ + t·0 (same op order as the
+                        # standalone backward kernel)
+                        xh_c = d_c + t_c * xh_c
+                    p_k = invdst(xh_c, mats)
+                    p_kp1 = p_k               # mirror p[nz−1] = p[nz−2]
+                if stage == "last":
+                    p_km1 = p_k               # mirror p[0] = p[1]
+                    xh_m = xh_c
+                else:
+                    if self.bwd_analytic:
+                        # t_{k−1} = e^{−φ}(e^{−2(k−1)φ}−1)/(e^{−2kφ·…}−1)
+                        # — identical formula to `tdma._build_bwd`'s
+                        # analytic variant (underflow at large kφ is ok)
+                        kf = (jnp.asarray(k, jnp.int32)
+                              - jnp.int32(1)).astype(dtype)
+                        e = jnp.exp(-kf * p2)
+                        t_m = einv * (e - 1.0) / (e * (einv * einv) - 1.0)
+                    xh_m = d_m + t_m * xh_c   # x̂[k−1]
+                    p_km1 = invdst(xh_m, mats)
+                if consistent:
+                    (gxm, gxp), (gxc, gyc), (gym, gyp) = pinned[:3]
+                    gradx = (shift_x(p_k, -1) * gxm + p_k * gxc
+                             + shift_x(p_k, 1) * gxp)
+                    grady = (shift_y(p_k, -1, ny) * gym + p_k * gyc
+                             + shift_y(p_k, 1, ny) * gyp)
+                else:
+                    gradx, grady = d1x(p_k), d1y(p_k)
+                u = jnp.where(maskb,
+                              jnp.clip(us - s * gradx, -CLAMP, CLAMP), us)
+                v = jnp.where(maskb,
+                              jnp.clip(vs - s * grady, -CLAMP, CLAMP), vs)
+                w = jnp.where(maskb,
+                              jnp.clip(ws - s * (p_kp1 - p_km1) * inv_2dz,
+                                       -CLAMP, CLAMP), ws)
+                m2 = jnp.max(u * u + v * v + w * w)
+                return ([u, v, w, p_k],
+                        (m2, jnp.max(p_k), jnp.max(jnp.abs(p_k))),
+                        [xh_m, p_km1, p_k])
+
+            # input order is [halos..., planes...]: dropping the t halo
+            # in analytic mode shifts the us/vs/ws passthrough indices
+            n_bh = 1 if self.bwd_analytic else 2
+            self.corr_bwd = make_rolling_stencil(
+                nz, ny, nx, n_bh, 3, 4,
+                corr_bwd_compute, dtype,
+                n_scalars=1, reductions=("max", "max", "max"),
+                shell_passthrough=[n_bh, n_bh + 1, n_bh + 2, None],
+                shell_sources={3: ("p1", "pN2")},
+                n_pinned=n_spin_corr + len(self._corr_aux),
+                pinned_mats=[m.shape for m in self._corr_mats],
+                carry_planes=3, reverse=True, peel_ends=True,
+                interpret=interpret)
+        if self.corr_bwd is None:
+            # three-pass fallback (standalone bwd TDMA) needs t streamed
+            self.bwd_analytic = False
+            self._corr_aux = ()
+
         # In single-chip DST mode the standalone b̃ kernel carries the
         # same in-kernel forward transforms (and, with ``tdma_fwd``, the
         # Thomas forward recurrence) as the mega predictor — this is what
@@ -377,11 +499,13 @@ class ProjectionKernels:
                 rec = 1.0 / (pinned[2] + 2.0 * wf - wf * t_c)
                 t_c = wf * rec
                 dp_c = (out + wf * dp_c) * rec
-                return [dp_c, t_c], None, [t_c, dp_c]
+                outs = ([dp_c] if self.bwd_analytic else [dp_c, t_c])
+                return outs, None, [t_c, dp_c]
             return [out], None
 
+        n_bt_out = (1 if self.bwd_analytic else 2) if self.tdma_fused else 1
         self.btilde_k = None if consistent else make_rolling_stencil(
-            nz, ny, nx, 1, 3, 2 if self.tdma_fused else 1,
+            nz, ny, nx, 1, 3, n_bt_out,
             btilde_compute, dtype,
             n_scalars=(1 if global_nz is None else 2) + int(sharded_y),
             pinned_mats=([m.shape for m in self._pred_mats]
@@ -569,7 +693,9 @@ class ProjectionKernels:
                                  + 2.0 * wf - wf * t_c)
                     t_c = wf * rec
                     dp_c = (out + wf * dp_c) * rec
-                    return [us, vs, ws, dp_c, t_c], None, [t_c, dp_c]
+                    outs = ([us, vs, ws, dp_c] if self.bwd_analytic
+                            else [us, vs, ws, dp_c, t_c])
+                    return outs, None, [t_c, dp_c]
             else:
                 out = jnp.where(maskb, rod * div, 0.0)
             return [us, vs, ws, out], None
@@ -581,7 +707,8 @@ class ProjectionKernels:
         # zy path).
         build_mega = global_ny is None or self.dst
         if build_mega:
-            n_pred_out = 5 if self.tdma_fused else 4
+            n_pred_out = ((4 if self.bwd_analytic else 5)
+                          if self.tdma_fused else 4)
             self.pred_bt = make_rolling_stencil(
                 nz_pred, ny, nx, 4 if buoy else 3, 1, n_pred_out,
                 pred_bt_compute, dtype,
@@ -654,72 +781,6 @@ class ProjectionKernels:
                 halo_transform={0: corr_inverse_dst} if self.dst else None,
                 interpret=interpret)
 
-        # ---- reverse-march corrector (single-chip DST + Thomas family):
-        # the Thomas BACKWARD substitution rides a reverse z-march as an
-        # engine carry — the corrector consumes the predictor's (d′, t)
-        # outputs directly and the standalone backward-substitution
-        # kernel's 3 HBM passes disappear.  Each x̂ plane is computed by
-        # the same zero-initialized x = d′ + t·x recurrence as
-        # `tdma._build_bwd` (bit-identical op order) and inverse-DSTed
-        # exactly once; the peeled first/last steps carry the mirror
-        # z-shell semantics (p[0] = p[1], p[nz−1] = p[nz−2]).
-        self.corr_bwd = None
-        if self.tdma_fused and nz >= 4:
-            def invdst(x, mats):
-                return plane_dot_rl(x, mats[0], mats[1])
-
-            def corr_bwd_compute(k, scalars, halos, planes, pinned=None,
-                                 carry=None, stage=None):
-                (d_m, d_c, _d_p) = halos[0]   # d′ window (k−1, k, k+1)
-                (t_m, t_c, _t_p) = halos[1]   # t window
-                us, vs, ws = planes
-                mats = pinned[n_spin_corr:n_spin_corr + 2]
-                mask, _, _ = plane_masks(ny, nx, dtype)
-                maskb = mask > 0
-                s = scalars[0]
-                xh_c, p_k, p_kp1 = carry
-                if stage == "first":
-                    # x̂[nz−2] = d′ + t·0 (zero-initialized carry, same
-                    # op order as the standalone backward kernel)
-                    xh_c = d_c + t_c * xh_c
-                    p_k = invdst(xh_c, mats)
-                    p_kp1 = p_k               # mirror p[nz−1] = p[nz−2]
-                if stage == "last":
-                    p_km1 = p_k               # mirror p[0] = p[1]
-                    xh_m = xh_c
-                else:
-                    xh_m = d_m + t_m * xh_c   # x̂[k−1]
-                    p_km1 = invdst(xh_m, mats)
-                if consistent:
-                    (gxm, gxp), (gxc, gyc), (gym, gyp) = pinned[:3]
-                    gradx = (shift_x(p_k, -1) * gxm + p_k * gxc
-                             + shift_x(p_k, 1) * gxp)
-                    grady = (shift_y(p_k, -1, ny) * gym + p_k * gyc
-                             + shift_y(p_k, 1, ny) * gyp)
-                else:
-                    gradx, grady = d1x(p_k), d1y(p_k)
-                u = jnp.where(maskb,
-                              jnp.clip(us - s * gradx, -CLAMP, CLAMP), us)
-                v = jnp.where(maskb,
-                              jnp.clip(vs - s * grady, -CLAMP, CLAMP), vs)
-                w = jnp.where(maskb,
-                              jnp.clip(ws - s * (p_kp1 - p_km1) * inv_2dz,
-                                       -CLAMP, CLAMP), ws)
-                m2 = jnp.max(u * u + v * v + w * w)
-                return ([u, v, w, p_k],
-                        (m2, jnp.max(p_k), jnp.max(jnp.abs(p_k))),
-                        [xh_m, p_km1, p_k])
-
-            self.corr_bwd = make_rolling_stencil(
-                nz, ny, nx, 2, 3, 4, corr_bwd_compute, dtype,
-                n_scalars=1, reductions=("max", "max", "max"),
-                shell_passthrough=[2, 3, 4, None],
-                shell_sources={3: ("p1", "pN2")},
-                n_pinned=n_spin_corr,
-                pinned_mats=[m.shape for m in self._corr_mats],
-                carry_planes=3, reverse=True, peel_ends=True,
-                interpret=interpret)
-
         self.mega_ok = (self.pred_bt is not None
                         and self.corr_all is not None)
 
@@ -777,18 +838,22 @@ class ProjectionKernels:
                   + (tuple(self._corr_mats) if self.dst else ()))
         return self.corr_all(s, p, us, vs, ws, *extras)
 
-    def corrector_bwd_diag(self, us, vs, ws, dp, t, dt_over_rho):
+    def corrector_bwd_diag(self, us, vs, ws, *args):
         """Reverse-march mega corrector (single-chip DST + Thomas
-        family): consumes the predictor's (d′, t) outputs directly — the
-        Thomas backward substitution rides the reverse z-march as an
-        engine carry and each x̂ plane is inverse-DSTed exactly once
-        in-sweep, so the standalone backward-substitution kernel (and
-        its 3 HBM passes) disappears: the whole spectral projection step
-        is TWO marching kernels.  Returns
+        family): consumes the predictor's (d′, t) — or just (d′,) in
+        analytic mode, where the t coefficients are rebuilt in-kernel
+        from their closed form — directly: the Thomas backward
+        substitution rides the reverse z-march as an engine carry and
+        each x̂ plane is inverse-DSTed exactly once in-sweep, so the
+        standalone backward-substitution kernel (and its 3 HBM passes)
+        disappears: the whole spectral projection step is TWO marching
+        kernels.  Call as ``(us, vs, ws, *pin, dt_over_rho)``.  Returns
         (u, v, w, p, max|vel|², max p, max|p|)."""
+        *pin, dt_over_rho = args
         s = jnp.asarray(dt_over_rho)[None]
-        extras = tuple(self._corr_pins) + tuple(self._corr_mats)
-        return self.corr_bwd(s, dp, t, us, vs, ws, *extras)
+        extras = (tuple(self._corr_pins) + tuple(self._corr_aux)
+                  + tuple(self._corr_mats))
+        return self.corr_bwd(s, *pin, us, vs, ws, *extras)
 
     def _with_y(self, parts, y_offset):
         """Append the global-row-offset scalar in y-sharded mode."""

@@ -417,10 +417,18 @@ def make_projection_step(grid: Grid, params: NSParams, dtype=None,
                     mats, tfwd, zbwd = make_dst_fused_pieces(
                         problem, dtype, interpret=pallas_interpret,
                         fuse_fwd=True)
+                    # HIGH already trades ~2e-5 relative pressure error
+                    # for 2× cheaper transforms — the analytic-t reverse
+                    # corrector (4e-6-class, tdma.py docs) is free at
+                    # that budget and drops the t stream (one 0.5 GB
+                    # write + read per 512³ step).  HIGHEST keeps
+                    # "stored": bit-identical to the three-pass family.
                     pk_dst = ProjectionKernels(
                         grid.nz, grid.ny, grid.nx, dx, dy, grid.dz0,
                         grid.xmin, grid.ymin, dtype, emit="btilde",
                         dst_mats=mats, tdma_fwd=tfwd,
+                        tdma_bwd=("analytic" if spectral_precision
+                                  == _lax.Precision.HIGH else "stored"),
                         dst_precision=spectral_precision, **kern_kwargs)
                     if accept_dst(pk_dst):
                         pk = pk_dst
@@ -504,6 +512,8 @@ def make_projection_step(grid: Grid, params: NSParams, dtype=None,
                     grid.nz, grid.ny, grid.nx, dx, dy, grid.dz0,
                     grid.xmin, grid.ymin, dtype, emit="btilde",
                     dst_mats=mats, tdma_fwd=tfwd,
+                    tdma_bwd=("analytic" if spectral_precision
+                              == _lax.Precision.HIGH else "stored"),
                     dst_precision=spectral_precision, **kern_kwargs)
                 if pk_e.mega_ok:
                     pk = pk_e
@@ -569,14 +579,17 @@ def make_projection_step(grid: Grid, params: NSParams, dtype=None,
                 pin = proj_kernels.btilde(us, vs, ws, field.p, rho0 / dt)
             residual = jnp.zeros((), dtype)
             poisson_ok = jnp.bool_(True)   # direct solve
-            if (isinstance(pin, tuple)
-                    and proj_kernels.corr_bwd is not None):
+            pin_t = pin if isinstance(pin, tuple) else (pin,)
+            n_bwd = 1 if proj_kernels.bwd_analytic else 2
+            if (proj_kernels.corr_bwd is not None
+                    and len(pin_t) == n_bwd):
                 # Reverse-march corrector: the Thomas backward
                 # substitution rides the corrector sweep itself — the
                 # whole spectral step is two marching kernels, nothing
-                # in between.
+                # in between.  pin is (d′, t), or just (d′,) in
+                # analytic mode (t rebuilt in-kernel).
                 u, v, w, p_new, m2i, pmaxi, pabsi = \
-                    proj_kernels.corrector_bwd_diag(us, vs, ws, *pin,
+                    proj_kernels.corrector_bwd_diag(us, vs, ws, *pin_t,
                                                     dt / rho0)
             else:
                 xhat = (btilde_pipeline(*pin) if isinstance(pin, tuple)
